@@ -1,0 +1,31 @@
+"""basic_iterative_solvers_tpu — a TPU-native sparse iterative-solver
+framework with the capabilities of DanecLacey/basic_iterative_solvers.
+
+Solves Ax = b for large sparse A with Jacobi, (symmetric) Gauss-Seidel,
+preconditioned CG, restarted preconditioned GMRES(m) and preconditioned
+BiCGSTAB, with none/Jacobi/GS/backward-GS/symmetric-GS/two-stage-GS/
+symmetric-two-stage-GS/ILU(0) preconditioning — re-designed TPU-first:
+
+* setup (I/O, COO→CSR, L/U split, ILU(0), level sets, sharding plan) on the
+  host (NumPy + optional C++ fast paths in csrc/);
+* solve-time compute in pure JAX: DIA/ELL device formats, gather-free
+  stencil SpMV, level-scheduled triangular scans, fused lax.while_loop
+  harness, shard_map multi-chip scale-out.
+"""
+import jax as _jax
+
+# Reference parity mode is float64 (the reference is fp64 throughout);
+# float32 stays the default performance dtype on TPU via SolverConfig.dtype.
+_jax.config.update("jax_enable_x64", True)
+
+from .config import Args, SolverConfig  # noqa: E402,F401
+from .types import PrecondType, SolverType, to_string  # noqa: E402,F401
+from .matrix import MatrixCOO, MatrixCSR, convert_coo_to_csr  # noqa: E402,F401
+from .io import read_mtx, write_mtx  # noqa: E402,F401
+from . import generators  # noqa: E402,F401
+from .factor import factor_LU, split_LU, peel_diag, extract_scale  # noqa: E402,F401
+from .device_matrix import DeviceDIA, DeviceELL, from_csr  # noqa: E402,F401
+from .precond import Preconditioner, setup_preconditioner, apply_preconditioner  # noqa: E402,F401
+from .solvers import SolverSetup, SolveResult, preprocessing, solve  # noqa: E402,F401
+
+__version__ = "0.1.0"

@@ -1,0 +1,97 @@
+"""Runtime configuration.
+
+The reference splits configuration across CMake compile-time definitions
+(/root/reference/CMakeLists.txt:20-29,231-243) and a runtime CLI
+(/root/reference/utilities/utilities.hpp:12-108).  JAX has no compile-time
+wall, so everything collapses into one runtime dataclass; defaults replicate
+the reference's CMake cache defaults exactly.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+
+from .types import PrecondType, SolverType
+
+
+@dataclasses.dataclass
+class SolverConfig:
+    """All solver knobs.
+
+    Defaults mirror /root/reference/CMakeLists.txt:20-29 and
+    /root/reference/common.hpp:105-111.
+    """
+
+    method: SolverType = SolverType.CONJUGATE_GRADIENT
+    preconditioner: PrecondType = PrecondType.NONE
+
+    # Reference compile-time constants (CMakeLists.txt:20-29)
+    max_iters: int = 1000
+    tolerance: float = 1e-14
+    restart_length: int = 10          # GMRES(m); runtime '-rl' in the reference
+    res_check_len: int = 1            # sample residual every k iterations
+    precond_outer_iters: int = 1
+    precond_inner_iters: int = 0      # Richardson sweeps in two-stage GS
+    init_x_val: float = 0.1           # INIT_X_VAL
+    b_val: float = 1.0                # B_VAL
+    ilu0_pivot_tolerance: float = 1e-8
+    ilu0_pivot_replacement: float = 1e-4
+
+    # Runtime options (reference '-scale')
+    num_scale: bool = False
+
+    # TPU-native additions (no reference analog)
+    dtype: np.dtype = np.float64      # fp64 = reference parity; fp32 = TPU perf mode
+    # Device sparse format: "auto" picks DIA for matrices with few nonzero
+    # diagonals (stencils/banded), ELL otherwise.
+    matrix_format: str = "auto"
+    # Max distinct diagonals admitted to the DIA fast path.
+    dia_max_diags: int = 96
+    # Minimum fill ratio nnz / (n_diags * n_rows) for DIA (bounds the
+    # structural-zero overhead to ≤ 4x of nnz).
+    dia_min_fill: float = 0.25
+    # Use the Pallas DIA SpMV kernel where available (TPU only).
+    use_pallas: bool = True
+    # Harness mode: "host" = host-driven loop with per-iteration timing and
+    # residual sampling (reference solver_harness.hpp semantics); "fused" =
+    # whole solve in one lax.while_loop on device (performance mode).
+    harness: str = "host"
+
+    def spec_dtype(self):
+        return np.dtype(self.dtype)
+
+
+@dataclasses.dataclass
+class Args:
+    """Parsed CLI, mirroring reference Args (/root/reference/common.hpp:105-111)."""
+
+    matrix_source: str = ""
+    method: SolverType = SolverType.CONJUGATE_GRADIENT
+    preconditioner: PrecondType = PrecondType.NONE
+    restart_length: int = 10
+    num_scale: bool = False
+    # TPU-native extras
+    dtype: str = "auto"               # auto → f32 on TPU, f64 on CPU
+    harness: str = "host"
+    matrix_format: str = "auto"
+
+    def to_config(self, dtype: Optional[np.dtype] = None) -> SolverConfig:
+        if dtype is None:
+            if self.dtype == "auto":
+                import jax
+
+                on_tpu = jax.default_backend() not in ("cpu",)
+                dtype = np.float32 if on_tpu else np.float64
+            else:
+                dtype = np.dtype(self.dtype)
+        return SolverConfig(
+            method=self.method,
+            preconditioner=self.preconditioner,
+            restart_length=self.restart_length,
+            num_scale=self.num_scale,
+            dtype=dtype,
+            harness=self.harness,
+            matrix_format=self.matrix_format,
+        )

@@ -1,0 +1,207 @@
+"""Built-in matrix generators.
+
+The reference optionally links the external SCAMAC library to generate test
+matrices (e.g. the Anderson model) instead of reading a file
+(/root/reference/sparse_matrix.hpp:560-735, /root/reference/main.cpp:48-54).
+Here the generators are built in, pure NumPy, dependency-free:
+
+* ``anderson``       — 3-D Anderson localization model (SCAMAC's headline
+                       generator): H = diag(eps_i) - t * (6-neighbor hopping),
+                       eps_i ~ U[-ranpot/2, ranpot/2].
+* ``stencil_27pt``   — the HPCG benchmark matrix (26 on the diagonal, -1 on
+                       all 26 geometric neighbors of a 3-D grid); this is the
+                       matrix behind the reference's published baselines
+                       (HPCG-128-128-128, /root/reference/README.md:3-6).
+* ``fdm_2d``         — 2-D 5-point finite-difference Laplacian matching the
+                       in-tree fixture data/matrices/FDM-2d-16.mtx
+                       (diag -4, neighbors +1).
+* ``banded``         — general banded matrix analog of matrix_band_klein.mtx.
+
+All build COO row-sorted, then convert to CSR.  A matrix "source string" in
+the CLI may be a path to a .mtx file or a generator spec such as
+``scamac:Anderson,Lx=20,Ly=20,Lz=20,t=1.0,ranpot=5.0,seed=1``,
+``hpcg:64x64x64`` or ``fdm:16``.
+"""
+from __future__ import annotations
+
+import re
+import numpy as np
+
+from .matrix import MatrixCOO, MatrixCSR, convert_coo_to_csr
+
+
+def _grid_neighbors_3d(nx, ny, nz, offsets):
+    """COO entries linking each 3-D grid point to its neighbors at the given
+    (dx, dy, dz) offsets (open boundary). Lexicographic ordering: x fastest."""
+    X, Y, Z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    # Row index: x fastest (i = x + nx*(y + ny*z)), matching HPCG convention.
+    idx = (X + nx * (Y + ny * Z)).ravel()
+    I_list, J_list, O_list = [], [], []
+    for (dx, dy, dz) in offsets:
+        Xn, Yn, Zn = X + dx, Y + dy, Z + dz
+        valid = ((Xn >= 0) & (Xn < nx) & (Yn >= 0) & (Yn < ny)
+                 & (Zn >= 0) & (Zn < nz)).ravel()
+        jdx = (Xn + nx * (Yn + ny * Zn)).ravel()
+        I_list.append(idx[valid])
+        J_list.append(jdx[valid])
+        O_list.append(np.full(valid.sum(), True))
+    return np.concatenate(I_list), np.concatenate(J_list)
+
+
+def stencil_27pt(nx: int, ny: int = None, nz: int = None,
+                 diag: float = 26.0, off: float = -1.0) -> MatrixCSR:
+    """HPCG-style 27-point stencil on an nx×ny×nz grid (open boundary)."""
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    offsets = [(dx, dy, dz)
+               for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    n = nx * ny * nz
+    I_all, J_all, V_all = [], [], []
+    X, Y, Z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
+                          indexing="ij")
+    idx = (X + nx * (Y + ny * Z)).ravel()
+    for (dx, dy, dz) in offsets:
+        Xn, Yn, Zn = X + dx, Y + dy, Z + dz
+        valid = ((Xn >= 0) & (Xn < nx) & (Yn >= 0) & (Yn < ny)
+                 & (Zn >= 0) & (Zn < nz)).ravel()
+        jdx = (np.clip(Xn, 0, nx - 1) + nx * (np.clip(Yn, 0, ny - 1)
+               + ny * np.clip(Zn, 0, nz - 1))).ravel()
+        I_all.append(idx[valid])
+        J_all.append(jdx[valid])
+        v = diag if (dx, dy, dz) == (0, 0, 0) else off
+        V_all.append(np.full(int(valid.sum()), v, dtype=np.float64))
+    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
+                                np.concatenate(V_all), n_rows=n, n_cols=n,
+                                is_symmetric=True)
+    return convert_coo_to_csr(coo)
+
+
+def anderson(Lx: int, Ly: int = None, Lz: int = None, t: float = 1.0,
+             ranpot: float = 0.0, seed: int = 1,
+             boundary: str = "open") -> MatrixCSR:
+    """3-D Anderson model (SCAMAC 'Anderson' analog).
+
+    H[i,i] = eps_i ~ U[-ranpot/2, ranpot/2]; H[i,j] = -t for the 6 nearest
+    neighbors of a 3-D cubic lattice.  ``boundary`` ∈ {open, periodic}.
+    """
+    Ly = Lx if Ly is None else Ly
+    Lz = Lx if Lz is None else Lz
+    n = Lx * Ly * Lz
+    rng = np.random.default_rng(seed)
+    eps = rng.uniform(-ranpot / 2.0, ranpot / 2.0, size=n)
+
+    X, Y, Z = np.meshgrid(np.arange(Lx), np.arange(Ly), np.arange(Lz),
+                          indexing="ij")
+    idx = (X + Lx * (Y + Ly * Z)).ravel()
+    I_all = [idx]
+    J_all = [idx]
+    V_all = [eps[idx]]
+    for (dx, dy, dz) in [(-1, 0, 0), (1, 0, 0), (0, -1, 0), (0, 1, 0),
+                         (0, 0, -1), (0, 0, 1)]:
+        Xn, Yn, Zn = X + dx, Y + dy, Z + dz
+        if boundary == "periodic":
+            valid = np.ones(n, dtype=bool)
+            Xn, Yn, Zn = Xn % Lx, Yn % Ly, Zn % Lz
+        else:
+            valid = ((Xn >= 0) & (Xn < Lx) & (Yn >= 0) & (Yn < Ly)
+                     & (Zn >= 0) & (Zn < Lz)).ravel()
+            Xn = np.clip(Xn, 0, Lx - 1)
+            Yn = np.clip(Yn, 0, Ly - 1)
+            Zn = np.clip(Zn, 0, Lz - 1)
+        jdx = (Xn + Lx * (Yn + Ly * Zn)).ravel()
+        I_all.append(idx[valid.ravel()])
+        J_all.append(jdx[valid.ravel()])
+        V_all.append(np.full(int(valid.sum()), -t, dtype=np.float64))
+    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
+                                np.concatenate(V_all), n_rows=n, n_cols=n,
+                                is_symmetric=True)
+    return convert_coo_to_csr(coo)
+
+
+def fdm_2d(nx: int, diag: float = -4.0, off: float = 1.0) -> MatrixCSR:
+    """2-D 5-point FDM Laplacian on an nx×nx grid (the FDM-2d-16 fixture)."""
+    n = nx * nx
+    X, Y = np.meshgrid(np.arange(nx), np.arange(nx), indexing="ij")
+    idx = (X + nx * Y).ravel()
+    I_all = [idx]
+    J_all = [idx]
+    V_all = [np.full(n, diag)]
+    for (dx, dy) in [(-1, 0), (1, 0), (0, -1), (0, 1)]:
+        Xn, Yn = X + dx, Y + dy
+        valid = ((Xn >= 0) & (Xn < nx) & (Yn >= 0) & (Yn < nx)).ravel()
+        jdx = (np.clip(Xn, 0, nx - 1) + nx * np.clip(Yn, 0, nx - 1)).ravel()
+        I_all.append(idx[valid])
+        J_all.append(jdx[valid])
+        V_all.append(np.full(int(valid.sum()), off, dtype=np.float64))
+    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
+                                np.concatenate(V_all), n_rows=n, n_cols=n,
+                                is_symmetric=True)
+    return convert_coo_to_csr(coo)
+
+
+def banded(n: int, bandwidth: int = 2, seed: int = 0,
+           diag_boost: float = None) -> MatrixCSR:
+    """Random banded matrix (matrix_band_klein analog); diagonally dominant
+    by default so every solver/preconditioner is well-posed on it."""
+    rng = np.random.default_rng(seed)
+    I_all, J_all, V_all = [], [], []
+    for off in range(-bandwidth, bandwidth + 1):
+        m = n - abs(off)
+        rows = np.arange(max(0, -off), max(0, -off) + m)
+        cols = rows + off
+        vals = rng.uniform(-1.0, 1.0, size=m)
+        if off == 0:
+            boost = diag_boost if diag_boost is not None else 2.0 * bandwidth + 1.0
+            vals = vals + np.sign(vals + (vals == 0)) * boost
+        I_all.append(rows)
+        J_all.append(cols)
+        V_all.append(vals)
+    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
+                                np.concatenate(V_all), n_rows=n, n_cols=n)
+    return convert_coo_to_csr(coo)
+
+
+_GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|anderson):(.*)$", re.IGNORECASE)
+
+
+def from_source(source: str) -> MatrixCSR:
+    """Resolve a CLI matrix source: generator spec or .mtx path.
+
+    Replaces the reference's compile-time USE_SCAMAC switch
+    (/root/reference/main.cpp:47-54) with a runtime prefix.
+    """
+    m = _GEN_RE.match(source)
+    if not m:
+        from .io import read_mtx
+        return read_mtx(source)
+    kind, spec = m.group(1).lower(), m.group(2)
+    if kind in ("scamac", "anderson"):
+        # e.g. "Anderson,Lx=20,Ly=20,Lz=20,t=1.0,ranpot=5.0,seed=3,boundary=open"
+        parts = [p for p in spec.split(",") if p]
+        kwargs = {}
+        for p in parts:
+            if "=" not in p:
+                if p.lower() != "anderson":
+                    raise ValueError(f"unsupported scamac generator: {p}")
+                continue
+            k, v = p.split("=", 1)
+            k = k.strip()
+            if k in ("Lx", "Ly", "Lz", "seed"):
+                kwargs[k] = int(v)
+            elif k in ("t", "ranpot"):
+                kwargs[k] = float(v)
+            elif k == "boundary":
+                kwargs[k] = v.strip()
+            else:
+                raise ValueError(f"unknown Anderson parameter: {k}")
+        return anderson(**kwargs)
+    if kind == "hpcg":
+        dims = [int(d) for d in re.split(r"[x,]", spec) if d]
+        return stencil_27pt(*dims)
+    if kind == "fdm":
+        return fdm_2d(int(spec))
+    if kind == "band":
+        dims = [int(d) for d in re.split(r"[x,]", spec) if d]
+        return banded(*dims)
+    raise ValueError(f"unknown matrix source: {source}")

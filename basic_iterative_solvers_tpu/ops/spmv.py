@@ -1,0 +1,61 @@
+"""SpMV — the hot kernel (O(nnz) per solver iteration).
+
+TPU-native replacement for native_spmv (/root/reference/kernels.hpp:22-42).
+Two execution paths per format:
+
+* DIA: y = Σ_d data[d] * shift(x, off_d).  Offsets are static, so each shift
+  is a static slice of a zero-padded x; XLA fuses the whole multiply-add
+  chain into one bandwidth-bound loop.  Optionally a Pallas kernel
+  (ops/pallas_spmv.py) that keeps the x window in VMEM so x is read from HBM
+  once instead of n_diags times.
+* ELL: one vectorized gather x[cols] plus a row-sum; XLA lowers the gather
+  to the TPU's dynamic-gather path.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..device_matrix import DeviceDIA, DeviceELL
+
+
+def spmv_dia(A: DeviceDIA, x: jax.Array, use_pallas: bool = False) -> jax.Array:
+    if use_pallas:
+        from .pallas_spmv import dia_spmv_pallas
+        return dia_spmv_pallas(A, x)
+    n = A.n_rows
+    if not A.offsets:
+        return jnp.zeros(n, dtype=x.dtype)
+    # DIA is used for square matrices only (the solver path guarantees this;
+    # rectangular cases fall back to ELL in from_csr).  The data row
+    # dimension is tile-padded (device_matrix.csr_to_dia), so slices run over
+    # npad and the result is cropped.
+    npad = A.data.shape[1]
+    hneg = max(0, -min(A.offsets))
+    hpos = max(0, max(A.offsets))
+    xp = jnp.zeros(hneg + npad + hpos, dtype=x.dtype).at[hneg:hneg + n].set(x)
+    y = jnp.zeros(npad, dtype=x.dtype)
+    for d, off in enumerate(A.offsets):
+        start = hneg + off
+        y = y + A.data[d] * jax.lax.slice(xp, (start,), (start + npad,))
+    return y[:n]
+
+
+def spmv_ell(A: DeviceELL, x: jax.Array) -> jax.Array:
+    xg = jnp.take(x, A.cols, axis=0)           # (n_rows, K) gather
+    return jnp.sum(A.data * xg, axis=1)
+
+
+def spmv(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
+    """y = A @ x (dispatch on device format)."""
+    if isinstance(A, DeviceDIA):
+        return spmv_dia(A, x, use_pallas=use_pallas)
+    if isinstance(A, DeviceELL):
+        return spmv_ell(A, x)
+    raise TypeError(f"unsupported device matrix type: {type(A)}")
+
+
+def compute_residual(A, x: jax.Array, b: jax.Array,
+                     use_pallas: bool = False) -> jax.Array:
+    """residual = b - A@x (reference compute_residual, kernels.hpp:155-162)."""
+    return b - spmv(A, x, use_pallas=use_pallas)

@@ -1,0 +1,153 @@
+"""Preconditioner engine: z ← M⁻¹ y.
+
+Functional re-design of apply_preconditioner
+(/root/reference/kernels.hpp:336-414) + its setup half (factor_LU,
+/root/reference/utilities/LU_factors.hpp:900-934).  Setup happens once on
+the host and produces a `Preconditioner` pytree holding only what the chosen
+type needs; apply is pure and jit-traceable.
+
+Type → action (all matching the reference dispatch, kernels.hpp:354-399):
+  none   : z = y
+  jacobi : z = y / A_D
+  gs     : z = (L_strict + D)⁻¹ y                       [exact level solve]
+  bgs    : z = (U_strict + D)⁻¹ y
+  sgs    : z = (U+D)⁻¹ D (L+D)⁻¹ y
+  2st    : Richardson approx of (L+D)⁻¹ (kernels.hpp:312-333)
+  s2st   : Richardson (L), multiply by A_D, Richardson (U)
+  ilu0   : z = U⁻¹ L⁻¹ y with unit-diagonal L
+The whole action is repeated `precond_outer_iters` times (composition),
+matching the reference outer loop (kernels.hpp:355-404).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SolverConfig
+from .factor import LUFactors, factor_LU
+from .matrix import MatrixCSR
+from .types import PrecondType
+from .device_matrix import from_csr
+from .ops.trisolve import TriSolveLevels, build_trisolve, trisolve, two_stage_solve
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["A_D", "A_D_inv", "L_solve", "U_solve",
+                      "L_strict_dev", "U_strict_dev"],
+         meta_fields=["ptype", "outer_iters", "inner_iters", "use_pallas"])
+@dataclasses.dataclass
+class Preconditioner:
+    ptype: PrecondType
+    outer_iters: int
+    inner_iters: int
+    use_pallas: bool
+    A_D: Optional[jax.Array] = None            # diag of A
+    A_D_inv: Optional[jax.Array] = None
+    L_solve: Optional[TriSolveLevels] = None   # forward solve data
+    U_solve: Optional[TriSolveLevels] = None   # backward solve data
+    L_strict_dev: Any = None                   # device matrix for Richardson
+    U_strict_dev: Any = None
+
+
+def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
+                         factors: Optional[LUFactors] = None) -> Preconditioner:
+    """Build device-side preconditioner data. `factors` may be shared with
+    the solver setup to avoid re-factorizing."""
+    pt = config.preconditioner
+    dtype = config.spec_dtype()
+    kw = dict(ptype=pt, outer_iters=config.precond_outer_iters,
+              inner_iters=config.precond_inner_iters,
+              use_pallas=config.use_pallas)
+    if pt == PrecondType.NONE:
+        return Preconditioner(**kw)
+    if factors is None:
+        factors = factor_LU(A, ilu0=(pt == PrecondType.ILU0),
+                            pivot_tolerance=config.ilu0_pivot_tolerance,
+                            pivot_replacement=config.ilu0_pivot_replacement)
+    A_D = jnp.asarray(factors.A_D.astype(dtype))
+    A_D_inv = jnp.asarray(factors.A_D_inv.astype(dtype))
+    if pt == PrecondType.JACOBI:
+        return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
+    if pt == PrecondType.GAUSS_SEIDEL:
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv,
+            L_solve=build_trisolve(factors.L_strict, factors.A_D,
+                                   upper=False, dtype=dtype), **kw)
+    if pt == PrecondType.BACKWARDS_GAUSS_SEIDEL:
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv,
+            U_solve=build_trisolve(factors.U_strict, factors.A_D,
+                                   upper=True, dtype=dtype), **kw)
+    if pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL:
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv,
+            L_solve=build_trisolve(factors.L_strict, factors.A_D,
+                                   upper=False, dtype=dtype),
+            U_solve=build_trisolve(factors.U_strict, factors.A_D,
+                                   upper=True, dtype=dtype), **kw)
+    if pt == PrecondType.TWO_STAGE_GS:
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv,
+            L_strict_dev=from_csr(factors.L_strict, dtype,
+                                  config.matrix_format, config.dia_max_diags,
+                                  config.dia_min_fill), **kw)
+    if pt == PrecondType.SYMMETRIC_TWO_STAGE_GS:
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv,
+            L_strict_dev=from_csr(factors.L_strict, dtype,
+                                  config.matrix_format, config.dia_max_diags,
+                                  config.dia_min_fill),
+            U_strict_dev=from_csr(factors.U_strict, dtype,
+                                  config.matrix_format, config.dia_max_diags,
+                                  config.dia_min_fill), **kw)
+    if pt == PrecondType.ILU0:
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv,
+            L_solve=build_trisolve(factors.L_strict, factors.L_D,
+                                   upper=False, dtype=dtype),
+            U_solve=build_trisolve(factors.U_strict, factors.U_D,
+                                   upper=True, dtype=dtype), **kw)
+    raise ValueError(f"unsupported preconditioner: {pt}")
+
+
+def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
+    pt = M.ptype
+    if pt == PrecondType.NONE:
+        return y
+    if pt == PrecondType.JACOBI:
+        # reference: elemwise_div_vectors(output, input, A_D)  kernels.hpp:357
+        return y / M.A_D
+    if pt == PrecondType.GAUSS_SEIDEL:
+        return trisolve(M.L_solve, y)
+    if pt == PrecondType.BACKWARDS_GAUSS_SEIDEL:
+        return trisolve(M.U_solve, y)
+    if pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL:
+        tmp = trisolve(M.L_solve, y)          # (L+D)⁻¹ y
+        tmp = tmp * M.A_D                     # D (L+D)⁻¹ y
+        return trisolve(M.U_solve, tmp)       # (U+D)⁻¹ …
+    if pt == PrecondType.TWO_STAGE_GS:
+        return two_stage_solve(M.L_strict_dev, M.A_D_inv, y, M.inner_iters,
+                               M.use_pallas)
+    if pt == PrecondType.SYMMETRIC_TWO_STAGE_GS:
+        out = two_stage_solve(M.L_strict_dev, M.A_D_inv, y, M.inner_iters,
+                              M.use_pallas)
+        out = out * M.A_D
+        return two_stage_solve(M.U_strict_dev, M.A_D_inv, out, M.inner_iters,
+                               M.use_pallas)
+    if pt == PrecondType.ILU0:
+        tmp = trisolve(M.L_solve, y)          # unit-diag L solve (L_D = 1)
+        return trisolve(M.U_solve, tmp)
+    raise ValueError(f"unsupported preconditioner: {pt}")
+
+
+def apply_preconditioner(M: Preconditioner, y: jax.Array) -> jax.Array:
+    """z ← M⁻¹ y, applied `outer_iters` times (kernels.hpp:355-404)."""
+    out = y
+    for _ in range(max(1, M.outer_iters)):
+        out = _apply_once(M, out)
+    return out

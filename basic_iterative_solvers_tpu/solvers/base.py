@@ -1,0 +1,247 @@
+"""Solver framework: setup, state, harness.
+
+Re-design of the reference's OO core (abstract Solver, solver.hpp:9-193) and
+harness (solve(), solver_harness.hpp:7-61) in functional JAX style:
+
+* `SolverSetup`   — everything preprocessing produces (device matrix,
+                    preconditioner, b, x0, stopping criterion inputs);
+                    the analog of preprocessing() (preprocessing.hpp:26-100).
+* method objects  — per-method pure `iterate(state) -> state` plus state
+                    init / residual accessors (methods/*.hpp analogs, in
+                    sibling modules).
+* `solve()`       — the do{iterate; sample; exchange; check_restart}while
+                    loop (solver_harness.hpp:15-51).  Two modes:
+                    - "host":  host-driven loop, per-iteration wall times and
+                      residual sampling exactly like the reference;
+                    - "fused": whole solve in one lax.while_loop on device —
+                      the TPU performance mode (no host round-trips).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SolverConfig
+from ..factor import factor_LU, extract_scale, scale_mat
+from ..matrix import MatrixCSR
+from ..precond import Preconditioner, setup_preconditioner, apply_preconditioner
+from ..types import PrecondType, SolverType
+from ..device_matrix import from_csr
+from ..ops.spmv import spmv
+from ..utils.timers import Timers
+
+
+@dataclasses.dataclass
+class SolverSetup:
+    """Outputs of preprocessing (reference preprocessing.hpp:26-100)."""
+
+    config: SolverConfig
+    A: Any                       # device matrix (DIA or ELL)
+    M: Preconditioner
+    b: jax.Array
+    x0: jax.Array
+    n: int
+    A_host: MatrixCSR            # retained for reports / oracles
+    factors: Any = None          # LUFactors when the method needs them (GS)
+    L_solve: Any = None          # GS-family solver data
+    U_solve: Any = None
+    U_strict_dev: Any = None
+    L_strict_dev: Any = None
+    A_D: Optional[jax.Array] = None
+    scale_vec: Optional[np.ndarray] = None   # num_scale diag (D^{-1/2})
+
+    @property
+    def dtype(self):
+        return self.b.dtype
+
+
+def preprocessing(A: MatrixCSR, config: SolverConfig,
+                  b: Optional[np.ndarray] = None,
+                  x0: Optional[np.ndarray] = None,
+                  timers: Optional[Timers] = None) -> SolverSetup:
+    """Matrix + RHS + preconditioner setup.
+
+    Mirrors reference preprocessing (preprocessing.hpp:26-100): init b/x0
+    (B_VAL/INIT_X_VAL), optional symmetric diagonal scaling
+    (preprocessing.hpp:39-50), L/U factorization, preconditioner setup.
+    """
+    timers = timers or Timers()
+    dtype = config.spec_dtype()
+    n = A.n_rows
+    if A.n_rows != A.n_cols:
+        raise ValueError("Matrix must be square.")
+    b_host = (np.full(n, config.b_val, dtype=np.float64)
+              if b is None else np.asarray(b, dtype=np.float64))
+    x0_host = (np.full(n, config.init_x_val, dtype=np.float64)
+               if x0 is None else np.asarray(x0, dtype=np.float64))
+
+    scale_vec = None
+    if config.num_scale:
+        with timers.time("preprocessing_scale"):
+            A = A.copy()
+            scale_vec = extract_scale(A)
+            scale_mat(A, scale_vec)
+            b_host = b_host * scale_vec
+            x0_host = x0_host * scale_vec
+
+    needs_factors = (config.preconditioner != PrecondType.NONE
+                     or config.method in (SolverType.JACOBI,
+                                          SolverType.GAUSS_SEIDEL,
+                                          SolverType.SYMMETRIC_GAUSS_SEIDEL))
+    factors = None
+    if needs_factors:
+        with timers.time("preprocessing_factor"):
+            factors = factor_LU(
+                A, ilu0=(config.preconditioner == PrecondType.ILU0),
+                pivot_tolerance=config.ilu0_pivot_tolerance,
+                pivot_replacement=config.ilu0_pivot_replacement)
+
+    with timers.time("preprocessing_device"):
+        A_dev = from_csr(A, dtype, config.matrix_format,
+                         config.dia_max_diags, config.dia_min_fill)
+        M = setup_preconditioner(A, config, factors)
+        setup = SolverSetup(
+            config=config, A=A_dev, M=M,
+            b=jnp.asarray(b_host.astype(dtype)),
+            x0=jnp.asarray(x0_host.astype(dtype)),
+            n=n, A_host=A, factors=factors,
+            scale_vec=scale_vec,
+            A_D=(jnp.asarray(factors.A_D.astype(dtype))
+                 if factors is not None else None))
+
+    # GS-family solvers need their own triangular-solve data + strict parts
+    # (reference GaussSeidelSolver::iterate, methods/gauss_seidel.hpp:26-52).
+    if config.method in (SolverType.GAUSS_SEIDEL,
+                         SolverType.SYMMETRIC_GAUSS_SEIDEL):
+        from ..ops.trisolve import build_trisolve
+        with timers.time("preprocessing_levels"):
+            setup.L_solve = build_trisolve(factors.L_strict, factors.A_D,
+                                           upper=False, dtype=dtype)
+            setup.U_strict_dev = from_csr(factors.U_strict, dtype,
+                                          config.matrix_format,
+                                          config.dia_max_diags,
+                                          config.dia_min_fill)
+            if config.method == SolverType.SYMMETRIC_GAUSS_SEIDEL:
+                setup.U_solve = build_trisolve(factors.U_strict, factors.A_D,
+                                               upper=True, dtype=dtype)
+                setup.L_strict_dev = from_csr(factors.L_strict, dtype,
+                                              config.matrix_format,
+                                              config.dia_max_diags,
+                                              config.dia_min_fill)
+    return setup
+
+
+@dataclasses.dataclass
+class SolveResult:
+    """Postprocessing inputs (reference postprocessing.hpp:33-68 fields)."""
+
+    x_star: np.ndarray
+    iter_count: int
+    converged: bool
+    stopping_criteria: float
+    residual_norms: np.ndarray        # sampled ||r|| history
+    time_per_iteration: np.ndarray    # seconds per sampled iteration
+    final_residual_norm: float        # explicit ||b - A x_star||
+    gmres_restart_count: int = 0
+    method: Optional[SolverType] = None
+    preconditioner: Optional[PrecondType] = None
+    restart_length: int = 0
+    res_check_len: int = 1
+    solve_seconds: float = 0.0
+
+
+def _stopping(config: SolverConfig, r0_norm: float) -> float:
+    """stopping_criteria = tol * ||b - A x0||_2 (solver.hpp:173-175)."""
+    return config.tolerance * r0_norm
+
+
+def solve(setup: SolverSetup, method=None, timers: Optional[Timers] = None,
+          progress: Optional[Callable[[int, float], None]] = None) -> SolveResult:
+    """Run the solver harness."""
+    from .factory import make_method
+    method = method or make_method(setup)
+    if setup.config.harness == "fused" and method.supports_fused:
+        return method.solve_fused()
+    return _solve_host(setup, method, timers or Timers(), progress)
+
+
+def _solve_host(setup: SolverSetup, method, timers: Timers,
+                progress=None) -> SolveResult:
+    """Host-driven loop replicating solver_harness.hpp:15-51 semantics,
+    including per-iteration wall-clock capture and milestone reporting."""
+    config = setup.config
+    state = method.init_state()
+    r0_norm = float(method.initial_residual_norm(state))
+    stopping = _stopping(config, r0_norm)
+
+    max_hist = config.max_iters * 2 + 2
+    norms = np.zeros(max_hist)
+    times = np.zeros(max_hist)
+    norms[0] = r0_norm
+    hist_count = 1
+
+    iterate = jax.jit(method.iterate)
+    sample_norm = jax.jit(method.sample_norm)
+
+    iter_count = 0
+    restart_count = 0
+    residual_norm = r0_norm
+    res_milestones = {1e-3: False, 1e-6: False}
+    t_solve0 = time.perf_counter()
+
+    while True:
+        t0 = time.perf_counter()
+        state = iterate(state)
+        iter_count += 1
+        if iter_count % config.res_check_len == 0:
+            rn = sample_norm(state)
+            residual_norm = float(jax.block_until_ready(rn))
+            norms[hist_count] = residual_norm
+            times[hist_count] = time.perf_counter() - t0
+            hist_count += 1
+        for thresh in res_milestones:
+            if residual_norm / r0_norm < thresh and not res_milestones[thresh]:
+                res_milestones[thresh] = True
+                if progress:
+                    progress(iter_count, residual_norm)
+        # GMRES restart (check_restart, gmres.hpp:388-415); others no-op.
+        state, restarted, restart_norm = method.check_restart(
+            state, iter_count, residual_norm, stopping)
+        if restarted:
+            restart_count += 1
+            residual_norm = restart_norm
+            norms[hist_count] = restart_norm
+            times[hist_count] = time.perf_counter() - t0
+            hist_count += 1
+        # check_stopping_criteria (solver.hpp:177-191)
+        diverged = not np.isfinite(residual_norm)
+        over_max = iter_count >= (config.max_iters - restart_count)
+        if abs(residual_norm) < stopping or over_max or diverged:
+            break
+    solve_seconds = time.perf_counter() - t_solve0
+
+    converged = residual_norm < stopping
+    x_star = np.asarray(jax.block_until_ready(method.final_x(state)))
+    # save_x_star: record the explicit final residual (solver.hpp:153-159)
+    final_norm = float(np.linalg.norm(
+        np.asarray(setup.b, dtype=np.float64)
+        - setup.A_host.spmv(x_star.astype(np.float64))))
+    norms[hist_count] = final_norm
+    hist_count += 1
+
+    return SolveResult(
+        x_star=x_star, iter_count=iter_count, converged=converged,
+        stopping_criteria=stopping,
+        residual_norms=norms[:hist_count],
+        time_per_iteration=times[:hist_count],
+        final_residual_norm=final_norm,
+        gmres_restart_count=restart_count,
+        method=config.method, preconditioner=config.preconditioner,
+        restart_length=config.restart_length,
+        res_check_len=config.res_check_len,
+        solve_seconds=solve_seconds)

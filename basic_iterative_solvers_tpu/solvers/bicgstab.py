@@ -1,0 +1,85 @@
+"""Preconditioned BiCGSTAB.
+
+Re-design of BiCGSTABSolver (/root/reference/methods/bicgstab.hpp), which
+follows the flexible-BiCGSTAB formulation it cites (bicgstab.hpp:6-7).
+Per iteration (bicgstab_separate_iteration, bicgstab.hpp:8-83):
+
+    y    = M⁻¹·p
+    v    = A·y
+    α    = ρ / (r̂₀, v)
+    s    = r − α·v
+    ŝ    = M⁻¹·s
+    t    = A·ŝ
+    ω    = (t, s) / (t, t)
+    x'   = (x + α·y) + ω·ŝ
+    r'   = s − ω·t
+    ρ'   = (r̂₀, r')
+    β    = (ρ'/ρ)(α/ω)
+    p'   = r' + β(p − ω·v)
+
+Initialization (bicgstab.hpp:147-169): r = b − A·x₀ (the running residual
+starts *unpreconditioned*), the shadow residual r̂₀ = M⁻¹r₀ and p₀ = r̂₀,
+ρ₀ = (r₀, M⁻¹r₀).  Sampled norm is ||r'||₂ (bicgstab.hpp:220-223).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.spmv import spmv
+from ..precond import apply_preconditioner
+from .base import SolverSetup
+from .fused import fused_solve
+
+
+class BiCGSTABMethod:
+    supports_fused = True
+
+    def __init__(self, setup: SolverSetup):
+        self.setup = setup
+        self.A = setup.A
+        self.M = setup.M
+        self.b = setup.b
+        self.use_pallas = setup.config.use_pallas
+
+    def init_state(self):
+        x = self.setup.x0
+        r = self.b - spmv(self.A, x, self.use_pallas)
+        r_prec = apply_preconditioner(self.M, r)
+        rho = jnp.dot(r, r_prec)
+        return {"x": x, "r": r, "p": r_prec, "r0hat": r_prec, "rho": rho,
+                "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+
+    def initial_residual_norm(self, state):
+        return state["residual_norm"]
+
+    def iterate(self, state):
+        x, r, p = state["x"], state["r"], state["p"]
+        r0hat, rho = state["r0hat"], state["rho"]
+        y = apply_preconditioner(self.M, p)
+        v = spmv(self.A, y, self.use_pallas)
+        alpha = rho / jnp.dot(r0hat, v)
+        s = r - alpha * v
+        s_hat = apply_preconditioner(self.M, s)
+        t = spmv(self.A, s_hat, self.use_pallas)
+        omega = jnp.dot(t, s) / jnp.dot(t, t)
+        x_new = (x + alpha * y) + omega * s_hat
+        r_new = s - omega * t
+        rho_new = jnp.dot(r0hat, r_new)
+        beta = (rho_new / rho) * (alpha / omega)
+        p_new = r_new + beta * (p - omega * v)
+        return {"x": x_new, "r": r_new, "p": p_new, "r0hat": r0hat,
+                "rho": rho_new,
+                "residual_norm": jnp.sqrt(jnp.dot(r_new, r_new))}
+
+    def sample_norm(self, state):
+        return state["residual_norm"]
+
+    def check_restart(self, state, iter_count, residual_norm, stopping):
+        return state, False, residual_norm
+
+    def final_x(self, state):
+        return state["x"]
+
+    def solve_fused(self):
+        return fused_solve(self.setup, self.init_state, self.iterate,
+                           self.sample_norm, self.final_x)

@@ -1,0 +1,73 @@
+"""Preconditioned Conjugate Gradient.
+
+Re-design of ConjugateGradientSolver (/root/reference/methods/cg.hpp).
+Recurrence (cg_separate_iteration, cg.hpp:6-54):
+
+    t      = A·p
+    ρ      = (r, z)
+    α      = ρ / (t, p)
+    x'     = x + α·p
+    r'     = r − α·t
+    z'     = M⁻¹·r'
+    β      = (r', z') / ρ
+    p'     = z' + β·p
+
+Initialization (cg.hpp:100-120): r₀ = b − A·x₀, z₀ = M⁻¹r₀, p₀ = z₀,
+recorded norm = ||r₀||₂ (unpreconditioned).  The sampled residual is the
+recurrence r' (cg.hpp:162-166), so sampling costs nothing extra.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.spmv import spmv
+from ..precond import apply_preconditioner
+from .base import SolverSetup
+from .fused import fused_solve
+
+
+class ConjugateGradientMethod:
+    supports_fused = True
+
+    def __init__(self, setup: SolverSetup):
+        self.setup = setup
+        self.A = setup.A
+        self.M = setup.M
+        self.b = setup.b
+        self.use_pallas = setup.config.use_pallas
+
+    def init_state(self):
+        x = self.setup.x0
+        r = self.b - spmv(self.A, x, self.use_pallas)
+        z = apply_preconditioner(self.M, r)
+        return {"x": x, "r": r, "z": z, "p": z,
+                "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+
+    def initial_residual_norm(self, state):
+        return state["residual_norm"]
+
+    def iterate(self, state):
+        x, r, z, p = state["x"], state["r"], state["z"], state["p"]
+        t = spmv(self.A, p, self.use_pallas)
+        rz = jnp.dot(r, z)
+        alpha = rz / jnp.dot(t, p)
+        x = x + alpha * p
+        r_new = r - alpha * t
+        z_new = apply_preconditioner(self.M, r_new)
+        beta = jnp.dot(r_new, z_new) / rz
+        p_new = z_new + beta * p
+        return {"x": x, "r": r_new, "z": z_new, "p": p_new,
+                "residual_norm": jnp.sqrt(jnp.dot(r_new, r_new))}
+
+    def sample_norm(self, state):
+        return state["residual_norm"]
+
+    def check_restart(self, state, iter_count, residual_norm, stopping):
+        return state, False, residual_norm
+
+    def final_x(self, state):
+        return state["x"]
+
+    def solve_fused(self):
+        return fused_solve(self.setup, self.init_state, self.iterate,
+                           self.sample_norm, self.final_x)

@@ -1,0 +1,76 @@
+"""Gauss-Seidel and symmetric Gauss-Seidel solvers.
+
+Re-design of GaussSeidelSolver / SymmetricGaussSeidelSolver
+(/root/reference/methods/gauss_seidel.hpp:26-141):
+
+    forward sweep:  t = U_strict·x;  x ← (L_strict + D)⁻¹ (b − t)
+    backward sweep: t = L_strict·x;  x ← (U_strict + D)⁻¹ (b − t)
+
+The triangular solves are exact, level-scheduled scans (ops/trisolve.py) —
+the TPU replacement for the reference's serial sptrsv/bsptrsv
+(kernels.hpp:54-117).  Residual sampling recomputes ||b − A·x|| explicitly
+(gauss_seidel.hpp:99-104).
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..ops.spmv import spmv
+from ..ops.trisolve import trisolve
+from .base import SolverSetup
+from .fused import fused_solve
+
+
+class GaussSeidelMethod:
+    supports_fused = True
+    symmetric = False
+
+    def __init__(self, setup: SolverSetup):
+        if setup.L_solve is None or setup.U_strict_dev is None:
+            raise ValueError("Gauss-Seidel requires L/U solver data")
+        self.setup = setup
+        self.A = setup.A
+        self.b = setup.b
+        self.use_pallas = setup.config.use_pallas
+
+    def init_state(self):
+        x = self.setup.x0
+        r = self.b - spmv(self.A, x, self.use_pallas)
+        return {"x": x, "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+
+    def initial_residual_norm(self, state):
+        return state["residual_norm"]
+
+    def iterate(self, state):
+        x = state["x"]
+        t = spmv(self.setup.U_strict_dev, x, self.use_pallas)
+        x = trisolve(self.setup.L_solve, self.b - t)
+        if self.symmetric:
+            t = spmv(self.setup.L_strict_dev, x, self.use_pallas)
+            x = trisolve(self.setup.U_solve, self.b - t)
+        return dict(state, x=x)
+
+    def sample_norm(self, state):
+        r = self.b - spmv(self.A, state["x"], self.use_pallas)
+        return jnp.sqrt(jnp.dot(r, r))
+
+    def check_restart(self, state, iter_count, residual_norm, stopping):
+        return state, False, residual_norm
+
+    def final_x(self, state):
+        return state["x"]
+
+    def solve_fused(self):
+        return fused_solve(self.setup, self.init_state, self.iterate,
+                           self.sample_norm, self.final_x)
+
+
+class SymmetricGaussSeidelMethod(GaussSeidelMethod):
+    """Forward + backward sweep per iteration (gauss_seidel.hpp:126-129)."""
+
+    symmetric = True
+
+    def __init__(self, setup: SolverSetup):
+        super().__init__(setup)
+        if setup.U_solve is None or setup.L_strict_dev is None:
+            raise ValueError("Symmetric GS requires backward-solve data")

@@ -1,0 +1,180 @@
+"""Restarted, preconditioned GMRES(m).
+
+Re-design of GMRESSolver (/root/reference/methods/gmres.hpp):
+
+* Arnoldi with modified Gram-Schmidt (orthogonalize_V, gmres.hpp:6-53) — a
+  j-deep chain of dot+axpy against the stored basis V ((m+1)×N array, row
+  vectors like the reference, gmres.hpp:158-160);
+* Givens least-squares maintained through an accumulated (m+1)² rotation
+  matrix Q (least_squares, gmres.hpp:55-121).  The reference forms the
+  updated Q with a dense J·Q product where J is identity plus one 2×2
+  rotation block — algebraically that only rewrites rows j and j+1 of Q,
+  which is how it's computed here;
+* implicit residual ‖r‖ = |g[j+1]| with g = Q·(βe₁) (update_g,
+  gmres.hpp:123-148);
+* explicit solution recovery y = R⁻¹g (R = Q·H), x = x₀ + Σ y_k V_k
+  (get_explicit_x, gmres.hpp:326-375);
+* restart every m iterations when unconverged: recover x, recompute and
+  re-precondition the residual, reset all Krylov state
+  (check_restart, gmres.hpp:388-415).  Restarts count against max_iters
+  (solver.hpp:180) and append the post-restart preconditioned norm to the
+  residual history (gmres.hpp:312-315).
+
+State is a fixed-shape pytree (V, H, Q, g padded to the restart length), so
+the whole method — restarts included — runs under jit.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.spmv import spmv
+from ..precond import apply_preconditioner
+from .base import SolverSetup
+from .fused import fused_solve
+
+
+class GMRESMethod:
+    supports_fused = True
+
+    def __init__(self, setup: SolverSetup):
+        self.setup = setup
+        self.A = setup.A
+        self.M = setup.M
+        self.b = setup.b
+        self.m = setup.config.restart_length
+        self.use_pallas = setup.config.use_pallas
+        self._restart_jit = jax.jit(self._restart_state)
+        self._explicit_x_jit = jax.jit(self.explicit_x)
+
+    # -- state ---------------------------------------------------------------
+
+    def _krylov_reset(self, x, r_prec, beta, dtype):
+        m, n = self.m, self.setup.n
+        V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r_prec / beta)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        Q = jnp.eye(m + 1, dtype=dtype)
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        return {"x_old": x, "V": V, "H": H, "Q": Q, "g": g,
+                "beta": beta, "j": jnp.int32(0)}
+
+    def init_state(self):
+        x = self.setup.x0
+        r = self.b - spmv(self.A, x, self.use_pallas)
+        rn_unprec = jnp.sqrt(jnp.dot(r, r))
+        r_prec = apply_preconditioner(self.M, r)
+        beta = jnp.sqrt(jnp.dot(r_prec, r_prec))
+        state = self._krylov_reset(x, r_prec, beta, x.dtype)
+        state["residual_norm"] = rn_unprec
+        return state
+
+    def initial_residual_norm(self, state):
+        return state["residual_norm"]
+
+    # -- iteration -----------------------------------------------------------
+
+    def iterate(self, state):
+        m = self.m
+        j = state["j"]
+        V, H, Q, g, beta = (state["V"], state["H"], state["Q"], state["g"],
+                            state["beta"])
+        # w = M⁻¹ A v_j (gmres.hpp:168-176)
+        w = spmv(self.A, jnp.take(V, j, axis=0), self.use_pallas)
+        w = apply_preconditioner(self.M, w)
+
+        # Modified Gram-Schmidt against v_0..v_j (gmres.hpp:6-30)
+        def mgs_body(i, carry):
+            w, H = carry
+            vi = jnp.take(V, i, axis=0)
+            h = jnp.dot(w, vi)
+            H = H.at[i, j].set(h)
+            return w - h * vi, H
+
+        w, H = jax.lax.fori_loop(0, j + 1, mgs_body, (w, H))
+        h_next = jnp.sqrt(jnp.dot(w, w))          # H[j+1, j] (gmres.hpp:36-38)
+        H = H.at[j + 1, j].set(h_next)
+        V = V.at[j + 1].set(w / h_next)            # gmres.hpp:43-46
+
+        # Givens least squares (gmres.hpp:55-121): rotate column j of H by the
+        # accumulated Q, derive the new rotation, fold it into Q.
+        h_col = Q @ jnp.take(H, j, axis=1)         # (m+1,)
+        hjj = jnp.take(h_col, j)
+        hj1j = jnp.take(h_col, j + 1)
+        denom = jnp.sqrt(hjj * hjj + hj1j * hj1j)
+        c = hjj / denom
+        s = hj1j / denom
+        Qj = jnp.take(Q, j, axis=0)
+        Qj1 = jnp.take(Q, j + 1, axis=0)
+        Q = Q.at[j].set(c * Qj + s * Qj1)
+        Q = Q.at[j + 1].set(-s * Qj + c * Qj1)
+
+        # g = Q (β e₁); implicit ‖r‖ = |g[j+1]| (update_g, gmres.hpp:123-148)
+        g = beta * Q[:, 0]
+        rn = jnp.abs(jnp.take(g, j + 1))
+
+        return dict(state, V=V, H=H, Q=Q, g=g, j=j + 1, residual_norm=rn)
+
+    def sample_norm(self, state):
+        return state["residual_norm"]
+
+    # -- solution recovery & restart ------------------------------------------
+
+    def explicit_x(self, state):
+        """y = R⁻¹ g over the first j rows, x = x_old + Σ y_k V_k
+        (get_explicit_x, gmres.hpp:326-375)."""
+        m = self.m
+        n_it = state["j"]
+        Q, H, g, V = state["Q"], state["H"], state["g"], state["V"]
+        R = Q @ H                                   # (m+1, m) (gmres.hpp:114-116)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+
+        def back_body(k, y):
+            row = n_it - 1 - k
+            rowc = jnp.maximum(row, 0)
+            Rrow = jnp.take(R, rowc, axis=0)[:m]
+            ssum = jnp.dot(jnp.where(cols > rowc, Rrow, 0.0), y)
+            diag = jnp.take(Rrow, rowc)
+            val = (jnp.take(g, rowc) - ssum) / diag
+            return jnp.where(row >= 0, y.at[rowc].set(val), y)
+
+        y = jax.lax.fori_loop(0, m, back_body,
+                              jnp.zeros(m, dtype=V.dtype))
+        # y entries at indices ≥ n_it are zero, so the full contraction equals
+        # the reference's Σ_{k≤n_it} y_k V_k (gmres.hpp:358).
+        return state["x_old"] + y @ V[:m]
+
+    def _restart_state(self, state):
+        """Reference restart: recover x, recompute + re-precondition residual,
+        reset Krylov state (gmres.hpp:396-413 + init_residual 274-316)."""
+        x = self.explicit_x(state)
+        r = self.b - spmv(self.A, x, self.use_pallas)
+        r_prec = apply_preconditioner(self.M, r)
+        beta = jnp.sqrt(jnp.dot(r_prec, r_prec))
+        new = self._krylov_reset(x, r_prec, beta, x.dtype)
+        new["residual_norm"] = beta
+        return new
+
+    def check_restart(self, state, iter_count, residual_norm, stopping):
+        """Host-mode restart hook (gmres.hpp:388-415)."""
+        norm_conv = residual_norm < stopping
+        over_max = iter_count > self.setup.config.max_iters
+        cycle = (iter_count % self.m == 0) and iter_count != 0
+        if not norm_conv and not over_max and cycle:
+            state = self._restart_jit(state)
+            return state, True, float(state["residual_norm"])
+        return state, False, residual_norm
+
+    def _fused_restart(self, state, it, stopping):
+        cycle = jnp.logical_and((it % self.m) == 0, it > 0)
+        rn = state["residual_norm"]
+        do = cycle & (jnp.abs(rn) >= stopping) & jnp.isfinite(rn)
+        state = jax.lax.cond(do, self._restart_state, lambda s: s, state)
+        return state, do
+
+    def final_x(self, state):
+        return self._explicit_x_jit(state)
+
+    def solve_fused(self):
+        return fused_solve(self.setup, self.init_state, self.iterate,
+                           self.sample_norm, self.final_x,
+                           restart_fn=self._fused_restart)

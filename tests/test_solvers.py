@@ -1,0 +1,203 @@
+"""End-to-end solver integration tests (reference tier:
+/root/reference/tests/test_solvers.cpp — full preprocessing → solve on the
+3x3 tridiagonal [2,-1;-1,2,-1;-1,2] with known x* = [1,2,3], asserting
+convergence_flag and x* — extended to GMRES, ILU(0) and both harnesses,
+which the reference leaves untested)."""
+import numpy as np
+import pytest
+
+from basic_iterative_solvers_tpu import (
+    PrecondType, SolverConfig, SolverType, preprocessing, solve)
+from basic_iterative_solvers_tpu.generators import anderson, banded, fdm_2d
+from tests.conftest import make_tridiag
+
+X_STAR = np.array([1.0, 2.0, 3.0])
+
+
+def run_solver_test(method, precond=PrecondType.NONE, harness="host",
+                    tol_x=1e-7, matrix=None, x_star=None, **cfg_kw):
+    """Analog of reference run_solver_test (test_solvers.cpp:49-91):
+    b := A·x_star so the solution is known, then assert convergence."""
+    A = matrix if matrix is not None else make_tridiag(3)
+    x_star = X_STAR if x_star is None else x_star
+    b = A.spmv(x_star)
+    config = SolverConfig(method=method, preconditioner=precond,
+                          dtype=np.float64, harness=harness,
+                          tolerance=1e-14, **cfg_kw)
+    setup = preprocessing(A, config, b=b)
+    result = solve(setup)
+    assert result.converged, (
+        f"{method}/{precond} did not converge: iters={result.iter_count}, "
+        f"final={result.final_residual_norm:.3e}, "
+        f"criteria={result.stopping_criteria:.3e}")
+    np.testing.assert_allclose(result.x_star, x_star, atol=tol_x)
+    return result
+
+
+# --- the reference's DEFINE_SOLVER_TEST matrix (test_solvers.cpp:145-175) ---
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_cg(harness):
+    run_solver_test(SolverType.CONJUGATE_GRADIENT, harness=harness)
+
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_cg_jacobi(harness):
+    run_solver_test(SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI,
+                    harness=harness)
+
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_bicgstab(harness):
+    run_solver_test(SolverType.BICGSTAB, harness=harness)
+
+
+def test_bicgstab_jacobi():
+    run_solver_test(SolverType.BICGSTAB, PrecondType.JACOBI)
+
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_jacobi(harness):
+    run_solver_test(SolverType.JACOBI, harness=harness)
+
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_gauss_seidel(harness):
+    run_solver_test(SolverType.GAUSS_SEIDEL, harness=harness)
+
+
+def test_symmetric_gauss_seidel():
+    run_solver_test(SolverType.SYMMETRIC_GAUSS_SEIDEL)
+
+
+def test_bicgstab_diag_dominant():
+    """reference test_solvers.cpp:93-141: diagonally-dominant 3x3."""
+    from basic_iterative_solvers_tpu.matrix import MatrixCSR
+    A = MatrixCSR.from_dense(np.array([[4.0, -1, 0], [-1, 4, -1], [0, -1, 4]]))
+    run_solver_test(SolverType.BICGSTAB, PrecondType.JACOBI, matrix=A)
+
+
+# --- beyond the reference's coverage ---
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_gmres(harness):
+    run_solver_test(SolverType.GMRES, harness=harness)
+
+
+@pytest.mark.parametrize("harness", ["host", "fused"])
+def test_gmres_restarts(harness):
+    """Force restarts: m=3 on a 36-dim problem needs several cycles."""
+    A = fdm_2d(6)
+    x_star = np.linspace(1.0, 2.0, 36)
+    r = run_solver_test(SolverType.GMRES, matrix=A, x_star=x_star,
+                        restart_length=3, harness=harness, tol_x=1e-6)
+    assert r.gmres_restart_count > 0
+
+
+# CG needs an SPD preconditioner; on a symmetric matrix that's Jacobi, SGS,
+# symmetric two-stage and ILU(0) (L·D·Lᵀ form).  The nonsymmetric ones
+# (GS, BGS, plain two-stage) go through BiCGSTAB below.
+@pytest.mark.parametrize("precond", [
+    PrecondType.JACOBI, PrecondType.SYMMETRIC_GAUSS_SEIDEL,
+    PrecondType.SYMMETRIC_TWO_STAGE_GS, PrecondType.ILU0])
+def test_cg_all_spd_preconditioners(precond):
+    A = fdm_2d(5)
+    x_star = np.linspace(-1.0, 1.0, 25)
+    run_solver_test(SolverType.CONJUGATE_GRADIENT, precond, matrix=A,
+                    x_star=x_star, tol_x=1e-6, precond_inner_iters=1)
+
+
+@pytest.mark.parametrize("precond", [
+    PrecondType.GAUSS_SEIDEL, PrecondType.BACKWARDS_GAUSS_SEIDEL,
+    PrecondType.TWO_STAGE_GS])
+def test_bicgstab_nonsymmetric_preconditioners(precond):
+    A = fdm_2d(5)
+    x_star = np.linspace(-1.0, 1.0, 25)
+    run_solver_test(SolverType.BICGSTAB, precond, matrix=A,
+                    x_star=x_star, tol_x=1e-6, precond_inner_iters=1)
+
+
+@pytest.mark.parametrize("precond", [
+    PrecondType.SYMMETRIC_GAUSS_SEIDEL, PrecondType.ILU0])
+def test_gmres_preconditioned(precond):
+    A = banded(30, bandwidth=2, seed=3)
+    x_star = np.linspace(1.0, 3.0, 30)
+    run_solver_test(SolverType.GMRES, precond, matrix=A, x_star=x_star,
+                    restart_length=10, tol_x=1e-6)
+
+
+@pytest.mark.parametrize("precond", [PrecondType.ILU0,
+                                     PrecondType.SYMMETRIC_GAUSS_SEIDEL])
+def test_bicgstab_preconditioned(precond):
+    A = fdm_2d(5)
+    x_star = np.linspace(0.5, 1.5, 25)
+    run_solver_test(SolverType.BICGSTAB, precond, matrix=A, x_star=x_star,
+                    tol_x=1e-6)
+
+
+def test_anderson_cg():
+    A = anderson(4, 4, 4, t=1.0, ranpot=12.0, seed=2)
+    # make it positive definite: Anderson + shift
+    dense = A.to_dense() + 8.0 * np.eye(64)
+    from basic_iterative_solvers_tpu.matrix import MatrixCSR
+    A = MatrixCSR.from_dense(dense)
+    x_star = np.ones(64)
+    run_solver_test(SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI,
+                    matrix=A, x_star=x_star, tol_x=1e-6)
+
+
+def test_num_scale():
+    """-scale 1 path: symmetric diagonal equilibration
+    (preprocessing.hpp:39-50). The scaled system solves x' = D^{1/2}x."""
+    A = banded(20, bandwidth=2, seed=8)
+    x_star = np.linspace(1.0, 2.0, 20)
+    b = A.spmv(x_star)
+    config = SolverConfig(method=SolverType.BICGSTAB, dtype=np.float64,
+                          num_scale=True)
+    setup = preprocessing(A, config, b=b)
+    result = solve(setup)
+    assert result.converged
+    # un-scale: x = D^{-1/2} x'  (x' solves the scaled system)
+    x = setup.scale_vec * result.x_star
+    np.testing.assert_allclose(x, x_star, atol=1e-6)
+
+
+def test_host_fused_equivalence():
+    """Host and fused harnesses run the same arithmetic."""
+    A = fdm_2d(5)
+    x_star = np.linspace(0.0, 1.0, 25)
+    b = A.spmv(x_star)
+    results = {}
+    for harness in ("host", "fused"):
+        config = SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                              preconditioner=PrecondType.JACOBI,
+                              dtype=np.float64, harness=harness)
+        setup = preprocessing(A, config, b=b)
+        results[harness] = solve(setup)
+    assert results["host"].iter_count == results["fused"].iter_count
+    np.testing.assert_allclose(results["host"].x_star,
+                               results["fused"].x_star, rtol=1e-12, atol=1e-13)
+    nh, nf = (results["host"].residual_norms, results["fused"].residual_norms)
+    np.testing.assert_allclose(nh, nf, rtol=1e-10)
+
+
+def test_divergence_detected():
+    """check_stopping_criteria divergence branch (solver.hpp:181): Jacobi on
+    a non-diagonally-dominant system blows up but terminates."""
+    from basic_iterative_solvers_tpu.matrix import MatrixCSR
+    A = MatrixCSR.from_dense(np.array([[1.0, 3.0], [3.0, 1.0]]))
+    config = SolverConfig(method=SolverType.JACOBI, dtype=np.float64,
+                          max_iters=500)
+    setup = preprocessing(A, config)
+    result = solve(setup)
+    assert not result.converged
+
+
+def test_max_iters_respected():
+    A = fdm_2d(8)
+    config = SolverConfig(method=SolverType.JACOBI, dtype=np.float64,
+                          max_iters=5)
+    setup = preprocessing(A, config)
+    result = solve(setup)
+    assert result.iter_count == 5
+    assert not result.converged
