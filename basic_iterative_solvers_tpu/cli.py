@@ -1,0 +1,150 @@
+"""Command-line driver.
+
+Mirrors the reference CLI (/root/reference/utilities/utilities.hpp:12-108
+and main.cpp:17-100):
+
+    python -m basic_iterative_solvers_tpu <matrix> <method-flag> [options]
+
+    <matrix>        .mtx path or generator spec (hpcg:NxNxN, fdm:N,
+                    scamac:Anderson,Lx=..,..., band:N,B)
+    method flags    -j | -gs | -sgs | -cg | -gm | -bi
+    -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0
+    -rl <int>       GMRES restart length (default 10)
+    -scale <0|1>    symmetric diagonal equilibration
+
+TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
+    --dtype float32|float64   (default: f32 on TPU, f64 on CPU)
+    --harness host|fused      (default fused on TPU, host on CPU)
+    --format auto|dia|ell
+    --max-iters N --tol T --inner K --outer K
+"""
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+from .config import SolverConfig
+from .types import PRECOND_CLI_NAMES, SOLVER_CLI_FLAGS, PrecondType
+from .utils.timers import Timers
+
+
+def parse_cli(argv) -> tuple:
+    if len(argv) < 2:
+        print("ERROR: parse_cli: Not enough arguments given. A call should "
+              "contain:\n  python -m basic_iterative_solvers_tpu "
+              "<matrix> <method> [extra_features]", file=sys.stderr)
+        raise SystemExit(2)
+    matrix_source = argv[0]
+    method_flag = argv[1]
+    if method_flag not in SOLVER_CLI_FLAGS:
+        print("ERROR: parse_cli: Please choose an available solver:"
+              "\n-j (Jacobi)\n-gs (Gauss-Seidel)"
+              "\n-sgs (Symmetric Gauss-Seidel)"
+              "\n-gm ([Preconditioned] GMRES)"
+              "\n-cg ([Preconditioned] Conjugate Gradient)"
+              "\n-bi ([Preconditioned] BiCGSTAB)", file=sys.stderr)
+        raise SystemExit(2)
+
+    opts = dict(method=SOLVER_CLI_FLAGS[method_flag],
+                preconditioner=PrecondType.NONE)
+    extras = {}
+    i = 2
+    args = list(argv[2:])
+    it = iter(range(len(args)))
+    idx = 0
+    while idx < len(args):
+        arg = args[idx]
+
+        def need_value():
+            nonlocal idx
+            if idx + 1 >= len(args):
+                print(f"ERROR: parse_cli: option {arg} needs a value",
+                      file=sys.stderr)
+                raise SystemExit(2)
+            idx += 1
+            return args[idx]
+
+        if arg == "-p":
+            val = need_value()
+            if val not in PRECOND_CLI_NAMES:
+                print("ERROR: assign_cli_inputs: Please choose an available "
+                      "preconditioner type:\n-p j (Jacobi)\n-p gs "
+                      "(Gauss-Seidel)\n-p bgs (Backwards Gauss-Seidel)"
+                      "\n-p sgs (Symmetric Gauss-Seidel)"
+                      "\n-p 2st (2 Stage Gauss-Seidel)"
+                      "\n-p s2st (Symmetric 2 Stage Gauss-Seidel)"
+                      "\n-p ilu0 (Incomplete LU with 0 fill-in)",
+                      file=sys.stderr)
+                raise SystemExit(2)
+            opts["preconditioner"] = PRECOND_CLI_NAMES[val]
+        elif arg == "-rl":
+            opts["restart_length"] = int(need_value())
+        elif arg == "-scale":
+            opts["num_scale"] = bool(int(need_value()))
+        elif arg == "--dtype":
+            extras["dtype"] = np.dtype(need_value())
+        elif arg == "--harness":
+            extras["harness"] = need_value()
+        elif arg == "--format":
+            extras["matrix_format"] = need_value()
+        elif arg == "--max-iters":
+            extras["max_iters"] = int(need_value())
+        elif arg == "--tol":
+            extras["tolerance"] = float(need_value())
+        elif arg == "--inner":
+            extras["precond_inner_iters"] = int(need_value())
+        elif arg == "--outer":
+            extras["precond_outer_iters"] = int(need_value())
+        elif arg == "--platform":
+            extras["platform"] = need_value()
+        else:
+            # reference behavior: warn, continue (utilities.hpp:103-106)
+            print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
+                  "recognized.", file=sys.stderr)
+        idx += 1
+    return matrix_source, opts, extras
+
+
+def run(argv=None) -> int:
+    """Phase-structured pipeline: parse → read/generate → preprocess → solve
+    → postprocess (reference main.cpp:17-100)."""
+    import jax
+
+    argv = sys.argv[1:] if argv is None else argv
+    matrix_source, opts, extras = parse_cli(argv)
+
+    # --platform must act before the first backend query (a TPU plugin
+    # registered by sitecustomize otherwise wins regardless of env vars).
+    platform = extras.pop("platform", None)
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+    on_tpu = jax.default_backend() != "cpu"
+    if "dtype" not in extras:
+        extras["dtype"] = np.dtype(np.float32 if on_tpu else np.float64)
+    if "harness" not in extras:
+        extras["harness"] = "fused" if on_tpu else "host"
+    config = SolverConfig(**opts, **extras)
+
+    from . import generators
+    from .solvers import preprocessing, solve
+    from .utils.report import roofline_report, summary_output
+
+    timers = Timers()
+    with timers.time("total"):
+        with timers.time("read_matrix"):
+            A = generators.from_source(matrix_source)
+        with timers.time("preprocessing"):
+            setup = preprocessing(A, config, timers=timers)
+        with timers.time("solve"):
+            result = solve(setup)
+        with timers.time("postprocessing"):
+            summary_output(result)
+            roofline_report(setup, result)
+    print(timers.report(), file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(run())

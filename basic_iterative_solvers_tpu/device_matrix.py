@@ -36,17 +36,21 @@ _ELL_PAD = 4
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["data"],
-         meta_fields=["offsets", "n_rows", "n_cols"])
+         meta_fields=["offsets", "n_rows", "n_cols", "row_tile"])
 @dataclasses.dataclass
 class DeviceDIA:
     """Diagonal storage: data[d, i] = A[i, i + offsets[d]] (0 when out of
     range or not stored). offsets are static metadata (trace-time constants),
-    so every shifted slice in SpMV is a *static* slice XLA can fuse."""
+    so every shifted slice in SpMV is a *static* slice XLA can fuse.
+    row_tile is the Pallas grid tile; the data row dimension is padded to a
+    multiple of it and it is ≥ the halo width (so a tile's x window spans at
+    most two consecutive row tiles)."""
 
-    data: jax.Array               # (n_diags, n_rows) dtype
+    data: jax.Array               # (n_diags, n_rows_padded) dtype
     offsets: Tuple[int, ...]      # static, sorted ascending
     n_rows: int
     n_cols: int
+    row_tile: int = 8192
 
     @property
     def dtype(self):
@@ -91,19 +95,25 @@ def analyze_diagonals(A: MatrixCSR):
 
 
 def csr_to_dia(A: MatrixCSR, dtype=np.float32) -> DeviceDIA:
-    from .ops.pallas_spmv import ROW_TILE
+    from .ops.pallas_spmv import MIN_ROW_TILE
     offsets, _ = analyze_diagonals(A)
     rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
     offs = A.col.astype(np.int64) - rows
     d_idx = np.searchsorted(offsets, offs)
-    # Row dimension padded to the Pallas row tile so the SpMV grid divides
+    # Pick the Pallas row tile: at least the halo width, so any tile's x
+    # window [r0 - hneg, r0 + R + hpos) fits in two consecutive tiles.
+    hneg = int(max(0, -offsets.min())) if offsets.size else 0
+    hpos = int(max(0, offsets.max())) if offsets.size else 0
+    row_tile = max(MIN_ROW_TILE,
+                   -(-(hneg + hpos) // MIN_ROW_TILE) * MIN_ROW_TILE)
+    # Row dimension padded to a multiple of the tile so the grid divides
     # evenly (padding rows are structural zeros).
-    npad = max(ROW_TILE, -(-A.n_rows // ROW_TILE) * ROW_TILE)
+    npad = max(row_tile, -(-A.n_rows // row_tile) * row_tile)
     data = np.zeros((max(1, offsets.size), npad), dtype=dtype)
     data[d_idx, rows] = A.val.astype(dtype)
     return DeviceDIA(data=jnp.asarray(data),
                      offsets=tuple(int(o) for o in offsets),
-                     n_rows=A.n_rows, n_cols=A.n_cols)
+                     n_rows=A.n_rows, n_cols=A.n_cols, row_tile=row_tile)
 
 
 def csr_to_ell(A: MatrixCSR, dtype=np.float32) -> DeviceELL:

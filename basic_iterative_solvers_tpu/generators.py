@@ -51,30 +51,48 @@ def _grid_neighbors_3d(nx, ny, nz, offsets):
 
 def stencil_27pt(nx: int, ny: int = None, nz: int = None,
                  diag: float = 26.0, off: float = -1.0) -> MatrixCSR:
-    """HPCG-style 27-point stencil on an nx×ny×nz grid (open boundary)."""
+    """HPCG-style 27-point stencil on an nx×ny×nz grid (open boundary).
+
+    Builds CSR directly in column-sorted order (no global sort): with
+    x-fastest row numbering, the 27 linear offsets dx + nx*dy + nx*ny*dz
+    processed in (dz, dy, dx)-ascending order are numerically ascending, so
+    each row's entries land column-sorted by construction.
+    """
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
-    offsets = [(dx, dy, dz)
-               for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
     n = nx * ny * nz
-    I_all, J_all, V_all = [], [], []
-    X, Y, Z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                          indexing="ij")
-    idx = (X + nx * (Y + ny * Z)).ravel()
-    for (dx, dy, dz) in offsets:
-        Xn, Yn, Zn = X + dx, Y + dy, Z + dz
-        valid = ((Xn >= 0) & (Xn < nx) & (Yn >= 0) & (Yn < ny)
-                 & (Zn >= 0) & (Zn < nz)).ravel()
-        jdx = (np.clip(Xn, 0, nx - 1) + nx * (np.clip(Yn, 0, ny - 1)
-               + ny * np.clip(Zn, 0, nz - 1))).ravel()
-        I_all.append(idx[valid])
-        J_all.append(jdx[valid])
-        v = diag if (dx, dy, dz) == (0, 0, 0) else off
-        V_all.append(np.full(int(valid.sum()), v, dtype=np.float64))
-    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
-                                np.concatenate(V_all), n_rows=n, n_cols=n,
-                                is_symmetric=True)
-    return convert_coo_to_csr(coo)
+    # Arrays shaped (nz, ny, nx) so C-order ravel iterates x fastest:
+    # raveled position == row index i = x + nx*(y + ny*z).
+    Zg, Yg, Xg = np.meshgrid(np.arange(nz, dtype=np.int32),
+                             np.arange(ny, dtype=np.int32),
+                             np.arange(nx, dtype=np.int32), indexing="ij")
+    Xr, Yr, Zr = Xg.ravel(), Yg.ravel(), Zg.ravel()
+
+    stencil = [(dx, dy, dz)
+               for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    masks = []
+    for (dx, dy, dz) in stencil:
+        masks.append(((Xr + dx >= 0) & (Xr + dx < nx)
+                      & (Yr + dy >= 0) & (Yr + dy < ny)
+                      & (Zr + dz >= 0) & (Zr + dz < nz)))
+    counts = np.zeros(n, dtype=np.int64)
+    for m in masks:
+        counts += m
+    row_ptr = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=row_ptr[1:])
+    nnz = int(row_ptr[-1])
+    col = np.empty(nnz, dtype=np.int32)
+    val = np.empty(nnz, dtype=np.float64)
+    acc = np.zeros(n, dtype=np.int64)
+    rows_all = np.arange(n, dtype=np.int64)
+    for (dx, dy, dz), m in zip(stencil, masks):
+        lin_off = dx + nx * (dy + ny * dz)
+        rows = rows_all[m]
+        pos = row_ptr[rows] + acc[rows]
+        col[pos] = (rows + lin_off).astype(np.int32)
+        val[pos] = diag if (dx, dy, dz) == (0, 0, 0) else off
+        acc[rows] += 1
+    return MatrixCSR(n, n, nnz, row_ptr, col, val)
 
 
 def anderson(Lx: int, Ly: int = None, Lz: int = None, t: float = 1.0,

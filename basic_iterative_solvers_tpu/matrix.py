@@ -91,10 +91,17 @@ class MatrixCSR:
         return d
 
     def spmv(self, x: np.ndarray) -> np.ndarray:
-        """Host reference SpMV (test oracle; device SpMV lives in ops/)."""
-        rows = np.repeat(np.arange(self.n_rows), self.row_nnz())
-        y = np.zeros(self.n_rows, dtype=np.result_type(self.val, x))
-        np.add.at(y, rows, self.val * x[self.col])
+        """Host reference SpMV (test oracle; device SpMV lives in ops/).
+        Uses add.reduceat over row segments — O(nnz) vectorized."""
+        if self.nnz == 0:
+            return np.zeros(self.n_rows, dtype=np.result_type(self.val, x))
+        prod = self.val * x[self.col]
+        starts = self.row_ptr[:-1]
+        nonempty = self.row_ptr[1:] > starts
+        y = np.zeros(self.n_rows, dtype=prod.dtype)
+        # reduceat misbehaves on empty segments / trailing index == nnz:
+        # reduce only non-empty rows.
+        y[nonempty] = np.add.reduceat(prod, starts[nonempty])
         return y
 
     @staticmethod

@@ -1,17 +1,22 @@
 """Pallas TPU kernel for DIA SpMV.
 
 The XLA DIA path (ops/spmv.py) re-reads the x vector from HBM once per
-diagonal (n_diags streams of the same data).  This kernel tiles rows, DMAs
-the x window a row tile needs into VMEM **once**, and accumulates all
-diagonals against that window — so HBM traffic drops to
-    nnz_stored * itemsize  (diagonal data, auto-pipelined by Pallas)
-  + n * itemsize           (x, read once)
-  + n * itemsize           (y, written once),
-which is the speed-of-light for this operation.  Replaces native_spmv
-(/root/reference/kernels.hpp:22-42) as the hot kernel.
+diagonal and pays a full-array lane relayout per shifted slice.  This kernel
+tiles rows and reads, per tile, the two consecutive x blocks that cover the
+tile's halo window — both auto-pipelined (double-buffered) by Pallas along
+with the diagonal data, so there are no manual-DMA stalls.  All diagonal
+shifts then happen on the VMEM-resident window with static offsets.
 
-Constraints: offsets are static; row count is padded to a multiple of the
-tile at build time (device_matrix.csr_to_dia), so the grid divides evenly.
+HBM traffic:  nnz_stored * itemsize   (diagonal data)
+            + 2n * itemsize           (x read twice: lo + hi block streams)
+            + n * itemsize            (y written once)
+— within 2x of speed-of-light for this op, with no gathers and no HBM
+relayouts.  Replaces native_spmv (/root/reference/kernels.hpp:22-42) as the
+hot kernel.
+
+The row tile R is chosen at build time (device_matrix.csr_to_dia) to be
+≥ the halo width H = hneg + hpos, so the window of tile i is always inside
+blocks i and i+1 of the padded x.
 """
 from __future__ import annotations
 
@@ -20,76 +25,69 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-#: rows per grid step; csr_to_dia pads the row dimension to a multiple.
-ROW_TILE = 8192
+#: minimum rows per grid step (multiple of the 8x128 f32 tile)
+MIN_ROW_TILE = 8192
 
-#: largest x-window (elements) we allow in VMEM before falling back to XLA.
-MAX_WINDOW = 2_000_000
+#: VMEM budget for the double-buffered operand blocks (bytes)
+VMEM_BUDGET = 12 * 1024 * 1024
 
 
-def _dia_kernel(offsets, hneg, window_len, data_ref, xp_ref, y_ref,
-                window, sem):
-    i = pl.program_id(0)
-    # Pull this tile's x window (rows [i*R, i*R + R + H)) into VMEM once.
-    copy = pltpu.make_async_copy(
-        xp_ref.at[pl.ds(i * ROW_TILE, window_len)], window, sem)
-    copy.start()
-    copy.wait()
-    acc = jnp.zeros((ROW_TILE,), dtype=y_ref.dtype)
+def _dia_kernel(offsets, hneg, R, data_ref, xlo_ref, xhi_ref, y_ref):
+    window = jnp.concatenate([xlo_ref[:], xhi_ref[:]])   # (2R,) in VMEM
+    acc = jnp.zeros((R,), dtype=y_ref.dtype)
     for d, off in enumerate(offsets):
-        start = off + hneg  # static per-diagonal shift inside the window
-        acc = acc + data_ref[d, :] * window[pl.ds(start, ROW_TILE)]
+        start = off + hneg  # static in [0, R + H) ⊆ [0, 2R)
+        acc = acc + data_ref[d, :] * jax.lax.slice(window, (start,),
+                                                   (start + R,))
     y_ref[:] = acc
 
 
 def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
     """y = A @ x for DeviceDIA A. Falls back to the XLA path off-TPU or when
-    the x window would not fit VMEM."""
+    the operand blocks would not fit VMEM."""
     from ..device_matrix import DeviceDIA
     assert isinstance(A, DeviceDIA)
     n = A.n_rows
     npad = A.data.shape[1]
     offsets = A.offsets
+    R = A.row_tile
+    k = len(offsets)
     hneg = max(0, -min(offsets))
     hpos = max(0, max(offsets))
-    # Mosaic requires 1-D HBM DMA slices to be 1024-aligned in offset and
-    # size; tile starts (i*ROW_TILE) already are, so round the window up.
-    window_len = -(-(ROW_TILE + hneg + hpos) // 1024) * 1024
+    itemsize = x.dtype.itemsize
+    vmem_need = 2 * (k + 3) * R * itemsize  # data + xlo + xhi (+y), 2-buffered
     on_tpu = jax.default_backend() == "tpu"
-    if (npad % ROW_TILE != 0) or window_len > MAX_WINDOW or not on_tpu:
+    if ((npad % R != 0) or (hneg + hpos) > R or vmem_need > VMEM_BUDGET
+            or not on_tpu):
         from .spmv import spmv_dia
         return spmv_dia(A, x, use_pallas=False)
 
-    # xp[hneg + i] = x[i]; window for tile i is xp[i*R : i*R + window_len],
-    # so xp must extend to (npad - R) + window_len.
-    xp = jnp.zeros(npad - ROW_TILE + window_len,
-                   dtype=x.dtype).at[hneg:hneg + n].set(x)
-    grid = (npad // ROW_TILE,)
-    k = len(offsets)
+    grid_n = npad // R
+    # xp[hneg + i] = x[i]; tile i's window is xp[i*R : i*R + R + H), covered
+    # by blocks i and i+1 → xp needs (grid_n + 1) blocks.
+    xp = jnp.zeros((grid_n + 1) * R, dtype=x.dtype).at[hneg:hneg + n].set(x)
 
-    kernel = lambda data_ref, xp_ref, y_ref, window, sem: _dia_kernel(  # noqa: E731
-        offsets, hneg, window_len, data_ref, xp_ref, y_ref, window, sem)
+    kernel = lambda data_ref, xlo, xhi, y_ref: _dia_kernel(  # noqa: E731
+        offsets, hneg, R, data_ref, xlo, xhi, y_ref)
 
+    # note: jnp.int32 literals — under jax_enable_x64 a python 0 traces as
+    # i64 and Mosaic rejects mixed-width index maps.
     y = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(grid_n,),
         in_specs=[
-            # note: jnp.int32(0), not 0 — under jax_enable_x64 a literal 0
-            # traces as i64 and Mosaic rejects the mixed-width index map.
-            pl.BlockSpec((k, ROW_TILE), lambda i: (jnp.int32(0), i),
+            pl.BlockSpec((k, R), lambda i: (jnp.int32(0), i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # xp stays in HBM
+            pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((R,), lambda i: (i + jnp.int32(1),),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_TILE,), lambda i: (i,),
+        out_specs=pl.BlockSpec((R,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((window_len,), x.dtype),
-            pltpu.SemaphoreType.DMA,
-        ],
         cost_estimate=pl.CostEstimate(
             flops=2 * k * npad,
-            bytes_accessed=(k * npad + 2 * n) * x.dtype.itemsize,
+            bytes_accessed=(k * npad + 3 * n) * itemsize,
             transcendentals=0),
-    )(A.data, xp)
+    )(A.data, xp, xp)
     return y[:n]

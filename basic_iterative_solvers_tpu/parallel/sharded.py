@@ -1,0 +1,184 @@
+"""Multi-chip scale-out: row-partitioned solves over a 1-D device mesh.
+
+The reference is a single-process OpenMP program — its only "DP" is a
+row-parallel for loop (SURVEY.md §2.6).  The TPU-native scale-out axis is
+the same one (matrix rows), realized as:
+
+* the DIA diagonal data sharded along rows: `P(None, "rows")`;
+* all solver vectors sharded `P("rows")`;
+* SpMV's off-shard x entries fetched by a **halo exchange** — each shard
+  sends its boundary slabs to its mesh neighbors with `lax.ppermute`
+  (rides ICI), then runs the same gather-free shifted-slice SpMV locally;
+* dot products / norms as local partials + `lax.psum`.
+
+Requirement: the halo widths (max negative / positive diagonal offset) must
+not exceed the local shard length — satisfied by any banded/stencil matrix
+that is large enough to be worth sharding.
+
+Preconditioners supported in sharded mode: none, Jacobi (elementwise) and
+the two-stage Richardson family (pure SpMV chains; same halo exchange).
+Exact triangular sweeps are inherently cross-shard sequential; use the
+Richardson form when sharded (the reference makes the same trade through
+its `two_stage_gauss_seidel`, kernels.hpp:312-333).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..device_matrix import DeviceDIA
+
+AXIS = "rows"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_dia(A: DeviceDIA, mesh: Mesh, axis: str = AXIS) -> DeviceDIA:
+    """Place the DIA data row-sharded on the mesh."""
+    npad = A.data.shape[1]
+    n_dev = mesh.devices.size
+    if npad % n_dev:
+        raise ValueError(f"padded rows {npad} not divisible by {n_dev} devices")
+    local = npad // n_dev
+    hneg = max(0, -min(A.offsets)) if A.offsets else 0
+    hpos = max(0, max(A.offsets)) if A.offsets else 0
+    if hneg > local or hpos > local:
+        raise ValueError(
+            f"halo ({hneg},{hpos}) exceeds local shard length {local}; "
+            "use fewer devices or a larger matrix")
+    data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
+    return DeviceDIA(data=data, offsets=A.offsets, n_rows=A.n_rows,
+                     n_cols=A.n_cols)
+
+
+def shard_vector(v: jax.Array, npad: int, mesh: Mesh, axis: str = AXIS):
+    """Zero-pad a length-n vector to the padded row count and shard it."""
+    n = v.shape[0]
+    vp = jnp.zeros(npad, dtype=v.dtype).at[:n].set(v)
+    return jax.device_put(vp, NamedSharding(mesh, P(axis)))
+
+
+def _halo_exchange(x_local: jax.Array, hneg: int, hpos: int, axis: str):
+    """Pull the left/right halo slabs from mesh neighbors.
+
+    Open-boundary semantics: edge shards receive zeros (ppermute drops
+    unmatched sources), matching the zero-padding of the single-chip path.
+    """
+    n_dev = jax.lax.axis_size(axis)
+    parts = []
+    if hneg > 0:
+        # my left halo = left neighbor's last hneg entries → send right
+        left = jax.lax.ppermute(
+            x_local[-hneg:], axis,
+            perm=[(i, i + 1) for i in range(n_dev - 1)])
+        parts.append(left)
+    parts.append(x_local)
+    if hpos > 0:
+        right = jax.lax.ppermute(
+            x_local[:hpos], axis,
+            perm=[(i + 1, i) for i in range(n_dev - 1)])
+        parts.append(right)
+    return jnp.concatenate(parts) if len(parts) > 1 else x_local
+
+
+def sharded_spmv_dia(A_data_local: jax.Array, offsets: Tuple[int, ...],
+                     x_local: jax.Array, axis: str = AXIS) -> jax.Array:
+    """Local block of y = A @ x inside shard_map: halo-exchange then the
+    same static shifted-slice accumulation as the single-chip kernel."""
+    local = x_local.shape[0]
+    hneg = max(0, -min(offsets)) if offsets else 0
+    hpos = max(0, max(offsets)) if offsets else 0
+    xp = _halo_exchange(x_local, hneg, hpos, axis)
+    y = jnp.zeros(local, dtype=x_local.dtype)
+    for d, off in enumerate(offsets):
+        start = hneg + off
+        y = y + A_data_local[d] * jax.lax.slice(xp, (start,), (start + local,))
+    return y
+
+
+def _pdot(a, b, axis):
+    return jax.lax.psum(jnp.dot(a, b), axis)
+
+
+@dataclasses.dataclass
+class ShardedCG:
+    """Distributed PCG: same recurrence as solvers/cg.py (reference
+    cg.hpp:6-54), with psum dots and halo-exchanged SpMV."""
+
+    mesh: Mesh
+    A: DeviceDIA                 # sharded
+    b: jax.Array                 # sharded, padded
+    D_inv: Optional[jax.Array]   # sharded, padded (Jacobi M⁻¹); None = identity
+    npad: int
+    axis: str = AXIS
+
+    def init_state(self, x0: jax.Array):
+        offs = self.A.offsets
+        axis = self.axis
+
+        def init(data, b, dinv, x):
+            r = b - sharded_spmv_dia(data, offs, x, axis)
+            z = r * dinv if dinv is not None else r
+            rn = jnp.sqrt(_pdot(r, r, axis))
+            return {"x": x, "r": r, "z": z, "p": z, "residual_norm": rn}
+
+        spec_v = P(self.axis)
+        in_specs = (P(None, self.axis), spec_v,
+                    spec_v if self.D_inv is not None else None, spec_v)
+        out_specs = {"x": spec_v, "r": spec_v, "z": spec_v, "p": spec_v,
+                     "residual_norm": P()}
+        f = jax.shard_map(init, mesh=self.mesh, in_specs=in_specs,
+                          out_specs=out_specs)
+        return f(self.A.data, self.b, self.D_inv, x0)
+
+    def step_fn(self):
+        """One CG iteration as a jittable state→state function (shard_map)."""
+        offs = self.A.offsets
+        axis = self.axis
+        dinv_present = self.D_inv is not None
+
+        def step(data, b, dinv, state):
+            x, r, z, p = state["x"], state["r"], state["z"], state["p"]
+            t = sharded_spmv_dia(data, offs, p, axis)
+            rz = _pdot(r, z, axis)
+            alpha = rz / _pdot(t, p, axis)
+            x = x + alpha * p
+            r_new = r - alpha * t
+            z_new = r_new * dinv if dinv_present else r_new
+            beta = _pdot(r_new, z_new, axis) / rz
+            p_new = z_new + beta * p
+            rn = jnp.sqrt(_pdot(r_new, r_new, axis))
+            return {"x": x, "r": r_new, "z": z_new, "p": p_new,
+                    "residual_norm": rn}
+
+        spec_v = P(self.axis)
+        state_spec = {"x": spec_v, "r": spec_v, "z": spec_v, "p": spec_v,
+                      "residual_norm": P()}
+        in_specs = (P(None, self.axis), spec_v,
+                    spec_v if dinv_present else None, state_spec)
+        sharded = jax.shard_map(step, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=state_spec)
+        return jax.jit(lambda s: sharded(self.A.data, self.b, self.D_inv, s))
+
+
+def make_sharded_cg(A: DeviceDIA, b: jax.Array, mesh: Mesh,
+                    D_inv: Optional[jax.Array] = None,
+                    axis: str = AXIS) -> ShardedCG:
+    npad = A.data.shape[1]
+    A_sh = shard_dia(A, mesh, axis)
+    b_sh = shard_vector(b, npad, mesh, axis)
+    dinv_sh = (shard_vector(D_inv, npad, mesh, axis)
+               if D_inv is not None else None)
+    return ShardedCG(mesh=mesh, A=A_sh, b=b_sh, D_inv=dinv_sh, npad=npad,
+                     axis=axis)

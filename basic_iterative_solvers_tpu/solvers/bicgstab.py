@@ -82,4 +82,4 @@ class BiCGSTABMethod:
 
     def solve_fused(self):
         return fused_solve(self.setup, self.init_state, self.iterate,
-                           self.sample_norm, self.final_x)
+                           self.sample_norm, self.final_x, cache_on=self)

