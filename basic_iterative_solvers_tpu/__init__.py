@@ -12,11 +12,23 @@ symmetric-two-stage-GS/ILU(0) preconditioning — re-designed TPU-first:
   stencil SpMV, level-scheduled triangular scans, fused lax.while_loop
   harness, shard_map multi-chip scale-out.
 """
+import os as _os
+
 import jax as _jax
 
 # Reference parity mode is float64 (the reference is fp64 throughout);
 # float32 stays the default performance dtype on TPU via SolverConfig.dtype.
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: first-ever compiles through a remote TPU
+# backend can take minutes; cached ones are milliseconds.  Respect an
+# explicit user setting (flag or env var) if present.
+if (_jax.config.jax_compilation_cache_dir is None
+        and "JAX_COMPILATION_CACHE_DIR" not in _os.environ):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.path.expanduser("~/.cache/basic_iterative_solvers_tpu/xla"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from .config import Args, SolverConfig  # noqa: E402,F401
 from .types import PrecondType, SolverType, to_string  # noqa: E402,F401
@@ -25,7 +37,10 @@ from .io import read_mtx, write_mtx  # noqa: E402,F401
 from . import generators  # noqa: E402,F401
 from .factor import factor_LU, split_LU, peel_diag, extract_scale  # noqa: E402,F401
 from .device_matrix import DeviceDIA, DeviceELL, from_csr  # noqa: E402,F401
-from .precond import Preconditioner, setup_preconditioner, apply_preconditioner  # noqa: E402,F401
-from .solvers import SolverSetup, SolveResult, preprocessing, solve  # noqa: E402,F401
+from . import dia  # noqa: E402,F401
+from .precond import (Preconditioner, setup_preconditioner,  # noqa: E402,F401
+                      setup_preconditioner_dia, apply_preconditioner)
+from .solvers import (SolverSetup, SolveResult, preprocessing,  # noqa: E402,F401
+                      preprocessing_device, solve)
 
 __version__ = "0.1.0"

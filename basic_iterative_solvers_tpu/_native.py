@@ -1,0 +1,221 @@
+"""ctypes bindings for the native C++ host layer (csrc/bis_host.cpp).
+
+The reference's host pipeline is C++ (/root/reference/utilities/*.hpp); this
+module loads our C++ equivalent as a shared library, compiling it with g++ on
+first use if no prebuilt csrc/libbis_host.so exists.  Every binding has a
+NumPy fallback at its call site, so the framework works (slower) without a
+C++ toolchain; set BIS_TPU_NO_NATIVE=1 to force the fallbacks.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+_CSRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "csrc")
+_SO = os.path.join(_CSRC, "libbis_host.so")
+
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+_f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+
+
+def _build() -> bool:
+    src = os.path.join(_CSRC, "bis_host.cpp")
+    if not os.path.exists(src):
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+             "-o", _SO, src],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except Exception:
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    if os.environ.get("BIS_TPU_NO_NATIVE"):
+        return None
+    if not os.path.exists(_SO) and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+
+    lib.bis_parse_triplets.restype = ctypes.c_longlong
+    lib.bis_parse_triplets.argtypes = [
+        ctypes.c_char_p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_double, _i32p, _i32p, _f64p]
+    lib.bis_coo_to_csr.restype = ctypes.c_int
+    lib.bis_coo_to_csr.argtypes = [
+        ctypes.c_longlong, ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _f64p, _i64p, _i32p, _f64p]
+    lib.bis_split_lu_count.restype = None
+    lib.bis_split_lu_count.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _i64p, _i64p, _i64p, _i64p]
+    lib.bis_split_lu_fill.restype = None
+    lib.bis_split_lu_fill.argtypes = (
+        [ctypes.c_int32, _i64p, _i32p, _f64p]
+        + [_i64p, _i32p, _f64p] * 4)
+    lib.bis_peel_diag.restype = ctypes.c_longlong
+    lib.bis_peel_diag.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _f64p, ctypes.c_double, ctypes.c_int,
+        _f64p]
+    lib.bis_ilu0.restype = ctypes.c_longlong
+    lib.bis_ilu0.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, _i64p, _i32p, _f64p,
+        ctypes.c_double, ctypes.c_double]
+    lib.bis_level_sets.restype = None
+    lib.bis_level_sets.argtypes = [ctypes.c_int32, _i64p, _i32p,
+                                   ctypes.c_int, _i32p]
+    lib.bis_spmv_csr.restype = None
+    lib.bis_spmv_csr.argtypes = [ctypes.c_int32, _i64p, _i32p, _f64p,
+                                 _f64p, _f64p]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _as(arr, dtype):
+    return np.ascontiguousarray(arr, dtype=dtype)
+
+
+def parse_triplets(data_text: str, nnz_stored: int, with_value: bool,
+                   pattern_value: float = 0.01):
+    """Parse up to nnz_stored 'i j [v]' lines -> (I, J, V) 0-based, or None
+    if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    buf = data_text.encode()
+    I = np.empty(nnz_stored, dtype=np.int32)
+    J = np.empty(nnz_stored, dtype=np.int32)
+    V = np.empty(nnz_stored, dtype=np.float64)
+    got = lib.bis_parse_triplets(buf, len(buf), nnz_stored,
+                                 1 if with_value else 0, pattern_value,
+                                 I, J, V)
+    if got < 0:
+        raise ValueError("malformed matrix market entry")
+    return I[:got], J[:got], V[:got]
+
+
+def coo_to_csr(nnz, n_rows, n_cols, I, J, V):
+    """(row_ptr, col, val) row-major sorted, or None. Raises on duplicates."""
+    lib = _load()
+    if lib is None:
+        return None
+    I, J, V = _as(I, np.int32), _as(J, np.int32), _as(V, np.float64)
+    row_ptr = np.empty(n_rows + 1, dtype=np.int64)
+    col = np.empty(nnz, dtype=np.int32)
+    val = np.empty(nnz, dtype=np.float64)
+    rc = lib.bis_coo_to_csr(nnz, n_rows, n_cols, I, J, V, row_ptr, col, val)
+    if rc == -2:
+        raise ValueError("duplicate (row, col) entries in COO matrix")
+    if rc != 0:
+        raise ValueError("COO indices out of range")
+    return row_ptr, col, val
+
+
+def split_lu(A):
+    """Native split into (L, L_strict, U, U_strict) MatrixCSR, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .matrix import MatrixCSR
+    n = A.n_rows
+    rp = _as(A.row_ptr, np.int64)
+    cl = _as(A.col, np.int32)
+    vl = _as(A.val, np.float64)
+    ptrs = [np.empty(n + 1, dtype=np.int64) for _ in range(4)]
+    lib.bis_split_lu_count(n, rp, cl, *ptrs)
+    outs = []
+    args = [n, rp, cl, vl]
+    for ptr in ptrs:
+        nnz = int(ptr[-1])
+        c = np.empty(nnz, dtype=np.int32)
+        v = np.empty(nnz, dtype=np.float64)
+        outs.append((ptr, c, v))
+        args += [ptr, c, v]
+    lib.bis_split_lu_fill(*args)
+    return tuple(MatrixCSR(n, A.n_cols, int(p[-1]), p, c, v)
+                 for (p, c, v) in outs)
+
+
+def peel_diag(A, zero_tol: float, check_missing: bool, check_zero: bool):
+    """Dense diagonal of A, or None.  Raises the factor.py exception types
+    on missing/zero diagonals (mapped from the C error codes)."""
+    lib = _load()
+    if lib is None:
+        return None
+    D = np.empty(A.n_rows, dtype=np.float64)
+    flags = (1 if check_missing else 0) | (2 if check_zero else 0)
+    rc = lib.bis_peel_diag(A.n_rows, _as(A.row_ptr, np.int64),
+                           _as(A.col, np.int32), _as(A.val, np.float64),
+                           zero_tol, flags, D)
+    if rc < 0:
+        from .factor import MissingDiagonalError, ZeroDiagonalError
+        if rc <= -2000000:
+            raise ZeroDiagonalError(
+                f"ERROR: Zero diagonal element in row {-rc - 2000000}")
+        raise MissingDiagonalError(
+            f"ERROR: No diagonal element found in row {-rc - 1000}")
+    return D
+
+
+def ilu0(A, pivot_tolerance: float, pivot_replacement: float):
+    """In-pattern ILU(0) values (modified copy of A.val), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    lu_val = _as(A.val, np.float64).copy()
+    rc = lib.bis_ilu0(A.n_rows, A.n_cols, _as(A.row_ptr, np.int64),
+                      _as(A.col, np.int32), lu_val,
+                      pivot_tolerance, pivot_replacement)
+    if rc < 0:
+        from .factor import MissingDiagonalError
+        raise MissingDiagonalError(
+            "ERROR: ILU(0) requires a full diagonal; missing in row "
+            f"{-rc - 1000}")
+    return lu_val
+
+
+def level_sets(T_strict, upper: bool = False):
+    """Wavefront level per row, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    level = np.empty(T_strict.n_rows, dtype=np.int32)
+    lib.bis_level_sets(T_strict.n_rows, _as(T_strict.row_ptr, np.int64),
+                       _as(T_strict.col, np.int32), 1 if upper else 0, level)
+    return level
+
+
+def level_sets_upper(T_strict):
+    return level_sets(T_strict, upper=True)
+
+
+def spmv_csr(A, x):
+    """y = A @ x host oracle, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    y = np.empty(A.n_rows, dtype=np.float64)
+    lib.bis_spmv_csr(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
+                     _as(A.val, np.float64), _as(x, np.float64), y)
+    return y

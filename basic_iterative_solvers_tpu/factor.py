@@ -45,9 +45,13 @@ def split_LU(A: MatrixCSR) -> Tuple[MatrixCSR, MatrixCSR, MatrixCSR, MatrixCSR]:
     """Split A into (L, L_strict, U, U_strict).
 
     L = strictly-lower + diagonal, U = strictly-upper + diagonal, matching
-    reference split_LU_new (LU_factors.hpp:122-309). Vectorized two-pass
-    count+fill.
+    reference split_LU_new (LU_factors.hpp:122-309). Native C++ one-pass
+    count+fill when built (csrc/bis_host.cpp); vectorized NumPy otherwise.
     """
+    from . import _native
+    native = _native.split_lu(A)
+    if native is not None:
+        return native
     rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
     cols = A.col.astype(np.int64)
     lower = cols <= rows
@@ -74,6 +78,15 @@ def peel_diag(A: MatrixCSR, need_inv: bool = True,
     The matrix is NOT mutated (the reference swaps the diagonal entry to the
     row end as a CPU-kernel optimization we don't need).
     """
+    from . import _native
+    if _native.available():
+        D = _native.peel_diag(A, ZERO_DIAG_TOL, check, check)
+        D_inv = None
+        if need_inv:
+            with np.errstate(divide="ignore"):
+                D_inv = np.where(D != 0.0,
+                                 1.0 / np.where(D == 0.0, 1.0, D), 0.0)
+        return D, D_inv
     rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
     is_diag = A.col == rows
     diag_rows = rows[is_diag]
@@ -123,12 +136,9 @@ def factor_ilu0(A: MatrixCSR, pivot_tolerance: float = 1e-8,
     diagonal explicitly, U contains its diagonal, and U_D is the peeled
     diagonal of U (reference factor_LU, LU_factors.hpp:915-918).
     """
-    try:
-        from ._native import ilu0 as _native_ilu0
-    except Exception:
-        _native_ilu0 = None
-    if _native_ilu0 is not None:
-        lu_val = _native_ilu0(A, pivot_tolerance, pivot_replacement)
+    from . import _native
+    lu_val = _native.ilu0(A, pivot_tolerance, pivot_replacement)
+    if lu_val is not None:
         return _assemble_ilu0(A, lu_val)
 
     n = A.n_rows
@@ -266,11 +276,10 @@ def level_sets_lower(L_strict: MatrixCSR) -> np.ndarray:
     processes each level's rows in parallel. The reference gets this from
     SMAX's level scheduler (LU_factors.hpp:559-569, smax_helpers.hpp:25-28).
     """
-    try:
-        from ._native import level_sets as _native_levels
-        return _native_levels(L_strict)
-    except Exception:
-        pass
+    from . import _native
+    levels = _native.level_sets(L_strict)
+    if levels is not None:
+        return levels
     n = L_strict.n_rows
     level = np.zeros(n, dtype=np.int32)
     row_ptr, col = L_strict.row_ptr, L_strict.col
@@ -283,11 +292,10 @@ def level_sets_lower(L_strict: MatrixCSR) -> np.ndarray:
 
 def level_sets_upper(U_strict: MatrixCSR) -> np.ndarray:
     """Level sets for the backward substitution (rows processed N-1 → 0)."""
-    try:
-        from ._native import level_sets_upper as _native_levels_u
-        return _native_levels_u(U_strict)
-    except Exception:
-        pass
+    from . import _native
+    levels = _native.level_sets_upper(U_strict)
+    if levels is not None:
+        return levels
     n = U_strict.n_rows
     level = np.zeros(n, dtype=np.int32)
     row_ptr, col = U_strict.row_ptr, U_strict.col

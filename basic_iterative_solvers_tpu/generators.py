@@ -183,6 +183,28 @@ def banded(n: int, bandwidth: int = 2, seed: int = 0,
 _GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|anderson):(.*)$", re.IGNORECASE)
 
 
+def _parse_anderson_kwargs(spec: str) -> dict:
+    """Parse 'Anderson,Lx=20,...,seed=3,boundary=open' into kwargs (shared
+    with the device-side builder in dia.py)."""
+    kwargs = {}
+    for p in (p for p in spec.split(",") if p):
+        if "=" not in p:
+            if p.lower() != "anderson":
+                raise ValueError(f"unsupported scamac generator: {p}")
+            continue
+        k, v = p.split("=", 1)
+        k = k.strip()
+        if k in ("Lx", "Ly", "Lz", "seed"):
+            kwargs[k] = int(v)
+        elif k in ("t", "ranpot"):
+            kwargs[k] = float(v)
+        elif k == "boundary":
+            kwargs[k] = v.strip()
+        else:
+            raise ValueError(f"unknown Anderson parameter: {k}")
+    return kwargs
+
+
 def from_source(source: str) -> MatrixCSR:
     """Resolve a CLI matrix source: generator spec or .mtx path.
 
@@ -191,29 +213,19 @@ def from_source(source: str) -> MatrixCSR:
     """
     m = _GEN_RE.match(source)
     if not m:
+        import os
+        # 'name:spec' that is not a known generator and not an existing file
+        # is almost certainly a typo'd generator name — say so instead of
+        # failing with FileNotFoundError.
+        if ":" in source and not os.path.exists(source):
+            raise ValueError(f"unknown matrix generator: "
+                             f"{source.split(':', 1)[0]!r} (in {source!r})")
         from .io import read_mtx
         return read_mtx(source)
     kind, spec = m.group(1).lower(), m.group(2)
     if kind in ("scamac", "anderson"):
         # e.g. "Anderson,Lx=20,Ly=20,Lz=20,t=1.0,ranpot=5.0,seed=3,boundary=open"
-        parts = [p for p in spec.split(",") if p]
-        kwargs = {}
-        for p in parts:
-            if "=" not in p:
-                if p.lower() != "anderson":
-                    raise ValueError(f"unsupported scamac generator: {p}")
-                continue
-            k, v = p.split("=", 1)
-            k = k.strip()
-            if k in ("Lx", "Ly", "Lz", "seed"):
-                kwargs[k] = int(v)
-            elif k in ("t", "ranpot"):
-                kwargs[k] = float(v)
-            elif k == "boundary":
-                kwargs[k] = v.strip()
-            else:
-                raise ValueError(f"unknown Anderson parameter: {k}")
-        return anderson(**kwargs)
+        return anderson(**_parse_anderson_kwargs(spec))
     if kind == "hpcg":
         dims = [int(d) for d in re.split(r"[x,]", spec) if d]
         return stencil_27pt(*dims)

@@ -88,7 +88,20 @@ def read_mtx_coo(path_or_file, require_square: bool = False) -> MatrixCOO:
         raise MatrixMarketError("Matrix must be square.")
 
     data_text = text[data_start:]
-    if field == "pattern":
+    from .. import _native
+    parsed = None
+    if nnz_stored and _native.available():
+        try:
+            parsed = _native.parse_triplets(data_text, nnz_stored,
+                                            with_value=(field != "pattern"),
+                                            pattern_value=_PATTERN_VALUE)
+        except ValueError as e:
+            raise MatrixMarketError(str(e))
+    if parsed is not None:
+        I = parsed[0].astype(np.int64)
+        J = parsed[1].astype(np.int64)
+        V = parsed[2]
+    elif field == "pattern":
         arr = np.loadtxt(_io.StringIO(data_text), dtype=np.int64, ndmin=2,
                          comments="%") if nnz_stored else np.zeros((0, 2), np.int64)
         if arr.size and arr.shape[1] != 2:

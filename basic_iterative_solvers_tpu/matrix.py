@@ -92,9 +92,13 @@ class MatrixCSR:
 
     def spmv(self, x: np.ndarray) -> np.ndarray:
         """Host reference SpMV (test oracle; device SpMV lives in ops/).
-        Uses add.reduceat over row segments — O(nnz) vectorized."""
+        Native C++ row loop when built; add.reduceat over row segments
+        otherwise — both O(nnz)."""
         if self.nnz == 0:
             return np.zeros(self.n_rows, dtype=np.result_type(self.val, x))
+        from . import _native
+        if _native.available():
+            return _native.spmv_csr(self, x)
         prod = self.val * x[self.col]
         starts = self.row_ptr[:-1]
         nonempty = self.row_ptr[1:] > starts
@@ -121,6 +125,12 @@ def convert_coo_to_csr(coo: MatrixCOO, n_cols: Optional[int] = None) -> MatrixCS
     prefix-sum row_ptr → copy col/val, plus a consistency check.  We
     additionally column-sort each row (lexsort) and reject duplicates.
     """
+    from . import _native
+    if _native.available():
+        n_cols_eff = coo.n_cols if n_cols is None else n_cols
+        row_ptr, col, val = _native.coo_to_csr(
+            coo.nnz, coo.n_rows, n_cols_eff, coo.I, coo.J, coo.values)
+        return MatrixCSR(coo.n_rows, n_cols_eff, coo.nnz, row_ptr, col, val)
     coo = coo.sort()
     if coo.nnz and coo.n_rows:
         dup = (np.diff(coo.I) == 0) & (np.diff(coo.J) == 0)

@@ -57,8 +57,9 @@ def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
     itemsize = x.dtype.itemsize
     vmem_need = 2 * (k + 3) * R * itemsize  # data + xlo + xhi (+y), 2-buffered
     on_tpu = jax.default_backend() == "tpu"
+    # Mosaic has no f64 register tiling — 8-byte dtypes take the XLA path.
     if ((npad % R != 0) or (hneg + hpos) > R or vmem_need > VMEM_BUDGET
-            or not on_tpu):
+            or not on_tpu or itemsize > 4 or A.data.dtype != x.dtype):
         from .spmv import spmv_dia
         return spmv_dia(A, x, use_pallas=False)
 

@@ -115,6 +115,45 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
     raise ValueError(f"unsupported preconditioner: {pt}")
 
 
+#: preconditioners whose setup/apply never needs host CSR factorization —
+#: diagonal + Richardson forms, computable from on-device DIA splits alone.
+DEVICE_NATIVE_PRECONDS = (PrecondType.NONE, PrecondType.JACOBI,
+                          PrecondType.TWO_STAGE_GS,
+                          PrecondType.SYMMETRIC_TWO_STAGE_GS)
+
+
+def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
+    """Device-native preconditioner setup from a DeviceDIA matrix.
+
+    The reference's factor_LU runs on host CRS
+    (/root/reference/utilities/LU_factors.hpp:900-934); in DIA form the
+    diagonal peel and L/U split are static row slices (dia.dia_split), so
+    the diagonal-based and Richardson ("two-stage") preconditioners set up
+    with zero host traffic.  The exact-triangular-solve types (gs/bgs/sgs/
+    ilu0) need level scheduling over the CSR pattern — use the host path
+    (setup_preconditioner) for those.
+    """
+    from .dia import dia_split
+    pt = config.preconditioner
+    kw = dict(ptype=pt, outer_iters=config.precond_outer_iters,
+              inner_iters=config.precond_inner_iters,
+              use_pallas=config.use_pallas)
+    if pt == PrecondType.NONE:
+        return Preconditioner(**kw)
+    if pt not in DEVICE_NATIVE_PRECONDS:
+        raise ValueError(
+            f"preconditioner {pt} needs exact triangular solves; build "
+            "through the host CSR path (preprocessing) instead")
+    L_strict, U_strict, A_D, A_D_inv = dia_split(A_dev)
+    if pt == PrecondType.JACOBI:
+        return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
+    if pt == PrecondType.TWO_STAGE_GS:
+        return Preconditioner(A_D=A_D, A_D_inv=A_D_inv,
+                              L_strict_dev=L_strict, **kw)
+    return Preconditioner(A_D=A_D, A_D_inv=A_D_inv,  # SYMMETRIC_TWO_STAGE_GS
+                          L_strict_dev=L_strict, U_strict_dev=U_strict, **kw)
+
+
 def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
     pt = M.ptype
     if pt == PrecondType.NONE:

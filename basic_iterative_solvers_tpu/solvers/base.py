@@ -46,7 +46,8 @@ class SolverSetup:
     b: jax.Array
     x0: jax.Array
     n: int
-    A_host: MatrixCSR            # retained for reports / oracles
+    A_host: Optional[MatrixCSR] = None  # host oracle; None on the
+                                        # device-native (DIA) setup path
     factors: Any = None          # LUFactors when the method needs them (GS)
     L_solve: Any = None          # GS-family solver data
     U_solve: Any = None
@@ -134,6 +135,73 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
                                               config.dia_max_diags,
                                               config.dia_min_fill)
     return setup
+
+
+def preprocessing_device(A_dev, config: SolverConfig,
+                         b: Optional[Any] = None,
+                         x0: Optional[Any] = None,
+                         timers: Optional[Timers] = None) -> SolverSetup:
+    """Device-native preprocessing: the matrix is already a DeviceDIA (built
+    by dia.from_source_device or converted once), and every setup step —
+    diagonal peel, L/U split, scaling, preconditioner build — is static
+    diagonal-row slicing on the device (dia.dia_split/dia_scale).  No host
+    CSR exists, so no O(nnz) host passes and no host oracle; the explicit
+    final residual is computed on device instead.
+
+    Supports every method/preconditioner that does not need exact
+    level-scheduled triangular solves (those require the CSR pattern: use
+    `preprocessing`).
+    """
+    import jax.numpy as jnp  # noqa: F811 (local for clarity)
+    from ..dia import dia_diag, dia_extract_scale, dia_scale
+    from ..precond import DEVICE_NATIVE_PRECONDS, setup_preconditioner_dia
+
+    timers = timers or Timers()
+    dtype = config.spec_dtype()
+    n = A_dev.n_rows
+    if A_dev.n_rows != A_dev.n_cols:
+        raise ValueError("Matrix must be square.")
+    if config.preconditioner not in DEVICE_NATIVE_PRECONDS:
+        raise ValueError(
+            f"preconditioner {config.preconditioner} requires the host CSR "
+            "path (exact triangular solves): use preprocessing()")
+    if config.method in (SolverType.GAUSS_SEIDEL,
+                         SolverType.SYMMETRIC_GAUSS_SEIDEL):
+        raise ValueError(
+            f"method {config.method} requires exact triangular solves: "
+            "use preprocessing()")
+
+    b_dev = (jnp.full(n, config.b_val, dtype=dtype) if b is None
+             else jnp.asarray(b, dtype=dtype))
+    x0_dev = (jnp.full(n, config.init_x_val, dtype=dtype) if x0 is None
+              else jnp.asarray(x0, dtype=dtype))
+
+    scale_vec = None
+    if config.num_scale:
+        with timers.time("preprocessing_scale"):
+            scale_vec = dia_extract_scale(A_dev)
+            A_dev = dia_scale(A_dev, scale_vec)
+            b_dev = b_dev * scale_vec
+            x0_dev = x0_dev * scale_vec
+
+    with timers.time("preprocessing_device"):
+        M = setup_preconditioner_dia(A_dev, config)
+        A_D = M.A_D if M.A_D is not None else dia_diag(A_dev)
+        return SolverSetup(config=config, A=A_dev, M=M, b=b_dev, x0=x0_dev,
+                           n=n, A_host=None, scale_vec=scale_vec, A_D=A_D)
+
+
+def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
+    """||b − A·x*||₂ for the final report (save_x_star analog,
+    /root/reference/solver.hpp:153-159).  Uses the fp64 host oracle when a
+    host CSR is retained; otherwise computes on device in the solve dtype."""
+    if setup.A_host is not None:
+        return float(np.linalg.norm(
+            np.asarray(setup.b, dtype=np.float64)
+            - setup.A_host.spmv(np.asarray(x_star, dtype=np.float64))))
+    r = setup.b - spmv(setup.A, jnp.asarray(x_star, dtype=setup.b.dtype),
+                       setup.config.use_pallas)
+    return float(jnp.sqrt(jnp.dot(r, r)))
 
 
 @dataclasses.dataclass
@@ -228,9 +296,7 @@ def _solve_host(setup: SolverSetup, method, timers: Timers,
     converged = residual_norm < stopping
     x_star = np.asarray(jax.block_until_ready(method.final_x(state)))
     # save_x_star: record the explicit final residual (solver.hpp:153-159)
-    final_norm = float(np.linalg.norm(
-        np.asarray(setup.b, dtype=np.float64)
-        - setup.A_host.spmv(x_star.astype(np.float64))))
+    final_norm = explicit_residual_norm(setup, x_star)
     norms[hist_count] = final_norm
     hist_count += 1
 

@@ -99,9 +99,8 @@ class FusedRunner:
         norms = np.array(norms)[:hist + 1]
         residual_norm = float(state["residual_norm"])
         x_star = np.asarray(self.final_x(state))
-        final_norm = float(np.linalg.norm(
-            np.asarray(setup.b, dtype=np.float64)
-            - setup.A_host.spmv(x_star.astype(np.float64))))
+        from .base import explicit_residual_norm
+        final_norm = explicit_residual_norm(setup, x_star)
         norms[hist] = final_norm
         times = np.full(hist + 1, solve_seconds / max(1, it))
 

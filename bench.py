@@ -65,30 +65,51 @@ def main():
     import basic_iterative_solvers_tpu as bis
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-    t0 = time.perf_counter()
-    A = bis.generators.from_source(args.matrix)
-    log(f"matrix {args.matrix}: {A.n_rows} rows, {A.nnz} nnz "
-        f"({time.perf_counter() - t0:.1f}s to generate)")
 
     method_name, precond_name = METHOD_MAP[args.method]
+    dtype = np.dtype(args.dtype)
+
+    # Generator specs build the matrix *on device* (dia.from_source_device):
+    # construction and all of setup are diagonal-row slices on the TPU, no
+    # O(nnz) host passes.  File sources go through the host CSR pipeline.
+    is_gen = bis.dia._GEN_RE.match(args.matrix) is not None
+    t0 = time.perf_counter()
+    if is_gen:
+        A = bis.dia.from_source_device(args.matrix, dtype=dtype)
+        jax.block_until_ready(A.data)
+        n_rows = A.n_rows
+        nnz = int(jax.jit(lambda d: (d != 0).sum())(A.data))
+    else:
+        A = bis.generators.from_source(args.matrix)
+        n_rows, nnz = A.n_rows, A.nnz
+    log(f"matrix {args.matrix}: {n_rows} rows, {nnz} nnz "
+        f"({time.perf_counter() - t0:.1f}s to build)")
+
     # Preconditioned variants: on TPU the sharded-friendly symmetric
     # two-stage (Richardson) form replaces exact triangular sweeps when the
     # matrix is large; exact level-scheduled solves remain available.
-    if precond_name == "SYMMETRIC_GAUSS_SEIDEL" and A.n_rows > 500_000:
+    if precond_name == "SYMMETRIC_GAUSS_SEIDEL" and (is_gen
+                                                     or A.n_rows > 500_000):
         precond_name = "SYMMETRIC_TWO_STAGE_GS"
     cfg = bis.SolverConfig(
         method=getattr(bis.SolverType, method_name),
         preconditioner=getattr(bis.PrecondType, precond_name),
-        dtype=np.dtype(args.dtype), harness="fused",
+        dtype=dtype, harness="fused",
         max_iters=args.iters, tolerance=0.0,   # run exactly `iters` iterations
         restart_length=args.restart_length,
         precond_inner_iters=args.precond_inner_iters)
 
     t0 = time.perf_counter()
     # Reference figure setup: b = 2.0, x0 = 1.0 (BASELINE.md).
-    setup = bis.preprocessing(A, cfg,
-                              b=np.full(A.n_rows, 2.0),
-                              x0=np.full(A.n_rows, 1.0))
+    if is_gen:
+        import jax.numpy as jnp
+        setup = bis.preprocessing_device(
+            A, cfg, b=jnp.full(n_rows, 2.0, dtype=dtype),
+            x0=jnp.full(n_rows, 1.0, dtype=dtype))
+    else:
+        setup = bis.preprocessing(A, cfg,
+                                  b=np.full(A.n_rows, 2.0),
+                                  x0=np.full(A.n_rows, 1.0))
     log(f"preprocessing: {time.perf_counter() - t0:.1f}s "
         f"(device format: {type(setup.A).__name__})")
 
@@ -114,7 +135,7 @@ def main():
     # roofline accounting (stderr only)
     from basic_iterative_solvers_tpu.device_matrix import device_matrix_nnz_bytes
     itemsize = np.dtype(args.dtype).itemsize
-    spmv_bytes = device_matrix_nnz_bytes(setup.A) + 2 * A.n_rows * itemsize
+    spmv_bytes = device_matrix_nnz_bytes(setup.A) + 2 * n_rows * itemsize
     log(f"spmv traffic ≥ {spmv_bytes / 1e6:.0f} MB; at 819 GB/s (v5e) "
         f"floor = {spmv_bytes / 819e9 * 1e3:.3f} ms")
 

@@ -1,0 +1,148 @@
+"""Device-native DIA pipeline tests.
+
+Parity between the device-side builders/factorizations (dia.py) and the
+host CSR pipeline (generators.py + factor.py + device_matrix.py): both must
+produce identical DeviceDIA data, and the device-native preprocessing path
+must solve to the same answers as the host path.
+"""
+import numpy as np
+import pytest
+
+import basic_iterative_solvers_tpu as bis
+from basic_iterative_solvers_tpu import dia, generators
+from basic_iterative_solvers_tpu.device_matrix import csr_to_dia
+from basic_iterative_solvers_tpu.factor import factor_LU
+from basic_iterative_solvers_tpu.ops.spmv import spmv
+from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+
+
+def _assert_dia_equal(A_dev, A_ref):
+    assert A_dev.offsets == A_ref.offsets
+    assert A_dev.n_rows == A_ref.n_rows and A_dev.n_cols == A_ref.n_cols
+    assert A_dev.data.shape == A_ref.data.shape
+    np.testing.assert_allclose(np.asarray(A_dev.data),
+                               np.asarray(A_ref.data), rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("dims", [(4, 4, 4), (5, 3, 2), (6, 6, 1)])
+def test_stencil_27pt_device_matches_host(dims):
+    A_host = generators.stencil_27pt(*dims)
+    ref = csr_to_dia(A_host, np.float64)
+    dev = dia.stencil_27pt_device(*dims, dtype=np.float64)
+    _assert_dia_equal(dev, ref)
+
+
+def test_fdm_2d_device_matches_host():
+    ref = csr_to_dia(generators.fdm_2d(9), np.float64)
+    dev = dia.fdm_2d_device(9, dtype=np.float64)
+    _assert_dia_equal(dev, ref)
+
+
+@pytest.mark.parametrize("boundary", ["open", "periodic"])
+def test_anderson_device_matches_host(boundary):
+    A_host = generators.anderson(4, 3, 5, t=1.3, ranpot=2.5, seed=7,
+                                 boundary=boundary)
+    ref = csr_to_dia(A_host, np.float64)
+    dev = dia.anderson_device(4, 3, 5, t=1.3, ranpot=2.5, seed=7,
+                              boundary=boundary, dtype=np.float64)
+    _assert_dia_equal(dev, ref)
+
+
+def test_banded_device_matches_host():
+    ref = csr_to_dia(generators.banded(50, bandwidth=3, seed=5), np.float64)
+    dev = dia.banded_device(50, bandwidth=3, seed=5, dtype=np.float64)
+    _assert_dia_equal(dev, ref)
+
+
+def test_from_source_device_specs():
+    for spec in ("hpcg:4x4x4", "fdm:8", "band:32,2",
+                 "scamac:Anderson,Lx=4,Ly=4,Lz=4,ranpot=3.0,seed=2"):
+        dev = dia.from_source_device(spec, dtype=np.float64)
+        ref = csr_to_dia(generators.from_source(spec), np.float64)
+        _assert_dia_equal(dev, ref)
+    with pytest.raises(ValueError):
+        dia.from_source_device("some/file.mtx")
+
+
+def test_dia_split_matches_factor_LU():
+    A_host = generators.stencil_27pt(4, 4, 4)
+    A_dev = csr_to_dia(A_host, np.float64)
+    L, U, D, D_inv = dia.dia_split(A_dev)
+    f = factor_LU(A_host)
+    np.testing.assert_allclose(np.asarray(D), f.A_D)
+    np.testing.assert_allclose(np.asarray(D_inv), f.A_D_inv)
+    # strict parts act identically as operators
+    x = np.random.default_rng(0).standard_normal(A_host.n_rows)
+    np.testing.assert_allclose(np.asarray(spmv(L, x)), f.L_strict.spmv(x),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(spmv(U, x)), f.U_strict.spmv(x),
+                               rtol=1e-13)
+
+
+def test_dia_split_requires_diagonal():
+    A_dev = csr_to_dia(generators.stencil_27pt(3, 3, 3), np.float64)
+    L, U, _, _ = dia.dia_split(A_dev)
+    with pytest.raises(ValueError):
+        dia.dia_split(L)  # strictly lower: no main diagonal
+
+
+def test_dia_scale_matches_host_scaling():
+    from basic_iterative_solvers_tpu.factor import extract_scale, scale_mat
+    A_host = generators.anderson(4, 4, 4, ranpot=9.0, seed=3)
+    A_dev = csr_to_dia(A_host, np.float64)
+    s = dia.dia_extract_scale(A_dev)
+    A_scaled_dev = dia.dia_scale(A_dev, s)
+    A2 = A_host.copy()
+    s_host = extract_scale(A2)
+    scale_mat(A2, s_host)
+    np.testing.assert_allclose(np.asarray(s), s_host, rtol=1e-14)
+    x = np.random.default_rng(1).standard_normal(A_host.n_rows)
+    np.testing.assert_allclose(np.asarray(spmv(A_scaled_dev, x)), A2.spmv(x),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("method,precond", [
+    (SolverType.CONJUGATE_GRADIENT, PrecondType.NONE),
+    (SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI),
+    (SolverType.CONJUGATE_GRADIENT, PrecondType.SYMMETRIC_TWO_STAGE_GS),
+    (SolverType.BICGSTAB, PrecondType.TWO_STAGE_GS),
+    (SolverType.GMRES, PrecondType.JACOBI),
+    (SolverType.JACOBI, PrecondType.NONE),
+])
+def test_preprocessing_device_end_to_end(method, precond):
+    """Device-native setup must solve to the same answer as the host path."""
+    A_host = generators.stencil_27pt(5, 5, 5)
+    A_dev = dia.stencil_27pt_device(5, 5, 5, dtype=np.float64)
+    cfg = bis.SolverConfig(method=method, preconditioner=precond,
+                           dtype=np.float64, tolerance=1e-12,
+                           precond_inner_iters=2, harness="fused")
+    setup_h = bis.preprocessing(A_host, cfg)
+    setup_d = bis.preprocessing_device(A_dev, cfg)
+    res_h = bis.solve(setup_h)
+    res_d = bis.solve(setup_d)
+    assert res_d.converged
+    assert res_d.iter_count == res_h.iter_count
+    np.testing.assert_allclose(res_d.x_star, res_h.x_star, rtol=1e-9,
+                               atol=1e-12)
+
+
+def test_preprocessing_device_num_scale():
+    A_dev = dia.anderson_device(4, 4, 4, ranpot=8.0, seed=2, dtype=np.float64)
+    A_host = generators.anderson(4, 4, 4, ranpot=8.0, seed=2)
+    cfg = bis.SolverConfig(method=SolverType.BICGSTAB, dtype=np.float64,
+                           tolerance=1e-12, num_scale=True, harness="fused")
+    res_d = bis.solve(bis.preprocessing_device(A_dev, cfg))
+    res_h = bis.solve(bis.preprocessing(A_host, cfg))
+    assert res_d.converged
+    np.testing.assert_allclose(res_d.x_star, res_h.x_star, rtol=1e-8,
+                               atol=1e-10)
+
+
+def test_preprocessing_device_rejects_exact_trisolve_types():
+    A_dev = dia.fdm_2d_device(6, dtype=np.float64)
+    with pytest.raises(ValueError):
+        bis.preprocessing_device(A_dev, bis.SolverConfig(
+            method=SolverType.GAUSS_SEIDEL, dtype=np.float64))
+    with pytest.raises(ValueError):
+        bis.preprocessing_device(A_dev, bis.SolverConfig(
+            preconditioner=PrecondType.ILU0, dtype=np.float64))

@@ -1,0 +1,131 @@
+"""Native C++ host layer (csrc/bis_host.cpp) vs NumPy fallback parity.
+
+Each binding must produce byte-identical results to the NumPy oracle in
+factor.py / matrix.py / io/mmio.py.  Skipped when the library can't build.
+"""
+import io
+
+import numpy as np
+import pytest
+
+from basic_iterative_solvers_tpu import _native, generators
+from basic_iterative_solvers_tpu.matrix import MatrixCOO, MatrixCSR
+
+pytestmark = pytest.mark.skipif(not _native.available(),
+                                reason="native library unavailable")
+
+
+@pytest.fixture
+def A():
+    return generators.anderson(5, 4, 3, ranpot=6.0, seed=9)
+
+
+def test_parse_triplets():
+    text = "% a comment\n1 2 3.5\n\n2 1 -1e-3\n% mid comment\n3 3 7\n"
+    I, J, V = _native.parse_triplets(text, 3, with_value=True)
+    np.testing.assert_array_equal(I, [0, 1, 2])
+    np.testing.assert_array_equal(J, [1, 0, 2])
+    np.testing.assert_allclose(V, [3.5, -1e-3, 7.0])
+    I, J, V = _native.parse_triplets("2 3\n4 5\n", 2, with_value=False,
+                                     pattern_value=0.01)
+    np.testing.assert_array_equal(I, [1, 3])
+    np.testing.assert_allclose(V, [0.01, 0.01])
+    with pytest.raises(ValueError):
+        _native.parse_triplets("1 x 3\n", 1, with_value=True)
+
+
+def test_coo_to_csr_matches_numpy(A, monkeypatch):
+    rng = np.random.default_rng(3)
+    n = 40
+    nnz = 300
+    # random COO with guaranteed-unique (i, j)
+    flat = rng.choice(n * n, size=nnz, replace=False)
+    I, J = (flat // n).astype(np.int32), (flat % n).astype(np.int32)
+    V = rng.standard_normal(nnz)
+    coo = MatrixCOO.from_arrays(I, J, V, n_rows=n, n_cols=n)
+    row_ptr, col, val = _native.coo_to_csr(nnz, n, n, I, J, V)
+    # numpy oracle
+    perm = np.lexsort((J, I))
+    counts = np.bincount(I, minlength=n)
+    rp = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(counts, out=rp[1:])
+    np.testing.assert_array_equal(row_ptr, rp)
+    np.testing.assert_array_equal(col, J[perm])
+    np.testing.assert_allclose(val, V[perm])
+    # duplicates rejected
+    I2 = np.array([1, 1], dtype=np.int32)
+    J2 = np.array([2, 2], dtype=np.int32)
+    with pytest.raises(ValueError):
+        _native.coo_to_csr(2, n, n, I2, J2, np.ones(2))
+
+
+def test_split_lu_matches_numpy(A, monkeypatch):
+    native = _native.split_lu(A)
+    monkeypatch.setenv("BIS_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(_native, "_LIB", None)
+    monkeypatch.setattr(_native, "_TRIED", True)
+    from basic_iterative_solvers_tpu.factor import split_LU
+    ref = split_LU(A)
+    for Mn, Mr in zip(native, ref):
+        np.testing.assert_array_equal(Mn.row_ptr, Mr.row_ptr)
+        np.testing.assert_array_equal(Mn.col, Mr.col)
+        np.testing.assert_allclose(Mn.val, Mr.val, rtol=0)
+
+
+def test_peel_diag_and_errors(A):
+    D = _native.peel_diag(A, 1e-16, True, False)
+    np.testing.assert_allclose(D, A.diagonal())
+    from basic_iterative_solvers_tpu.factor import (MissingDiagonalError,
+                                                    ZeroDiagonalError)
+    no_diag = MatrixCSR.from_dense(np.array([[0.0, 1.0], [1.0, 1.0]]))
+    with pytest.raises(MissingDiagonalError):
+        _native.peel_diag(no_diag, 1e-16, True, False)
+    tiny = MatrixCSR.from_dense(np.array([[1e-20, 1.0], [1.0, 1.0]]))
+    with pytest.raises(ZeroDiagonalError):
+        _native.peel_diag(tiny, 1e-16, True, True)
+
+
+def test_ilu0_matches_numpy(A, monkeypatch):
+    native_val = _native.ilu0(A, 1e-8, 1e-4)
+    # run the pure-python fallback loop on a copy
+    monkeypatch.setenv("BIS_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(_native, "_LIB", None)
+    monkeypatch.setattr(_native, "_TRIED", True)
+    from basic_iterative_solvers_tpu.factor import factor_ilu0, _assemble_ilu0
+    ref = factor_ilu0(A, 1e-8, 1e-4)
+    got = _assemble_ilu0(A, native_val)
+    for Mn, Mr in zip(got[:2] + got[3:5], ref[:2] + ref[3:5]):
+        np.testing.assert_array_equal(Mn.col, Mr.col)
+        np.testing.assert_allclose(Mn.val, Mr.val, rtol=0, atol=0)
+
+
+def test_level_sets_match_numpy(A, monkeypatch):
+    from basic_iterative_solvers_tpu.factor import split_LU
+    _, Ls, _, Us = split_LU(A)
+    nat_lo = _native.level_sets(Ls)
+    nat_hi = _native.level_sets_upper(Us)
+    monkeypatch.setenv("BIS_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(_native, "_LIB", None)
+    monkeypatch.setattr(_native, "_TRIED", True)
+    from basic_iterative_solvers_tpu.factor import (level_sets_lower,
+                                                    level_sets_upper)
+    np.testing.assert_array_equal(nat_lo, level_sets_lower(Ls))
+    np.testing.assert_array_equal(nat_hi, level_sets_upper(Us))
+
+
+def test_spmv_matches_numpy(A):
+    x = np.random.default_rng(4).standard_normal(A.n_rows)
+    np.testing.assert_allclose(_native.spmv_csr(A, x), A.to_dense() @ x,
+                               rtol=1e-13)
+
+
+def test_read_mtx_native_path(tmp_path):
+    """read_mtx goes through bis_parse_triplets + bis_coo_to_csr when the
+    library is loaded; result must match the known matrix."""
+    from basic_iterative_solvers_tpu.io import read_mtx
+    path = tmp_path / "t.mtx"
+    path.write_text("%%MatrixMarket matrix coordinate real symmetric\n"
+                    "% comment\n3 3 4\n1 1 2.0\n2 2 2.0\n3 3 2.0\n2 1 -1.0\n")
+    A = read_mtx(str(path))
+    expect = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, 0.0], [0.0, 0.0, 2.0]])
+    np.testing.assert_allclose(A.to_dense(), expect)
