@@ -172,6 +172,66 @@ class ShardedCG:
         return jax.jit(lambda s: sharded(self.A.data, self.b, self.D_inv, s))
 
 
+def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
+    """Re-home a SolverSetup onto a device mesh (GSPMD mode).
+
+    The scaling-book recipe: annotate shardings on the inputs and let XLA's
+    SPMD partitioner insert the collectives.  DIA data rows are sharded
+    along the row axis (`P(None, axis)`), every solver vector along
+    `P(axis)`; the shifted-slice SpMV then lowers to neighbor
+    collective-permutes (halo exchange) and dots to all-reduces — the same
+    communication pattern ShardedCG spells out by hand with shard_map, but
+    applied automatically to *every* method and preconditioner in the
+    framework.  Pallas kernels are not auto-partitionable, so sharded setups
+    force the XLA SpMV path.
+
+    Works with the device-native (DIA) setups: matrix, b, x0, and all
+    preconditioner arrays are re-placed; returns a new SolverSetup.
+    """
+    import dataclasses as _dc
+
+    from ..device_matrix import DeviceDIA as _DIA
+
+    n_dev = mesh.devices.size
+    A = setup.A
+    if not isinstance(A, _DIA):
+        raise ValueError("shard_setup currently supports DIA matrices")
+    npad = A.data.shape[1]
+    if npad % n_dev:
+        raise ValueError(
+            f"padded rows {npad} not divisible by {n_dev} devices")
+
+    mat_sh = NamedSharding(mesh, P(None, axis))
+    vec_sh = NamedSharding(mesh, P(axis))
+
+    def place_mat(M):
+        if M is None:
+            return None
+        return _DIA(data=jax.device_put(M.data, mat_sh), offsets=M.offsets,
+                    n_rows=M.n_rows, n_cols=M.n_cols, row_tile=M.row_tile)
+
+    def place_vec(v):
+        # Solver vectors have length n (not npad); shard only when evenly
+        # divisible, else keep replicated (correct, just not distributed).
+        if v is None:
+            return None
+        if v.shape[-1] % n_dev == 0:
+            return jax.device_put(v, vec_sh)
+        return jax.device_put(v, NamedSharding(mesh, P()))
+
+    M = setup.M
+    M_sh = _dc.replace(
+        M, use_pallas=False,
+        A_D=place_vec(M.A_D), A_D_inv=place_vec(M.A_D_inv),
+        L_strict_dev=place_mat(M.L_strict_dev),
+        U_strict_dev=place_mat(M.U_strict_dev))
+    cfg = _dc.replace(setup.config, use_pallas=False)
+    return _dc.replace(
+        setup, config=cfg, A=place_mat(A), M=M_sh,
+        b=place_vec(setup.b), x0=place_vec(setup.x0),
+        A_D=place_vec(setup.A_D))
+
+
 def make_sharded_cg(A: DeviceDIA, b: jax.Array, mesh: Mesh,
                     D_inv: Optional[jax.Array] = None,
                     axis: str = AXIS) -> ShardedCG:
