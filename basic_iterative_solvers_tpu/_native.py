@@ -84,6 +84,12 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_spmv_csr.restype = None
     lib.bis_spmv_csr.argtypes = [ctypes.c_int32, _i64p, _i32p, _f64p,
                                  _f64p, _f64p]
+    lib.bis_bfs_perm.restype = None
+    lib.bis_bfs_perm.argtypes = [ctypes.c_int32, _i64p, _i32p, ctypes.c_int,
+                                 ctypes.c_int, _i32p]
+    lib.bis_permute_csr.restype = None
+    lib.bis_permute_csr.argtypes = [ctypes.c_int32, _i64p, _i32p, _f64p,
+                                    _i32p, _i32p, _i64p, _i32p, _f64p]
     _LIB = lib
     return _LIB
 
@@ -208,6 +214,33 @@ def level_sets(T_strict, upper: bool = False):
 
 def level_sets_upper(T_strict):
     return level_sets(T_strict, upper=True)
+
+
+def bfs_perm(A, reverse: bool, sort_by_degree: bool):
+    """BFS/RCM ordering (perm[new] = old), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    perm = np.empty(A.n_rows, dtype=np.int32)
+    lib.bis_bfs_perm(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
+                     1 if reverse else 0, 1 if sort_by_degree else 0, perm)
+    return perm
+
+
+def permute_csr(A, perm, inv_perm):
+    """A' = P A P^T as a new MatrixCSR, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    from .matrix import MatrixCSR
+    row_ptr = np.empty(A.n_rows + 1, dtype=np.int64)
+    col = np.empty(A.nnz, dtype=np.int32)
+    val = np.empty(A.nnz, dtype=np.float64)
+    lib.bis_permute_csr(A.n_rows, _as(A.row_ptr, np.int64),
+                        _as(A.col, np.int32), _as(A.val, np.float64),
+                        _as(perm, np.int32), _as(inv_perm, np.int32),
+                        row_ptr, col, val)
+    return MatrixCSR(A.n_rows, A.n_cols, A.nnz, row_ptr, col, val)
 
 
 def spmv_csr(A, x):

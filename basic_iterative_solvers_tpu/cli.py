@@ -11,9 +11,11 @@ and main.cpp:17-100):
     -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0
     -rl <int>       GMRES restart length (default 10)
     -scale <0|1>    symmetric diagonal equilibration
+    -perm <mode>    matrix reordering: none|bfs|rcm (SMAX PERM_MODE analog)
 
 TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --dtype float32|float64   (default: f32 on TPU, f64 on CPU)
+    --matrix-dtype bfloat16   matrix-data storage dtype (default: --dtype)
     --harness host|fused      (default fused on TPU, host on CPU)
     --format auto|dia|ell
     --max-iters N --tol T --inner K --outer K
@@ -82,8 +84,12 @@ def parse_cli(argv) -> tuple:
             opts["restart_length"] = int(need_value())
         elif arg == "-scale":
             opts["num_scale"] = bool(int(need_value()))
+        elif arg == "-perm":
+            opts["perm_mode"] = need_value()
         elif arg == "--dtype":
             extras["dtype"] = np.dtype(need_value())
+        elif arg == "--matrix-dtype":
+            extras["matrix_dtype"] = need_value()
         elif arg == "--harness":
             extras["harness"] = need_value()
         elif arg == "--format":
@@ -128,15 +134,35 @@ def run(argv=None) -> int:
     config = SolverConfig(**opts, **extras)
 
     from . import generators
-    from .solvers import preprocessing, solve
+    from .solvers import preprocessing, preprocessing_device, solve
     from .utils.report import roofline_report, summary_output
+
+    # Generator specs build on-device (no O(nnz) host passes) whenever the
+    # method/preconditioner don't need the host CSR (exact triangular
+    # solves, reordering); file sources and those cases use the host path.
+    from .dia import _GEN_RE, from_source_device
+    from .precond import DEVICE_NATIVE_PRECONDS
+    from .types import SolverType as _ST
+    device_path = (
+        _GEN_RE.match(matrix_source) is not None
+        and config.preconditioner in DEVICE_NATIVE_PRECONDS
+        and config.method not in (_ST.GAUSS_SEIDEL, _ST.SYMMETRIC_GAUSS_SEIDEL)
+        and config.perm_mode == "none"
+        and config.matrix_format in ("auto", "dia"))
 
     timers = Timers()
     with timers.time("total"):
-        with timers.time("read_matrix"):
-            A = generators.from_source(matrix_source)
-        with timers.time("preprocessing"):
-            setup = preprocessing(A, config, timers=timers)
+        if device_path:
+            with timers.time("read_matrix"):
+                A_dev = from_source_device(matrix_source,
+                                           dtype=config.mat_dtype())
+            with timers.time("preprocessing"):
+                setup = preprocessing_device(A_dev, config, timers=timers)
+        else:
+            with timers.time("read_matrix"):
+                A = generators.from_source(matrix_source)
+            with timers.time("preprocessing"):
+                setup = preprocessing(A, config, timers=timers)
         with timers.time("solve"):
             result = solve(setup)
         with timers.time("postprocessing"):

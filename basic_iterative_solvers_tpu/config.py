@@ -41,9 +41,19 @@ class SolverConfig:
 
     # Runtime options (reference '-scale')
     num_scale: bool = False
+    # Matrix reordering before the solve (SMAX permute_mat analog,
+    # smax_helpers.hpp:44-80): "none", "bfs", or "rcm".  Shrinks the
+    # level count of exact triangular solves; x_star is mapped back to the
+    # original ordering on output.
+    perm_mode: str = "none"
 
     # TPU-native additions (no reference analog)
     dtype: np.dtype = np.float64      # fp64 = reference parity; fp32 = TPU perf mode
+    # Matrix-data storage dtype (None = same as dtype).  "bfloat16" halves
+    # the SpMV HBM stream — the dominant per-iteration cost — while all
+    # vector arithmetic and reductions stay in `dtype`.  Mixed-precision
+    # perf mode; affects convergence like any inexact operator.
+    matrix_dtype: Optional[str] = None
     # Device sparse format: "auto" picks DIA for matrices with few nonzero
     # diagonals (stencils/banded), ELL otherwise.
     matrix_format: str = "auto"
@@ -61,6 +71,15 @@ class SolverConfig:
 
     def spec_dtype(self):
         return np.dtype(self.dtype)
+
+    def mat_dtype(self):
+        """Storage dtype for device matrix data (defaults to spec_dtype)."""
+        if self.matrix_dtype is None:
+            return self.spec_dtype()
+        if str(self.matrix_dtype) in ("bfloat16", "bf16"):
+            import ml_dtypes
+            return np.dtype(ml_dtypes.bfloat16)
+        return np.dtype(self.matrix_dtype)
 
 
 @dataclasses.dataclass

@@ -28,17 +28,42 @@ from jax.experimental.pallas import tpu as pltpu
 #: minimum rows per grid step (multiple of the 8x128 f32 tile)
 MIN_ROW_TILE = 8192
 
-#: VMEM budget for the double-buffered operand blocks (bytes)
-VMEM_BUDGET = 12 * 1024 * 1024
+#: VMEM budget for the double-buffered operand blocks (bytes).  v5e has
+#: 128 MiB of VMEM per core; Mosaic's default scoped limit is 16 MiB, so the
+#: kernel requests a higher ceiling (vmem_limit_bytes below) and this budget
+#: keeps block sizing safely under it.
+VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+_LANE = 128  # vreg lane count; slices at multiples of this are relayout-free
 
 
 def _dia_kernel(offsets, hneg, R, data_ref, xlo_ref, xhi_ref, y_ref):
+    """Shifted-slice accumulation with lane-aligned reads.
+
+    A slice at an arbitrary offset costs a cross-lane rotate per diagonal —
+    that, not HBM, bounds the naive kernel.  Diagonals are therefore grouped
+    by their offset's residue mod the lane width: one rotate of the window
+    per distinct residue (stencil matrices have very few — e.g. HPCG on a
+    128-multiple grid has 3), then every slice in the group starts at a
+    lane-aligned position.
+    """
     window = jnp.concatenate([xlo_ref[:], xhi_ref[:]])   # (2R,) in VMEM
-    acc = jnp.zeros((R,), dtype=y_ref.dtype)
+    groups = {}
     for d, off in enumerate(offsets):
         start = off + hneg  # static in [0, R + H) ⊆ [0, 2R)
-        acc = acc + data_ref[d, :] * jax.lax.slice(window, (start,),
-                                                   (start + R,))
+        r = start % _LANE
+        groups.setdefault(r, []).append((d, start - r))
+    acc = jnp.zeros((R,), dtype=y_ref.dtype)
+    for r, items in sorted(groups.items()):
+        # Wr[j] = window[j + r]: one un-aligned shift per residue group;
+        # every slice below then starts at a lane multiple.  (base + R never
+        # reads past 2R - r: base ≤ hneg + hpos - r ≤ R - r.)
+        Wr = jax.lax.slice(window, (r,), (2 * R,)) if r else window
+        for d, base in items:
+            acc = acc + data_ref[d, :] * jax.lax.slice(Wr, (base,),
+                                                       (base + R,))
     y_ref[:] = acc
 
 
@@ -55,11 +80,14 @@ def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
     hneg = max(0, -min(offsets))
     hpos = max(0, max(offsets))
     itemsize = x.dtype.itemsize
-    vmem_need = 2 * (k + 3) * R * itemsize  # data + xlo + xhi (+y), 2-buffered
+    d_itemsize = A.data.dtype.itemsize
+    # data + xlo + xhi (+y), all double-buffered by the Pallas pipeline
+    vmem_need = 2 * (k * R * d_itemsize + 3 * R * itemsize)
     on_tpu = jax.default_backend() == "tpu"
     # Mosaic has no f64 register tiling — 8-byte dtypes take the XLA path.
+    # Narrower matrix data (bf16 mode) is fine: products promote to x.dtype.
     if ((npad % R != 0) or (hneg + hpos) > R or vmem_need > VMEM_BUDGET
-            or not on_tpu or itemsize > 4 or A.data.dtype != x.dtype):
+            or not on_tpu or itemsize > 4 or d_itemsize > itemsize):
         from .spmv import spmv_dia
         return spmv_dia(A, x, use_pallas=False)
 
@@ -88,7 +116,8 @@ def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * npad,
-            bytes_accessed=(k * npad + 3 * n) * itemsize,
+            bytes_accessed=k * npad * d_itemsize + 3 * n * itemsize,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(A.data, xp, xp)
     return y[:n]

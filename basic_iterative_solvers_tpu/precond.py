@@ -60,6 +60,7 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
     the solver setup to avoid re-factorizing."""
     pt = config.preconditioner
     dtype = config.spec_dtype()
+    mat_dtype = config.mat_dtype()
     kw = dict(ptype=pt, outer_iters=config.precond_outer_iters,
               inner_iters=config.precond_inner_iters,
               use_pallas=config.use_pallas)
@@ -93,16 +94,16 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
     if pt == PrecondType.TWO_STAGE_GS:
         return Preconditioner(
             A_D=A_D, A_D_inv=A_D_inv,
-            L_strict_dev=from_csr(factors.L_strict, dtype,
+            L_strict_dev=from_csr(factors.L_strict, mat_dtype,
                                   config.matrix_format, config.dia_max_diags,
                                   config.dia_min_fill), **kw)
     if pt == PrecondType.SYMMETRIC_TWO_STAGE_GS:
         return Preconditioner(
             A_D=A_D, A_D_inv=A_D_inv,
-            L_strict_dev=from_csr(factors.L_strict, dtype,
+            L_strict_dev=from_csr(factors.L_strict, mat_dtype,
                                   config.matrix_format, config.dia_max_diags,
                                   config.dia_min_fill),
-            U_strict_dev=from_csr(factors.U_strict, dtype,
+            U_strict_dev=from_csr(factors.U_strict, mat_dtype,
                                   config.matrix_format, config.dia_max_diags,
                                   config.dia_min_fill), **kw)
     if pt == PrecondType.ILU0:
@@ -135,6 +136,7 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
     """
     from .dia import dia_split
     pt = config.preconditioner
+    dtype = config.spec_dtype()
     kw = dict(ptype=pt, outer_iters=config.precond_outer_iters,
               inner_iters=config.precond_inner_iters,
               use_pallas=config.use_pallas)
@@ -145,6 +147,11 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
             f"preconditioner {pt} needs exact triangular solves; build "
             "through the host CSR path (preprocessing) instead")
     L_strict, U_strict, A_D, A_D_inv = dia_split(A_dev)
+    # Diagonal arrays participate in vector arithmetic — keep them at the
+    # vector dtype even when matrix data is stored narrower (bf16 mode).
+    if A_D.dtype != dtype:
+        A_D = A_D.astype(dtype)
+        A_D_inv = (1.0 / A_D).astype(dtype)
     if pt == PrecondType.JACOBI:
         return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
     if pt == PrecondType.TWO_STAGE_GS:

@@ -55,6 +55,7 @@ class SolverSetup:
     L_strict_dev: Any = None
     A_D: Optional[jax.Array] = None
     scale_vec: Optional[np.ndarray] = None   # num_scale diag (D^{-1/2})
+    inv_perm: Optional[np.ndarray] = None    # perm_mode inverse mapping
 
     @property
     def dtype(self):
@@ -90,6 +91,18 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
             b_host = b_host * scale_vec
             x0_host = x0_host * scale_vec
 
+    # Matrix reordering (SMAX permute_mat analog, preprocessing.hpp:52-65):
+    # solve P A Pᵀ (Px) = Pb in the permuted ordering; x_star is mapped back
+    # in _finalize_x.
+    inv_perm = None
+    if config.perm_mode != "none":
+        from ..permute import compute_permutation, permute_csr
+        with timers.time("preprocessing_permute"):
+            perm, inv_perm = compute_permutation(A, config.perm_mode)
+            A = permute_csr(A, perm, inv_perm)
+            b_host = b_host[perm]
+            x0_host = x0_host[perm]
+
     needs_factors = (config.preconditioner != PrecondType.NONE
                      or config.method in (SolverType.JACOBI,
                                           SolverType.GAUSS_SEIDEL,
@@ -103,7 +116,7 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
                 pivot_replacement=config.ilu0_pivot_replacement)
 
     with timers.time("preprocessing_device"):
-        A_dev = from_csr(A, dtype, config.matrix_format,
+        A_dev = from_csr(A, config.mat_dtype(), config.matrix_format,
                          config.dia_max_diags, config.dia_min_fill)
         M = setup_preconditioner(A, config, factors)
         setup = SolverSetup(
@@ -111,7 +124,7 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
             b=jnp.asarray(b_host.astype(dtype)),
             x0=jnp.asarray(x0_host.astype(dtype)),
             n=n, A_host=A, factors=factors,
-            scale_vec=scale_vec,
+            scale_vec=scale_vec, inv_perm=inv_perm,
             A_D=(jnp.asarray(factors.A_D.astype(dtype))
                  if factors is not None else None))
 
@@ -170,6 +183,10 @@ def preprocessing_device(A_dev, config: SolverConfig,
         raise ValueError(
             f"method {config.method} requires exact triangular solves: "
             "use preprocessing()")
+    md = config.mat_dtype()
+    if A_dev.dtype != md:
+        import dataclasses as _dc
+        A_dev = _dc.replace(A_dev, data=A_dev.data.astype(md))
 
     b_dev = (jnp.full(n, config.b_val, dtype=dtype) if b is None
              else jnp.asarray(b, dtype=dtype))
@@ -186,7 +203,8 @@ def preprocessing_device(A_dev, config: SolverConfig,
 
     with timers.time("preprocessing_device"):
         M = setup_preconditioner_dia(A_dev, config)
-        A_D = M.A_D if M.A_D is not None else dia_diag(A_dev)
+        A_D = (M.A_D if M.A_D is not None
+               else dia_diag(A_dev).astype(dtype))
         return SolverSetup(config=config, A=A_dev, M=M, b=b_dev, x0=x0_dev,
                            n=n, A_host=None, scale_vec=scale_vec, A_D=A_D)
 
@@ -202,6 +220,14 @@ def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
     r = setup.b - spmv(setup.A, jnp.asarray(x_star, dtype=setup.b.dtype),
                        setup.config.use_pallas)
     return float(jnp.sqrt(jnp.dot(r, r)))
+
+
+def finalize_x(setup: SolverSetup, x_star: np.ndarray) -> np.ndarray:
+    """Map the solution back to the user's row ordering (inverse of the
+    perm_mode permutation applied in preprocessing)."""
+    if setup.inv_perm is not None:
+        return x_star[setup.inv_perm]
+    return x_star
 
 
 @dataclasses.dataclass
@@ -295,8 +321,10 @@ def _solve_host(setup: SolverSetup, method, timers: Timers,
 
     converged = residual_norm < stopping
     x_star = np.asarray(jax.block_until_ready(method.final_x(state)))
-    # save_x_star: record the explicit final residual (solver.hpp:153-159)
+    # save_x_star: record the explicit final residual (solver.hpp:153-159);
+    # computed in the solve ordering, then mapped back to the user's.
     final_norm = explicit_residual_norm(setup, x_star)
+    x_star = finalize_x(setup, x_star)
     norms[hist_count] = final_norm
     hist_count += 1
 

@@ -99,8 +99,9 @@ class FusedRunner:
         norms = np.array(norms)[:hist + 1]
         residual_norm = float(state["residual_norm"])
         x_star = np.asarray(self.final_x(state))
-        from .base import explicit_residual_norm
+        from .base import explicit_residual_norm, finalize_x
         final_norm = explicit_residual_norm(setup, x_star)
+        x_star = finalize_x(setup, x_star)
         norms[hist] = final_norm
         times = np.full(hist + 1, solve_seconds / max(1, it))
 

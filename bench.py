@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--iters", type=int, default=200)
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
+    ap.add_argument("--matrix-dtype", default=None,
+                    help="matrix data storage dtype (e.g. bfloat16); "
+                         "default = --dtype")
     ap.add_argument("--restart-length", type=int, default=50)
     ap.add_argument("--precond-inner-iters", type=int, default=1)
     args = ap.parse_args()
@@ -73,9 +76,11 @@ def main():
     # construction and all of setup are diagonal-row slices on the TPU, no
     # O(nnz) host passes.  File sources go through the host CSR pipeline.
     is_gen = bis.dia._GEN_RE.match(args.matrix) is not None
+    mat_dt = bis.SolverConfig(matrix_dtype=args.matrix_dtype,
+                              dtype=dtype).mat_dtype()
     t0 = time.perf_counter()
     if is_gen:
-        A = bis.dia.from_source_device(args.matrix, dtype=dtype)
+        A = bis.dia.from_source_device(args.matrix, dtype=mat_dt)
         jax.block_until_ready(A.data)
         n_rows = A.n_rows
         nnz = int(jax.jit(lambda d: (d != 0).sum())(A.data))
@@ -94,7 +99,7 @@ def main():
     cfg = bis.SolverConfig(
         method=getattr(bis.SolverType, method_name),
         preconditioner=getattr(bis.PrecondType, precond_name),
-        dtype=dtype, harness="fused",
+        dtype=dtype, matrix_dtype=args.matrix_dtype, harness="fused",
         max_iters=args.iters, tolerance=0.0,   # run exactly `iters` iterations
         restart_length=args.restart_length,
         precond_inner_iters=args.precond_inner_iters)

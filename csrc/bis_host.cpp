@@ -270,6 +270,103 @@ void bis_level_sets(int32_t n_rows, const int64_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// BFS / RCM orderings (the SMAX permute_mat analog,
+// /root/reference/utilities/smax_helpers.hpp:44-80 + PERM_MODE,
+// CMakeLists.txt:128-136).  Reordering shrinks triangular-solve level counts
+// (wavefront depth), which is what makes the exact SpTRSV scan practical on
+// TPU.  perm[new_index] = old_index.  Pattern is taken as given (callers pass
+// A whose pattern is structurally symmetric for the matrices of interest;
+// unreached components are appended in natural order).
+// reverse=1 gives RCM (Cuthill-McKee reversed); sort_by_degree=1 orders each
+// BFS frontier by ascending degree (the CM rule).
+// ---------------------------------------------------------------------------
+void bis_bfs_perm(int32_t n_rows, const int64_t* row_ptr, const int32_t* col,
+                  int reverse, int sort_by_degree, int32_t* perm) {
+    std::vector<unsigned char> seen((size_t)n_rows, 0);
+    std::vector<int32_t> queue;
+    queue.reserve((size_t)n_rows);
+    std::vector<int32_t> nbrs;
+    long long head = 0;
+    for (int32_t start = 0; start < n_rows; ++start) {
+        if (seen[(size_t)start]) continue;
+        // component seed: lowest-degree unseen node scan is O(n^2) worst
+        // case; use the natural-order seed (matches simple BFS modes).
+        seen[(size_t)start] = 1;
+        queue.push_back(start);
+        while (head < (long long)queue.size()) {
+            int32_t u = queue[(size_t)head++];
+            nbrs.clear();
+            for (int64_t k = row_ptr[u]; k < row_ptr[u + 1]; ++k) {
+                int32_t v = col[k];
+                if (v >= 0 && v < n_rows && !seen[(size_t)v]) {
+                    seen[(size_t)v] = 1;
+                    nbrs.push_back(v);
+                }
+            }
+            if (sort_by_degree) {
+                // insertion sort by degree (frontiers are small)
+                for (size_t a = 1; a < nbrs.size(); ++a) {
+                    int32_t x = nbrs[a];
+                    int64_t dx = row_ptr[x + 1] - row_ptr[x];
+                    size_t b = a;
+                    while (b > 0) {
+                        int32_t y = nbrs[b - 1];
+                        if (row_ptr[y + 1] - row_ptr[y] <= dx) break;
+                        nbrs[b] = y;
+                        --b;
+                    }
+                    nbrs[b] = x;
+                }
+            }
+            for (int32_t v : nbrs) queue.push_back(v);
+        }
+    }
+    if (reverse) {
+        for (int32_t i = 0; i < n_rows; ++i)
+            perm[i] = queue[(size_t)(n_rows - 1 - i)];
+    } else {
+        for (int32_t i = 0; i < n_rows; ++i) perm[i] = queue[(size_t)i];
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Symmetric permutation A' = P A P^T with column-sorted rows:
+// A'[new_i, inv[j]] = A[perm[new_i], j].
+// ---------------------------------------------------------------------------
+void bis_permute_csr(int32_t n_rows, const int64_t* row_ptr,
+                     const int32_t* col, const double* val,
+                     const int32_t* perm, const int32_t* inv_perm,
+                     int64_t* out_ptr, int32_t* out_col, double* out_val) {
+    out_ptr[0] = 0;
+    for (int32_t ni = 0; ni < n_rows; ++ni) {
+        int32_t oi = perm[ni];
+        out_ptr[ni + 1] = out_ptr[ni] + (row_ptr[oi + 1] - row_ptr[oi]);
+    }
+    std::vector<std::pair<int32_t, double>> row;
+    for (int32_t ni = 0; ni < n_rows; ++ni) {
+        int32_t oi = perm[ni];
+        row.clear();
+        for (int64_t k = row_ptr[oi]; k < row_ptr[oi + 1]; ++k)
+            row.emplace_back(inv_perm[col[k]], val[k]);
+        // insertion sort by new column (rows are short)
+        for (size_t a = 1; a < row.size(); ++a) {
+            auto x = row[a];
+            size_t b = a;
+            while (b > 0 && row[b - 1].first > x.first) {
+                row[b] = row[b - 1];
+                --b;
+            }
+            row[b] = x;
+        }
+        int64_t o = out_ptr[ni];
+        for (size_t a = 0; a < row.size(); ++a) {
+            out_col[o + (int64_t)a] = row[a].first;
+            out_val[o + (int64_t)a] = row[a].second;
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // CSR SpMV host oracle (native_spmv analog, /root/reference/kernels.hpp:22-42)
 // — used for explicit final residuals on host matrices.
 // ---------------------------------------------------------------------------

@@ -1,0 +1,60 @@
+"""Mixed-precision (bf16 matrix data) mode.
+
+Matrix data stored bfloat16 while all vector arithmetic stays float32 —
+the SpMV HBM-stream halving perf mode.  Correctness bar: the solve still
+converges, to a tolerance consistent with a bf16-perturbed operator.
+"""
+import numpy as np
+import pytest
+
+import basic_iterative_solvers_tpu as bis
+from basic_iterative_solvers_tpu import dia
+from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+
+
+def test_mat_dtype_resolution():
+    import ml_dtypes
+    cfg = bis.SolverConfig(dtype=np.float32)
+    assert cfg.mat_dtype() == np.float32
+    cfg = bis.SolverConfig(dtype=np.float32, matrix_dtype="bfloat16")
+    assert cfg.mat_dtype() == np.dtype(ml_dtypes.bfloat16)
+
+
+@pytest.mark.parametrize("method,precond", [
+    (SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI),
+    (SolverType.BICGSTAB, PrecondType.SYMMETRIC_TWO_STAGE_GS),
+])
+def test_bf16_matrix_device_path(method, precond):
+    A = dia.stencil_27pt_device(6, 6, 6, dtype=np.float32)
+    cfg = bis.SolverConfig(method=method, preconditioner=precond,
+                           dtype=np.float32, matrix_dtype="bfloat16",
+                           precond_inner_iters=1,
+                           tolerance=1e-4, harness="fused")
+    setup = bis.preprocessing_device(A, cfg)
+    import ml_dtypes
+    assert setup.A.data.dtype == np.dtype(ml_dtypes.bfloat16)
+    assert setup.b.dtype == np.float32            # vectors stay f32
+    assert setup.M.A_D is None or setup.M.A_D.dtype == np.float32
+    res = bis.solve(setup)
+    assert res.converged
+    # answer quality consistent with a bf16 operator (roughly 3 digits)
+    x_ref = bis.solve(bis.preprocessing_device(
+        A, bis.SolverConfig(method=method, preconditioner=precond,
+                            dtype=np.float32, precond_inner_iters=1,
+                            tolerance=1e-4, harness="fused"))).x_star
+    np.testing.assert_allclose(res.x_star, x_ref, rtol=2e-2, atol=2e-2)
+
+
+def test_bf16_matrix_host_path():
+    A = bis.generators.fdm_2d(12)
+    cfg = bis.SolverConfig(method=SolverType.BICGSTAB,
+                           preconditioner=PrecondType.TWO_STAGE_GS,
+                           precond_inner_iters=1,
+                           dtype=np.float32, matrix_dtype="bfloat16",
+                           tolerance=1e-4, harness="fused")
+    setup = bis.preprocessing(A, cfg)
+    import ml_dtypes
+    assert setup.A.data.dtype == np.dtype(ml_dtypes.bfloat16)
+    assert setup.M.L_strict_dev.data.dtype == np.dtype(ml_dtypes.bfloat16)
+    res = bis.solve(setup)
+    assert res.converged
