@@ -39,6 +39,8 @@ from .factor import factor_LU, split_LU, peel_diag, extract_scale  # noqa: E402,
 from .device_matrix import DeviceDIA, DeviceELL, from_csr  # noqa: E402,F401
 from . import dia  # noqa: E402,F401
 from . import permute  # noqa: E402,F401
+from . import stencil_op  # noqa: E402,F401
+from .stencil_op import DeviceStencil  # noqa: E402,F401
 from .precond import (Preconditioner, setup_preconditioner,  # noqa: E402,F401
                       setup_preconditioner_dia, apply_preconditioner)
 from .solvers import (SolverSetup, SolveResult, preprocessing,  # noqa: E402,F401

@@ -152,4 +152,7 @@ def device_matrix_nnz_bytes(M) -> int:
     itemsize = np.dtype(M.dtype).itemsize
     if isinstance(M, DeviceDIA):
         return M.nnz_stored * itemsize
-    return M.nnz_stored * (itemsize + 4)  # values + int32 col indices
+    if isinstance(M, DeviceELL):
+        return M.nnz_stored * (itemsize + 4)  # values + int32 col indices
+    # matrix-free stencil: only the dense diagonal (if any) is streamed
+    return M.nnz_stored * itemsize

@@ -191,22 +191,36 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
     import dataclasses as _dc
 
     from ..device_matrix import DeviceDIA as _DIA
+    from ..stencil_op import DeviceStencil as _ST
 
     n_dev = mesh.devices.size
     A = setup.A
-    if not isinstance(A, _DIA):
-        raise ValueError("shard_setup currently supports DIA matrices")
-    npad = A.data.shape[1]
+    if isinstance(A, _ST):
+        npad = A.diag.shape[0] if A.diag is not None else (
+            -(-A.n_rows // A.row_tile) * A.row_tile)
+    elif isinstance(A, _DIA):
+        npad = A.data.shape[1]
+    else:
+        raise ValueError("shard_setup supports DIA and stencil matrices")
     if npad % n_dev:
         raise ValueError(
             f"padded rows {npad} not divisible by {n_dev} devices")
 
     mat_sh = NamedSharding(mesh, P(None, axis))
     vec_sh = NamedSharding(mesh, P(axis))
+    rep_sh = NamedSharding(mesh, P())
 
     def place_mat(M):
         if M is None:
             return None
+        if isinstance(M, _ST):
+            # matrix-free: coefficients replicated, dense diagonal sharded;
+            # the sharded path uses the XLA stencil apply (pure jnp ops), so
+            # GSPMD partitions it like any elementwise+shift graph.
+            return _dc.replace(
+                M, coeffs=jax.device_put(M.coeffs, rep_sh),
+                diag=(jax.device_put(M.diag, vec_sh)
+                      if M.diag is not None else None))
         return _DIA(data=jax.device_put(M.data, mat_sh), offsets=M.offsets,
                     n_rows=M.n_rows, n_cols=M.n_cols, row_tile=M.row_tile)
 

@@ -135,6 +135,7 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
     (setup_preconditioner) for those.
     """
     from .dia import dia_split
+    from .stencil_op import DeviceStencil, stencil_split
     pt = config.preconditioner
     dtype = config.spec_dtype()
     kw = dict(ptype=pt, outer_iters=config.precond_outer_iters,
@@ -146,7 +147,8 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
         raise ValueError(
             f"preconditioner {pt} needs exact triangular solves; build "
             "through the host CSR path (preprocessing) instead")
-    L_strict, U_strict, A_D, A_D_inv = dia_split(A_dev)
+    split = stencil_split if isinstance(A_dev, DeviceStencil) else dia_split
+    L_strict, U_strict, A_D, A_D_inv = split(A_dev)
     # Diagonal arrays participate in vector arithmetic — keep them at the
     # vector dtype even when matrix data is stored narrower (bf16 mode).
     if A_D.dtype != dtype:

@@ -168,6 +168,8 @@ def preprocessing_device(A_dev, config: SolverConfig,
     import jax.numpy as jnp  # noqa: F811 (local for clarity)
     from ..dia import dia_diag, dia_extract_scale, dia_scale
     from ..precond import DEVICE_NATIVE_PRECONDS, setup_preconditioner_dia
+    from ..stencil_op import DeviceStencil, stencil_diag
+    is_stencil = isinstance(A_dev, DeviceStencil)
 
     timers = timers or Timers()
     dtype = config.spec_dtype()
@@ -186,7 +188,13 @@ def preprocessing_device(A_dev, config: SolverConfig,
     md = config.mat_dtype()
     if A_dev.dtype != md:
         import dataclasses as _dc
-        A_dev = _dc.replace(A_dev, data=A_dev.data.astype(md))
+        if is_stencil:
+            A_dev = _dc.replace(
+                A_dev, coeffs=A_dev.coeffs.astype(md),
+                diag=(A_dev.diag.astype(md)
+                      if A_dev.diag is not None else None))
+        else:
+            A_dev = _dc.replace(A_dev, data=A_dev.data.astype(md))
 
     b_dev = (jnp.full(n, config.b_val, dtype=dtype) if b is None
              else jnp.asarray(b, dtype=dtype))
@@ -195,6 +203,10 @@ def preprocessing_device(A_dev, config: SolverConfig,
 
     scale_vec = None
     if config.num_scale:
+        if is_stencil:
+            raise ValueError(
+                "num_scale breaks the constant-coefficient structure; use "
+                "the DIA format (matrix_format='dia') for scaled solves")
         with timers.time("preprocessing_scale"):
             scale_vec = dia_extract_scale(A_dev)
             A_dev = dia_scale(A_dev, scale_vec)
@@ -203,8 +215,9 @@ def preprocessing_device(A_dev, config: SolverConfig,
 
     with timers.time("preprocessing_device"):
         M = setup_preconditioner_dia(A_dev, config)
+        diag_of = stencil_diag if is_stencil else dia_diag
         A_D = (M.A_D if M.A_D is not None
-               else dia_diag(A_dev).astype(dtype))
+               else diag_of(A_dev).astype(dtype))
         return SolverSetup(config=config, A=A_dev, M=M, b=b_dev, x0=x0_dev,
                            n=n, A_host=None, scale_vec=scale_vec, A_D=A_D)
 

@@ -1,0 +1,486 @@
+"""Matrix-free constant-stencil operator.
+
+Every matrix family the reference benchmarks is a constant-coefficient
+stencil on a regular grid (HPCG 27-point, FDM Laplacian, Anderson hopping —
+/root/reference/README.md:3-6, sparse_matrix.hpp:560-735).  The reference
+stores them as general CRS because a CPU SpMV doesn't care; on TPU the
+matrix stream *is* the cost (DIA moves ~4 bytes of matrix data per nonzero).
+A constant stencil needs **zero** matrix traffic: y[i] = Σ_leg c · x[i+off]
+with boundary masks computed from index arithmetic in-register.  The SpMV
+then reads x (twice, block-windowed) and writes y — ~34 MB per application
+on HPCG-128 instead of ~260 MB.
+
+`DeviceStencil` carries:
+  * static legs (dx, dy, dz) with one scalar coefficient each (open
+    boundary), and
+  * an optional dense diagonal vector (Anderson's random on-site term),
+    streamed like a single DIA row.
+
+The L/U "factorization" for preconditioners is leg partitioning by linear
+offset sign — the same structural free lunch as dia.dia_split.  Not every
+matrix is a constant stencil; this is an opt-in format
+(matrix_format="stencil") valid only for generator sources, and
+`stencil_to_dia` lowers to DIA for paths that need explicit data (GSPMD
+sharding, ELL comparisons).
+"""
+from __future__ import annotations
+
+import dataclasses
+import re
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .device_matrix import DeviceDIA
+from .ops.pallas_spmv import MIN_ROW_TILE, _VMEM_LIMIT
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["coeffs", "diag"],
+         meta_fields=["legs", "dims", "n_rows", "n_cols", "row_tile"])
+@dataclasses.dataclass
+class DeviceStencil:
+    """Constant-coefficient stencil on an open-boundary nx×ny×nz grid.
+
+    coeffs[l] multiplies x at grid offset legs[l] = (dx, dy, dz); when
+    `diag` is given it overrides the (0,0,0) leg with a dense vector.
+    Rows are x-fastest (i = x + nx*(y + ny*z)), padded to row_tile.
+    """
+
+    coeffs: jax.Array                      # (n_legs,) vector dtype
+    diag: Optional[jax.Array]              # (npad,) or None
+    legs: Tuple[Tuple[int, int, int], ...]
+    dims: Tuple[int, int, int]
+    n_rows: int
+    n_cols: int
+    row_tile: int
+
+    @property
+    def dtype(self):
+        return self.coeffs.dtype
+
+    @property
+    def offsets(self) -> Tuple[int, ...]:
+        nx, ny, _ = self.dims
+        return tuple(sorted({dx + nx * (dy + ny * dz)
+                             for (dx, dy, dz) in self.legs}))
+
+    @property
+    def nnz_stored(self) -> int:
+        # streamed bytes per apply: only the dense diagonal (if any)
+        return self.n_rows if self.diag is not None else 0
+
+
+def _legs_sorted(legs_coeffs):
+    return tuple(sorted(legs_coeffs,
+                        key=lambda lc: (lc[0][2], lc[0][1], lc[0][0])))
+
+
+def _row_tile_for_dims(legs, nx, ny, nz) -> int:
+    offs = [dx + nx * (dy + ny * dz) for (dx, dy, dz) in legs] or [0]
+    h = max(0, -min(offs)) + max(0, max(offs))
+    return max(MIN_ROW_TILE, -(-h // MIN_ROW_TILE) * MIN_ROW_TILE)
+
+
+def make_stencil(legs_coeffs, nx: int, ny: int, nz: int, dtype=jnp.float32,
+                 diag: Optional[jax.Array] = None) -> DeviceStencil:
+    """legs_coeffs: iterable of ((dx, dy, dz), coefficient)."""
+    legs_coeffs = [(tuple(l), float(c)) for (l, c) in legs_coeffs
+                   if (nx - abs(l[0])) > 0 and (ny - abs(l[1])) > 0
+                   and (nz - abs(l[2])) > 0]
+    legs_coeffs = _legs_sorted(legs_coeffs)
+    legs = tuple(l for (l, _) in legs_coeffs)
+    if len(set(legs)) != len(legs):
+        raise ValueError("duplicate stencil legs")
+    coeffs = jnp.asarray([c for (_, c) in legs_coeffs], dtype=dtype)
+    n = nx * ny * nz
+    row_tile = _row_tile_for_dims(legs, nx, ny, nz)
+    npad = max(row_tile, -(-n // row_tile) * row_tile)
+    if diag is not None:
+        d = jnp.zeros(npad, dtype=dtype).at[:n].set(
+            jnp.asarray(diag, dtype=dtype))
+    else:
+        d = None
+    return DeviceStencil(coeffs=coeffs, diag=d, legs=legs,
+                         dims=(nx, ny, nz), n_rows=n, n_cols=n,
+                         row_tile=row_tile)
+
+
+# ---------------------------------------------------------------------------
+# SpMV
+#
+# Fast path (grid-planar kernel): x is laid out as a 2-D array
+# (rows, L) with lanes = the x grid dimension (padded to L ≥ 128-multiple)
+# and row r = (z+1)·(ny+2) + (y+1) — one zero halo row around every plane
+# and one zero halo plane at each z end.  Then
+#   * dy/dz leg shifts are STATIC ROW OFFSETS into the VMEM window (free
+#     addressing, boundary reads land on zero halo rows),
+#   * dx leg shifts are lane rotations — ONE pltpu.roll per distinct dx,
+#     shared by all legs with that dx, with wrapped lanes zeroed once,
+#   * no per-leg masks at all.
+# VPU work ≈ one FMA pass per leg, HBM traffic ≈ read x + write y.  The
+# flat-index kernel (masks from iota arithmetic) remains as the general
+# fallback; both match the CSR oracle exactly.
+# ---------------------------------------------------------------------------
+
+#: row-tile (grid rows per kernel step) for the planar kernel
+_ROW_TILE_2D = 512
+
+
+def _planar_geometry(A: "DeviceStencil"):
+    nx, ny, nz = A.dims
+    # lanes = x dimension padded to the vreg width; rotation-wrapped lanes
+    # are zeroed in the kernel, which doubles as the x-boundary mask.
+    L = max(128, -(-nx // 128) * 128)
+    rows_plane = ny + 2
+    rows_total = (nz + 2) * rows_plane
+    drmax = max(abs(dz) * rows_plane + abs(dy)
+                for (dx, dy, dz) in A.legs) if A.legs else 0
+    # two-block window: need 2*drmax ≤ TR (data sits at offset drmax)
+    TR = max(_ROW_TILE_2D, -(-2 * drmax // _ROW_TILE_2D) * _ROW_TILE_2D)
+    rows_pad = -(-rows_total // TR) * TR
+    return L, rows_plane, rows_total, drmax, TR, rows_pad
+
+
+def _to_planar(A, x, L, rows_plane, total_rows, prologue):
+    """Flat x (n,) → zero-haloed planar (total_rows, L), data starting at
+    row `prologue` (everything else zero)."""
+    nx, ny, nz = A.dims
+    x3 = x.reshape(nz, ny, nx)
+    x3 = jnp.pad(x3, ((1, 1), (1, 1), (0, L - nx)))   # halo planes/rows
+    rows = x3.reshape((nz + 2) * rows_plane, L)
+    out = jnp.zeros((total_rows, L), dtype=x.dtype)
+    return jax.lax.dynamic_update_slice(out, rows, (prologue, 0))
+
+
+def _from_planar(A, y_rows, L, rows_plane):
+    nx, ny, nz = A.dims
+    y3 = y_rows[:(nz + 2) * rows_plane].reshape(nz + 2, rows_plane, L)
+    return y3[1:nz + 1, 1:ny + 1, :nx].reshape(A.n_rows)
+
+
+def _planar_kernel(A, TR, drmax, rows_plane, L,
+                   coeff_ref, wlo_ref, whi_ref, y_ref, diag_ref=None):
+    from jax.experimental.pallas import tpu as pltpu
+    nx, _, _ = A.dims
+    window = jnp.concatenate([wlo_ref[:], whi_ref[:]], axis=0)  # (2TR, L)
+
+    # one rotated+zero-fixed window per distinct dx
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    variants = {}
+    for dx in sorted({leg[0] for leg in A.legs}):
+        if dx == 0:
+            variants[0] = window
+        else:
+            # rolled[:, l] = W[:, l+dx] (pltpu.roll needs shift ≥ 0, i32
+            # under jax_enable_x64)
+            rolled = pltpu.roll(window, jnp.int32((-dx) % L), 1)
+            # wrapped lanes: l + dx outside [0, L) → zero them once.
+            ok = (lanes + dx >= 0) & (lanes + dx < L)
+            variants[dx] = jnp.where(ok, rolled, 0.0)
+
+    acc = jnp.zeros((TR, L), dtype=y_ref.dtype)
+    for l, (dx, dy, dz) in enumerate(A.legs):
+        dr = dz * rows_plane + dy
+        # window row 0 = planar row i·TR − drmax (xp data offset = drmax),
+        # so output row j reads window row j + drmax + dr.
+        base = drmax + dr
+        sl = jax.lax.slice(variants[dx], (base, 0), (base + TR, L))
+        if (dx, dy, dz) == (0, 0, 0) and diag_ref is not None:
+            acc = acc + diag_ref[:] * sl
+        else:
+            acc = acc + coeff_ref[l] * sl
+    y_ref[:] = acc
+
+
+def stencil_spmv_planar(A: "DeviceStencil", x: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    grid_n = rows_pad // TR
+    # xp block i = planar rows [i·TR − drmax, (i+1)·TR − drmax); blocks
+    # (i, i+1) cover the output block's window since 2·drmax ≤ TR.
+    xp = _to_planar(A, x, L, rows_plane, (grid_n + 1) * TR, drmax)
+
+    has_diag = A.diag is not None
+    kernel = lambda coeff_ref, wlo, whi, *rest: _planar_kernel(  # noqa: E731
+        A, TR, drmax, rows_plane, L, coeff_ref, wlo, whi,
+        rest[-1], diag_ref=(rest[0] if has_diag else None))
+
+    # window of row-block i covers xp rows [TR + i·TR - drmax,
+    # TR + (i+1)·TR + drmax) ⊂ blocks i and i+1 of xp (xp has a TR-row
+    # zero prologue, so block i of xp = rows [i·TR, (i+1)·TR)).
+    in_specs = [
+        pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), lambda i: (i + jnp.int32(1), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [A.coeffs, xp, xp]
+    if has_diag:
+        dp = _to_planar(A, A.diag[:A.n_rows], L, rows_plane, rows_pad, 0)
+        in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                                     memory_space=pltpu.VMEM))
+        args.append(dp)
+    itemsize = x.dtype.itemsize
+    y = pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, L), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(A.legs) * rows_pad * L,
+            bytes_accessed=(3 + has_diag) * rows_pad * L * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+    return _from_planar(A, y, L, rows_plane)
+
+
+#: planar kernel handles any |dx| < lane width (wrap mask = boundary mask)
+def _planar_ok(A: "DeviceStencil") -> bool:
+    L, *_ = _planar_geometry(A)
+    return all(abs(dx) < L for (dx, _, _) in A.legs)
+
+def _leg_masks(g, legs, nx, ny, nz, n):
+    """Boundary-validity mask per leg from the flat row index vector g."""
+    i32 = jnp.int32
+    xc = jax.lax.rem(g, i32(nx))
+    yc = jax.lax.rem(jax.lax.div(g, i32(nx)), i32(ny))
+    zc = jax.lax.div(g, i32(nx * ny))
+    in_n = g < i32(n)
+    ax = {-1: xc > i32(0), 0: None, 1: xc < i32(nx - 1)}
+    ay = {-1: yc > i32(0), 0: None, 1: yc < i32(ny - 1)}
+    az = {-1: zc > i32(0), 0: None, 1: zc < i32(nz - 1)}
+    masks = []
+    for (dx, dy, dz) in legs:
+        m = in_n
+        for part in (ax[dx], ay[dy], az[dz]):
+            if part is not None:
+                m = m & part
+        masks.append(m)
+    return masks
+
+
+def _stencil_kernel(A: DeviceStencil, hneg, R, n,
+                    coeff_ref, xlo_ref, xhi_ref, y_ref, diag_ref=None):
+    nx, ny, nz = A.dims
+    window = jnp.concatenate([xlo_ref[:], xhi_ref[:]])     # (2R,)
+    g = (jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
+         + pl_program_id() * jnp.int32(R))
+    masks = _leg_masks(g, A.legs, nx, ny, nz, n)
+    acc = jnp.zeros((R,), dtype=y_ref.dtype)
+    for l, (dx, dy, dz) in enumerate(A.legs):
+        lin = dx + nx * (dy + ny * dz)
+        start = lin + hneg
+        sl = jax.lax.slice(window, (start,), (start + R,))
+        contrib = jnp.where(masks[l], sl, 0.0)
+        if lin == 0 and diag_ref is not None:
+            acc = acc + diag_ref[:] * contrib
+        else:
+            acc = acc + coeff_ref[l] * contrib
+    y_ref[:] = acc
+
+
+def pl_program_id():
+    from jax.experimental import pallas as pl
+    return pl.program_id(0)
+
+
+def stencil_spmv_pallas(A: DeviceStencil, x: jax.Array) -> jax.Array:
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n = A.n_rows
+    nx, ny, nz = A.dims
+    R = A.row_tile
+    offs = A.offsets
+    hneg = max(0, -min(offs)) if offs else 0
+    npad = A.diag.shape[0] if A.diag is not None else max(
+        R, -(-n // R) * R)
+    grid_n = npad // R
+    xp = jnp.zeros((grid_n + 1) * R, dtype=x.dtype).at[hneg:hneg + n].set(x)
+
+    has_diag = A.diag is not None
+    kernel = lambda coeff_ref, xlo, xhi, *rest: _stencil_kernel(  # noqa: E731
+        A, hneg, R, n, coeff_ref, xlo, xhi,
+        rest[-1], diag_ref=(rest[0] if has_diag else None))
+
+    in_specs = [
+        pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((R,), lambda i: (i + jnp.int32(1),),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [A.coeffs, xp, xp]
+    if has_diag:
+        in_specs.append(pl.BlockSpec((R,), lambda i: (i,),
+                                     memory_space=pltpu.VMEM))
+        args.append(A.diag)
+    itemsize = x.dtype.itemsize
+    y = pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R,), lambda i: (i,),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * len(A.legs) * npad,
+            bytes_accessed=(3 + has_diag) * npad * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+    return y[:n]
+
+
+def stencil_spmv_xla(A: DeviceStencil, x: jax.Array) -> jax.Array:
+    """Reference/fallback path (CPU, sharded mode): masked shifted adds."""
+    n = A.n_rows
+    nx, ny, nz = A.dims
+    offs = A.offsets
+    hneg = max(0, -min(offs)) if offs else 0
+    hpos = max(0, max(offs)) if offs else 0
+    xp = jnp.zeros(hneg + n + hpos, dtype=x.dtype).at[hneg:hneg + n].set(x)
+    g = jnp.arange(n, dtype=jnp.int32)
+    masks = _leg_masks(g, A.legs, nx, ny, nz, n)
+    y = jnp.zeros(n, dtype=x.dtype)
+    for l, (dx, dy, dz) in enumerate(A.legs):
+        lin = dx + nx * (dy + ny * dz)
+        sl = jax.lax.slice(xp, (hneg + lin,), (hneg + lin + n,))
+        contrib = jnp.where(masks[l], sl, 0.0)
+        coeff = (A.diag[:n] if (lin == 0 and A.diag is not None)
+                 else A.coeffs[l])
+        y = y + coeff * contrib
+    return y
+
+
+def stencil_spmv(A: DeviceStencil, x: jax.Array,
+                 use_pallas: bool = True) -> jax.Array:
+    if use_pallas and jax.default_backend() == "tpu" \
+            and x.dtype.itemsize <= 4:
+        if _planar_ok(A):
+            return stencil_spmv_planar(A, x)
+        return stencil_spmv_pallas(A, x)
+    return stencil_spmv_xla(A, x)
+
+
+# ---------------------------------------------------------------------------
+# Structural factorization (split/peel analogs — leg partitioning)
+# ---------------------------------------------------------------------------
+
+def stencil_diag(A: DeviceStencil) -> jax.Array:
+    """Dense main diagonal (length n)."""
+    if A.diag is not None:
+        return A.diag[:A.n_rows]
+    for l, leg in enumerate(A.legs):
+        if leg == (0, 0, 0):
+            return jnp.full(A.n_rows, 1.0, dtype=A.dtype) * A.coeffs[l]
+    raise ValueError("stencil has no (0,0,0) leg")
+
+
+def stencil_split(A: DeviceStencil):
+    """(L_strict, U_strict, D, D_inv) by linear-offset sign of each leg."""
+    nx, ny, _ = A.dims
+    has_center = A.diag is not None or (0, 0, 0) in A.legs
+    if not has_center:
+        raise ValueError("matrix has no stored main diagonal")
+    lower, upper = [], []
+    coeffs = np.asarray(A.coeffs)
+    for l, (dx, dy, dz) in enumerate(A.legs):
+        lin = dx + nx * (dy + ny * dz)
+        if lin < 0:
+            lower.append(((dx, dy, dz), float(coeffs[l])))
+        elif lin > 0:
+            upper.append(((dx, dy, dz), float(coeffs[l])))
+    nxd, nyd, nzd = A.dims
+    L = make_stencil(lower, nxd, nyd, nzd, dtype=A.dtype)
+    U = make_stencil(upper, nxd, nyd, nzd, dtype=A.dtype)
+    D = stencil_diag(A)
+    if bool(jnp.any(D == 0)):
+        raise ValueError("zero on the matrix diagonal")
+    return L, U, D, 1.0 / D
+
+
+def stencil_to_dia(A: DeviceStencil) -> DeviceDIA:
+    """Lower to explicit DIA (for GSPMD sharding / format comparisons)."""
+    from .dia import _stencil_dia
+    nx, ny, nz = A.dims
+    coeffs = np.asarray(A.coeffs, dtype=np.float64)
+    entries = [(leg, float(coeffs[l])) for l, leg in enumerate(A.legs)]
+    M = _stencil_dia(nx, ny, nz, entries, A.dtype)
+    if A.diag is not None:
+        k0 = M.offsets.index(0)
+        data = M.data.at[k0, :].set(A.diag[:M.data.shape[1]])
+        M = dataclasses.replace(M, data=data)
+    return M
+
+
+# ---------------------------------------------------------------------------
+# Builders / source dispatch
+# ---------------------------------------------------------------------------
+
+def stencil_27pt_operator(nx: int, ny: int = None, nz: int = None,
+                          diag: float = 26.0, off: float = -1.0,
+                          dtype=jnp.float32) -> DeviceStencil:
+    ny = nx if ny is None else ny
+    nz = nx if nz is None else nz
+    legs = [((dx, dy, dz), diag if (dx, dy, dz) == (0, 0, 0) else off)
+            for dz in (-1, 0, 1) for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    return make_stencil(legs, nx, ny, nz, dtype=dtype)
+
+
+def fdm_2d_operator(nx: int, diag: float = -4.0, off: float = 1.0,
+                    dtype=jnp.float32) -> DeviceStencil:
+    legs = [((0, 0, 0), diag)]
+    legs += [((dx, dy, 0), off)
+             for (dx, dy) in ((-1, 0), (1, 0), (0, -1), (0, 1))]
+    return make_stencil(legs, nx, nx, 1, dtype=dtype)
+
+
+def anderson_operator(Lx: int, Ly: int = None, Lz: int = None, t: float = 1.0,
+                      ranpot: float = 0.0, seed: int = 1,
+                      boundary: str = "open",
+                      dtype=jnp.float32) -> DeviceStencil:
+    if boundary != "open":
+        raise ValueError("stencil operator supports open boundary only; "
+                         "use the DIA builder for periodic")
+    Ly = Lx if Ly is None else Ly
+    Lz = Lx if Lz is None else Lz
+    n = Lx * Ly * Lz
+    eps = np.random.default_rng(seed).uniform(-ranpot / 2.0, ranpot / 2.0,
+                                              size=n)
+    legs = [((dx, dy, dz), -t)
+            for (dx, dy, dz) in ((-1, 0, 0), (1, 0, 0), (0, -1, 0),
+                                 (0, 1, 0), (0, 0, -1), (0, 0, 1))]
+    legs.append(((0, 0, 0), 0.0))
+    return make_stencil(legs, Lx, Ly, Lz, dtype=dtype,
+                        diag=jnp.asarray(eps, dtype=dtype))
+
+
+_GEN_RE = re.compile(r"^(scamac|hpcg|fdm|anderson):(.*)$", re.IGNORECASE)
+
+
+def from_source_operator(source: str, dtype=jnp.float32) -> DeviceStencil:
+    """Matrix-free operator for a generator spec (banded has random
+    per-diagonal data → not constant-stencil; use DIA)."""
+    m = _GEN_RE.match(source)
+    if not m:
+        raise ValueError(f"not a stencil-operator source: {source}")
+    kind, spec = m.group(1).lower(), m.group(2)
+    if kind in ("scamac", "anderson"):
+        from .generators import _parse_anderson_kwargs
+        return anderson_operator(dtype=dtype, **_parse_anderson_kwargs(spec))
+    if kind == "hpcg":
+        dims = [int(d) for d in re.split(r"[x,]", spec) if d]
+        return stencil_27pt_operator(*dims, dtype=dtype)
+    if kind == "fdm":
+        return fdm_2d_operator(int(spec), dtype=dtype)
+    raise ValueError(f"unknown stencil source: {source}")

@@ -60,6 +60,13 @@ def main():
     ap.add_argument("--matrix-dtype", default=None,
                     help="matrix data storage dtype (e.g. bfloat16); "
                          "default = --dtype")
+    ap.add_argument("--format", default="auto",
+                    choices=("auto", "dia", "stencil"),
+                    help="device operator format for generator sources: "
+                         "'stencil' = matrix-free constant-stencil kernel "
+                         "(fastest for the generated benchmark matrices), "
+                         "'dia' = explicit diagonal storage; auto picks "
+                         "stencil when the source supports it")
     ap.add_argument("--restart-length", type=int, default=50)
     ap.add_argument("--precond-inner-iters", type=int, default=1)
     args = ap.parse_args()
@@ -80,10 +87,20 @@ def main():
                               dtype=dtype).mat_dtype()
     t0 = time.perf_counter()
     if is_gen:
-        A = bis.dia.from_source_device(args.matrix, dtype=mat_dt)
-        jax.block_until_ready(A.data)
-        n_rows = A.n_rows
-        nnz = int(jax.jit(lambda d: (d != 0).sum())(A.data))
+        fmt = args.format
+        if fmt == "auto":
+            fmt = ("stencil"
+                   if bis.stencil_op._GEN_RE.match(args.matrix) else "dia")
+        if fmt == "stencil":
+            A = bis.stencil_op.from_source_operator(args.matrix, dtype=mat_dt)
+            jax.block_until_ready(A.coeffs)
+            n_rows = A.n_rows
+            nnz = "(matrix-free)"
+        else:
+            A = bis.dia.from_source_device(args.matrix, dtype=mat_dt)
+            jax.block_until_ready(A.data)
+            n_rows = A.n_rows
+            nnz = int(jax.jit(lambda d: (d != 0).sum())(A.data))
     else:
         A = bis.generators.from_source(args.matrix)
         n_rows, nnz = A.n_rows, A.nnz
