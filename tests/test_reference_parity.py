@@ -1,0 +1,108 @@
+"""Iteration parity against the reference implementation.
+
+tests/goldens/reference_histories.json holds per-iteration residual-norm
+histories produced by the actual reference binary (built by
+scripts/gen_goldens.py from /root/reference, single-threaded, default
+constants).  This framework, run with the same defaults in float64, must
+reproduce them — the BASELINE.md north star "replicate residual-norm-per-
+iteration histories within stated tolerance".
+
+History layout: entry 0 is ||b - A x0||; entries 1..k are the per-iteration
+sampled norms; the reference OVERWRITES its last entry with the explicit
+final residual (save_x_star, solver.hpp:153-159) while we APPEND it — so
+the comparable recurrence prefix is golden[:-1] vs ours[:len(golden)-1],
+and the explicit finals are compared separately.
+"""
+import json
+import pathlib
+
+import numpy as np
+import pytest
+
+import basic_iterative_solvers_tpu as bis
+from basic_iterative_solvers_tpu.types import (PRECOND_CLI_NAMES,
+                                               SOLVER_CLI_FLAGS)
+
+GOLDENS = json.loads(
+    (pathlib.Path(__file__).parent / "goldens" /
+     "reference_histories.json").read_text())
+
+#: (case, rtol for the recurrence prefix, prefix length limit or None,
+#:  check_iteration_count)
+CASES = [
+    ("fdm16_j", 1e-9, 200, True),    # DNC: compare a stable prefix
+    ("fdm16_gs", 1e-8, None, True),
+    ("fdm16_sgs", 1e-8, None, True),
+    ("fdm16_cg", 1e-5, None, True),
+    ("fdm16_cg_j", 1e-5, None, True),
+    ("fdm16_cg_sgs", 1e-5, None, True),
+    ("fdm16_cg_2st", 1e-5, None, True),
+    ("fdm16_cg_s2st", 1e-5, None, True),
+    ("fdm16_bi", 1e-4, None, True),
+    ("fdm16_bi_j", 1e-4, None, True),
+    ("fdm16_bi_sgs", 1e-4, None, True),
+    # GMRES(50)'s implicit |g| plateaus at the f64 noise floor (~3e-13,
+    # within ~2x of the stopping value) from iteration ~33, where both the
+    # plateau level and the restart-vs-stop decision are float-noise
+    # artifacts: pin the above-noise prefix only.
+    ("fdm16_gm_j_rl50", 1e-4, 32, False),
+    ("fdm16_cg_j_scale", 1e-5, None, True),
+    ("klein_bi_j", 1e-4, None, True),
+    ("klein_gs", 1e-8, None, True),
+]
+
+
+def _config_for(case):
+    g = GOLDENS[case]
+    opts = dict(method=SOLVER_CLI_FLAGS[g["method"]], dtype=np.float64,
+                harness="fused")
+    extra = list(g["extra"])
+    while extra:
+        k = extra.pop(0)
+        if k == "-p":
+            opts["preconditioner"] = PRECOND_CLI_NAMES[extra.pop(0)]
+        elif k == "-rl":
+            opts["restart_length"] = int(extra.pop(0))
+        elif k == "-scale":
+            opts["num_scale"] = bool(int(extra.pop(0)))
+    return bis.SolverConfig(**opts)
+
+
+@pytest.mark.parametrize("case,rtol,limit,check_iters", CASES)
+def test_history_matches_reference(case, rtol, limit, check_iters):
+    g = GOLDENS[case]
+    A = bis.read_mtx(g["matrix"])
+    cfg = _config_for(case)
+    x0 = None
+    if cfg.num_scale:
+        # Reference quirk: its solvers copy x_0 into their working vector
+        # BEFORE preprocessing scales x_0 (preprocessing.hpp:30-49), so the
+        # scaled x_0 never reaches the solve and the effective initial guess
+        # stays 0.1.  We scale x0 properly; compensate to replicate.
+        x0 = cfg.init_x_val * np.sqrt(np.abs(A.diagonal()))
+    res = bis.solve(bis.preprocessing(A, cfg, x0=x0))
+
+    assert res.converged == g["converged"], (
+        f"{case}: converged={res.converged}, reference {g['converged']}")
+    if check_iters:
+        ref_iters = g["iterations"]
+        our_iters = res.iter_count + res.gmres_restart_count
+        assert abs(our_iters - ref_iters) <= 1, (
+            f"{case}: {our_iters} iters vs reference {ref_iters}")
+
+    golden = np.asarray(g["norms"][:-1])
+    ours = np.asarray(res.residual_norms[:len(golden)])
+    if limit is not None:
+        golden, ours = golden[:limit], ours[:limit]
+    np.testing.assert_allclose(ours, golden, rtol=rtol, atol=1e-13,
+                               err_msg=f"{case}: history mismatch")
+    # explicit final residuals agree to the convergence scale
+    if g["converged"]:
+        assert res.final_residual_norm < 2.0 * res.stopping_criteria
+
+
+def test_goldens_are_fresh():
+    """The golden file must cover every case this test suite pins."""
+    for case, _, _, _ in CASES:
+        assert case in GOLDENS, f"missing golden {case}; re-run "
+        "scripts/gen_goldens.py"
