@@ -64,6 +64,10 @@ class SolverConfig:
     dia_min_fill: float = 0.25
     # Use the Pallas DIA SpMV kernel where available (TPU only).
     use_pallas: bool = True
+    # Matrix-free stencil operators: keep solver vectors resident in the
+    # planar halo layout so SpMV does no pad/crop ("auto" = on TPU with
+    # Pallas enabled; halo adds ~(1+2/ny)(1+2/nz) memory).
+    planar_vectors: str = "auto"    # "auto" | "on" | "off"
     # Harness mode: "host" = host-driven loop with per-iteration timing and
     # residual sampling (reference solver_harness.hpp semantics); "fused" =
     # whole solve in one lax.while_loop on device (performance mode).

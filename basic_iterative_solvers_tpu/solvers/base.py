@@ -56,6 +56,7 @@ class SolverSetup:
     A_D: Optional[jax.Array] = None
     scale_vec: Optional[np.ndarray] = None   # num_scale diag (D^{-1/2})
     inv_perm: Optional[np.ndarray] = None    # perm_mode inverse mapping
+    x_decode: Optional[Callable] = None      # vector-layout decode (planar)
 
     @property
     def dtype(self):
@@ -165,10 +166,13 @@ def preprocessing_device(A_dev, config: SolverConfig,
     level-scheduled triangular solves (those require the CSR pattern: use
     `preprocessing`).
     """
+    import jax  # noqa: F811
     import jax.numpy as jnp  # noqa: F811 (local for clarity)
     from ..dia import dia_diag, dia_extract_scale, dia_scale
     from ..precond import DEVICE_NATIVE_PRECONDS, setup_preconditioner_dia
-    from ..stencil_op import DeviceStencil, stencil_diag
+    from ..stencil_op import (DeviceStencil, stencil_diag_vec,
+                              to_planar_matrix, to_planar_vec,
+                              from_planar_vec)
     is_stencil = isinstance(A_dev, DeviceStencil)
 
     timers = timers or Timers()
@@ -201,6 +205,21 @@ def preprocessing_device(A_dev, config: SolverConfig,
     x0_dev = (jnp.full(n, config.init_x_val, dtype=dtype) if x0 is None
               else jnp.asarray(x0, dtype=dtype))
 
+    # Planar-resident vectors for matrix-free stencils (no pad/crop per
+    # SpMV; see stencil_op).
+    x_decode = None
+    planar = config.planar_vectors
+    if is_stencil and not A_dev.planar and (
+            planar == "on"
+            or (planar == "auto" and config.use_pallas
+                and jax.default_backend() == "tpu")):
+        A_dev = to_planar_matrix(A_dev)
+        b_dev = to_planar_vec(A_dev, b_dev)
+        x0_dev = to_planar_vec(A_dev, x0_dev)
+        A_for_decode = A_dev
+        x_decode = lambda x: np.asarray(  # noqa: E731
+            from_planar_vec(A_for_decode, jnp.asarray(x)))
+
     scale_vec = None
     if config.num_scale:
         if is_stencil:
@@ -215,11 +234,12 @@ def preprocessing_device(A_dev, config: SolverConfig,
 
     with timers.time("preprocessing_device"):
         M = setup_preconditioner_dia(A_dev, config)
-        diag_of = stencil_diag if is_stencil else dia_diag
+        diag_of = stencil_diag_vec if is_stencil else dia_diag
         A_D = (M.A_D if M.A_D is not None
                else diag_of(A_dev).astype(dtype))
         return SolverSetup(config=config, A=A_dev, M=M, b=b_dev, x0=x0_dev,
-                           n=n, A_host=None, scale_vec=scale_vec, A_D=A_D)
+                           n=n, A_host=None, scale_vec=scale_vec, A_D=A_D,
+                           x_decode=x_decode)
 
 
 def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
@@ -236,8 +256,10 @@ def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
 
 
 def finalize_x(setup: SolverSetup, x_star: np.ndarray) -> np.ndarray:
-    """Map the solution back to the user's row ordering (inverse of the
-    perm_mode permutation applied in preprocessing)."""
+    """Map the solution back to user coordinates: decode the vector layout
+    (planar-resident stencil), then invert the perm_mode permutation."""
+    if setup.x_decode is not None:
+        x_star = setup.x_decode(x_star)
     if setup.inv_perm is not None:
         return x_star[setup.inv_perm]
     return x_star

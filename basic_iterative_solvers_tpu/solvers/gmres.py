@@ -50,7 +50,9 @@ class GMRESMethod:
     # -- state ---------------------------------------------------------------
 
     def _krylov_reset(self, x, r_prec, beta, dtype):
-        m, n = self.m, self.setup.n
+        # vector length from b, not the logical n (planar-resident stencil
+        # vectors are halo-padded)
+        m, n = self.m, self.setup.b.shape[0]
         V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r_prec / beta)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         Q = jnp.eye(m + 1, dtype=dtype)

@@ -40,7 +40,8 @@ from .ops.pallas_spmv import MIN_ROW_TILE, _VMEM_LIMIT
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["coeffs", "diag"],
-         meta_fields=["legs", "dims", "n_rows", "n_cols", "row_tile"])
+         meta_fields=["legs", "dims", "n_rows", "n_cols", "row_tile",
+                      "planar"])
 @dataclasses.dataclass
 class DeviceStencil:
     """Constant-coefficient stencil on an open-boundary nx×ny×nz grid.
@@ -51,12 +52,16 @@ class DeviceStencil:
     """
 
     coeffs: jax.Array                      # (n_legs,) vector dtype
-    diag: Optional[jax.Array]              # (npad,) or None
+    diag: Optional[jax.Array]              # (npad,) flat / (rows_pad*L,)
+                                           # planar, or None
     legs: Tuple[Tuple[int, int, int], ...]
     dims: Tuple[int, int, int]
     n_rows: int
     n_cols: int
     row_tile: int
+    #: when True, SpMV consumes/produces vectors in the planar halo layout
+    #: (see `to_planar_vec`) — no per-apply pad/crop.
+    planar: bool = False
 
     @property
     def dtype(self):
@@ -249,6 +254,159 @@ def _planar_ok(A: "DeviceStencil") -> bool:
     L, *_ = _planar_geometry(A)
     return all(abs(dx) < L for (dx, _, _) in A.legs)
 
+
+# ---------------------------------------------------------------------------
+# Planar-RESIDENT vectors: the solver state itself lives in the halo layout,
+# so SpMV does no pad/crop at all (the conversions above cost ~2 extra vector
+# passes per apply).  The halo layout is only ~(1 + 2/ny)(1 + 2/nz) larger
+# than the flat vector, halo entries stay exactly zero (the kernel masks its
+# output rows/lanes), so BLAS-1 ops and dot products work unchanged.
+# ---------------------------------------------------------------------------
+
+def planar_vec_len(A: "DeviceStencil") -> int:
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    return rows_pad * L
+
+
+def to_planar_vec(A: "DeviceStencil", x: jax.Array) -> jax.Array:
+    """Flat (n,) → planar-resident flat (rows_pad·L,)."""
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    return _to_planar(A, x, L, rows_plane, rows_pad, 0).reshape(-1)
+
+
+def from_planar_vec(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
+    """Planar-resident flat → flat (n,)."""
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    return _from_planar(A, xp.reshape(rows_pad, L), L, rows_plane)
+
+
+def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
+                     value: float) -> jax.Array:
+    """Replace halo entries of a planar vector with `value` (e.g. diagonal
+    vectors get halo 1.0 so elementwise division keeps halos at zero)."""
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    nx, ny, nz = A.dims
+    mask = _to_planar(A, jnp.ones(A.n_rows, dtype=xp.dtype), L, rows_plane,
+                      rows_pad, 0).reshape(-1)
+    return jnp.where(mask != 0, xp, jnp.asarray(value, xp.dtype))
+
+
+def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
+                     coeff_ref, w0_ref, w1_ref, w2_ref, y_ref,
+                     diag_ref=None):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    nx, ny, nz = A.dims
+    window = jnp.concatenate([w0_ref[:], w1_ref[:], w2_ref[:]], axis=0)
+
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+    variants = {}
+    for dx in sorted({leg[0] for leg in A.legs}):
+        if dx == 0:
+            variants[0] = window
+        else:
+            rolled = pltpu.roll(window, jnp.int32((-dx) % L), 1)
+            ok = (lanes + dx >= 0) & (lanes + dx < L)
+            variants[dx] = jnp.where(ok, rolled, 0.0)
+
+    acc = jnp.zeros((TR, L), dtype=y_ref.dtype)
+    for l, (dx, dy, dz) in enumerate(A.legs):
+        dr = dz * rows_plane + dy
+        # window rows = planar [i·TR − TR, i·TR + 2·TR); output row j reads
+        # window row TR + j + dr.
+        base = TR + dr
+        sl = jax.lax.slice(variants[dx], (base, 0), (base + TR, L))
+        if (dx, dy, dz) == (0, 0, 0) and diag_ref is not None:
+            acc = acc + diag_ref[:] * sl
+        else:
+            acc = acc + coeff_ref[l] * sl
+
+    # Zero the output's halo rows/lanes so planar vectors stay exactly zero
+    # outside the grid: row r real iff it's inside a real plane and not a
+    # y-halo row; lane real iff < nx.
+    i = pl_program_id()
+    r = (jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
+         + i * jnp.int32(TR))
+    y_in_plane = jax.lax.rem(r, jnp.int32(rows_plane))
+    real_row = ((r >= jnp.int32(rows_plane))
+                & (r < jnp.int32((nz + 1) * rows_plane))
+                & (y_in_plane >= jnp.int32(1))
+                & (y_in_plane <= jnp.int32(ny)))
+    real = real_row & (lanes < jnp.int32(nx))
+    y_ref[:] = jnp.where(real, acc, 0.0)
+
+
+def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
+    """y = A @ x with x and y in the planar-resident layout."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    grid_n = rows_pad // TR
+    x2 = xp.reshape(rows_pad, L)
+
+    has_diag = A.diag is not None
+    kernel = lambda coeff_ref, w0, w1, w2, *rest: _resident_kernel(  # noqa: E731
+        A, TR, drmax, rows_plane, rows_total, L, coeff_ref, w0, w1, w2,
+        rest[-1], diag_ref=(rest[0] if has_diag else None))
+
+    # clamped 3-block window: edge clamps feed only masked halo outputs
+    # (drmax ≤ rows_plane + 1 ≤ prologue/epilogue halo planes)
+    last = grid_n - 1
+    in_specs = [
+        pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L),
+                     lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L),
+                     lambda i: (jnp.minimum(i + 1, jnp.int32(last)),
+                                jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [A.coeffs, x2, x2, x2]
+    if has_diag:
+        in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                                     memory_space=pltpu.VMEM))
+        args.append(A.diag.reshape(rows_pad, L))
+    itemsize = xp.dtype.itemsize
+    y = pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, L), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(A.legs) * rows_pad * L,
+            bytes_accessed=(2 + has_diag) * rows_pad * L * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+    return y.reshape(-1)
+
+
+def to_planar_matrix(A: "DeviceStencil") -> "DeviceStencil":
+    """Return A configured for planar-resident vectors (diag re-laid-out)."""
+    if A.planar:
+        return A
+    d = None
+    if A.diag is not None:
+        d = to_planar_vec(A, A.diag[:A.n_rows])
+    return dataclasses.replace(A, diag=d, planar=True)
+
+
+def stencil_spmv_resident_xla(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
+    """Planar-resident semantics on the XLA path (CPU / interpret): decode,
+    flat apply, re-encode.  Same results, used where Pallas can't run."""
+    flat = from_planar_vec(A, xp)
+    A_flat = dataclasses.replace(
+        A, planar=False,
+        diag=(None if A.diag is None else from_planar_vec(A, A.diag)))
+    y = stencil_spmv_xla(A_flat, flat)
+    return to_planar_vec(A, y)
+
 def _leg_masks(g, legs, nx, ny, nz, n):
     """Boundary-validity mask per leg from the flat row index vector g."""
     i32 = jnp.int32
@@ -364,8 +522,13 @@ def stencil_spmv_xla(A: DeviceStencil, x: jax.Array) -> jax.Array:
 
 def stencil_spmv(A: DeviceStencil, x: jax.Array,
                  use_pallas: bool = True) -> jax.Array:
-    if use_pallas and jax.default_backend() == "tpu" \
-            and x.dtype.itemsize <= 4:
+    on_tpu_pallas = (use_pallas and jax.default_backend() == "tpu"
+                     and x.dtype.itemsize <= 4)
+    if A.planar:
+        if on_tpu_pallas and _planar_ok(A):
+            return stencil_spmv_resident(A, x)
+        return stencil_spmv_resident_xla(A, x)
+    if on_tpu_pallas:
         if _planar_ok(A):
             return stencil_spmv_planar(A, x)
         return stencil_spmv_pallas(A, x)
@@ -377,8 +540,10 @@ def stencil_spmv(A: DeviceStencil, x: jax.Array,
 # ---------------------------------------------------------------------------
 
 def stencil_diag(A: DeviceStencil) -> jax.Array:
-    """Dense main diagonal (length n)."""
+    """Dense main diagonal (length n, flat layout)."""
     if A.diag is not None:
+        if A.planar:
+            return from_planar_vec(A, A.diag)
         return A.diag[:A.n_rows]
     for l, leg in enumerate(A.legs):
         if leg == (0, 0, 0):
@@ -386,8 +551,20 @@ def stencil_diag(A: DeviceStencil) -> jax.Array:
     raise ValueError("stencil has no (0,0,0) leg")
 
 
+def stencil_diag_vec(A: DeviceStencil) -> jax.Array:
+    """The diagonal in A's *vector layout*: flat (n,) normally; planar with
+    halo entries set to 1.0 (so elementwise divides/multiplies keep planar
+    halos at exactly zero)."""
+    d = stencil_diag(A)
+    if not A.planar:
+        return d
+    return planar_fill_halo(A, to_planar_vec(A, d), 1.0)
+
+
 def stencil_split(A: DeviceStencil):
-    """(L_strict, U_strict, D, D_inv) by linear-offset sign of each leg."""
+    """(L_strict, U_strict, D, D_inv) by linear-offset sign of each leg.
+    The splits inherit A's vector layout (planar flag); D/D_inv come in the
+    vector layout with planar halos at 1.0."""
     nx, ny, _ = A.dims
     has_center = A.diag is not None or (0, 0, 0) in A.legs
     if not has_center:
@@ -403,9 +580,12 @@ def stencil_split(A: DeviceStencil):
     nxd, nyd, nzd = A.dims
     L = make_stencil(lower, nxd, nyd, nzd, dtype=A.dtype)
     U = make_stencil(upper, nxd, nyd, nzd, dtype=A.dtype)
-    D = stencil_diag(A)
-    if bool(jnp.any(D == 0)):
+    if A.planar:
+        L = dataclasses.replace(L, planar=True)
+        U = dataclasses.replace(U, planar=True)
+    if bool(jnp.any(stencil_diag(A) == 0)):
         raise ValueError("zero on the matrix diagonal")
+    D = stencil_diag_vec(A)
     return L, U, D, 1.0 / D
 
 
@@ -418,7 +598,8 @@ def stencil_to_dia(A: DeviceStencil) -> DeviceDIA:
     M = _stencil_dia(nx, ny, nz, entries, A.dtype)
     if A.diag is not None:
         k0 = M.offsets.index(0)
-        data = M.data.at[k0, :].set(A.diag[:M.data.shape[1]])
+        d = stencil_diag(A)  # flat (n,), any vector layout
+        data = M.data.at[k0, :A.n_rows].set(d)
         M = dataclasses.replace(M, data=data)
     return M
 

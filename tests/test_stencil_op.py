@@ -103,3 +103,56 @@ def test_stencil_rejects_num_scale():
     with pytest.raises(ValueError):
         bis.preprocessing_device(A_op, bis.SolverConfig(
             dtype=np.float64, num_scale=True))
+
+
+@pytest.mark.parametrize("method,precond", [
+    (SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI),
+    (SolverType.BICGSTAB, PrecondType.SYMMETRIC_TWO_STAGE_GS),
+    (SolverType.GMRES, PrecondType.NONE),
+    (SolverType.JACOBI, PrecondType.NONE),
+])
+def test_planar_resident_matches_flat(method, precond):
+    """planar_vectors='on' must give the same solve as the flat layout,
+    with x_star decoded back to user coordinates."""
+    A_op = stencil_op.stencil_27pt_operator(5, 6, 4, dtype=np.float64)
+    base_kw = dict(method=method, preconditioner=precond,
+                   precond_inner_iters=1, dtype=np.float64,
+                   tolerance=1e-11, harness="fused")
+    res_flat = bis.solve(bis.preprocessing_device(
+        A_op, bis.SolverConfig(planar_vectors="off", **base_kw)))
+    res_pl = bis.solve(bis.preprocessing_device(
+        A_op, bis.SolverConfig(planar_vectors="on", **base_kw)))
+    assert res_pl.converged == res_flat.converged
+    assert res_pl.iter_count == res_flat.iter_count
+    assert res_pl.x_star.shape == (A_op.n_rows,)
+    np.testing.assert_allclose(res_pl.x_star, res_flat.x_star, rtol=1e-9,
+                               atol=1e-11)
+
+
+def test_planar_resident_anderson_diag():
+    A_op = stencil_op.anderson_operator(5, 4, 3, ranpot=6.0, seed=3,
+                                        dtype=np.float64)
+    cfg = bis.SolverConfig(method=SolverType.BICGSTAB,
+                           preconditioner=PrecondType.JACOBI,
+                           dtype=np.float64, tolerance=1e-11,
+                           harness="fused", planar_vectors="on")
+    res = bis.solve(bis.preprocessing_device(A_op, cfg))
+    assert res.converged
+    A_csr = generators.anderson(5, 4, 3, ranpot=6.0, seed=3)
+    np.testing.assert_allclose(A_csr.spmv(res.x_star),
+                               np.full(A_op.n_rows, 1.0), rtol=1e-8)
+
+
+def test_planar_vec_roundtrip_and_halo():
+    A_op = stencil_op.fdm_2d_operator(7, dtype=np.float64)
+    Ap = stencil_op.to_planar_matrix(A_op)
+    x = np.random.default_rng(0).standard_normal(A_op.n_rows)
+    import jax.numpy as jnp
+    xp = stencil_op.to_planar_vec(Ap, jnp.asarray(x))
+    np.testing.assert_allclose(
+        np.asarray(stencil_op.from_planar_vec(Ap, xp)), x)
+    # spmv keeps halo exactly zero
+    y = stencil_op.stencil_spmv(Ap, xp, use_pallas=False)
+    mask = np.asarray(stencil_op.to_planar_vec(
+        Ap, jnp.ones(A_op.n_rows))) == 0
+    assert np.all(np.asarray(y)[mask] == 0.0)
