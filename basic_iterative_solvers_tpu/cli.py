@@ -104,6 +104,10 @@ def parse_cli(argv) -> tuple:
             extras["precond_outer_iters"] = int(need_value())
         elif arg == "--platform":
             extras["platform"] = need_value()
+        elif arg == "--profile":
+            extras["profile_dir"] = need_value()
+        elif arg == "--debug-checks":
+            extras["debug_checks"] = True
         else:
             # reference behavior: warn, continue (utilities.hpp:103-106)
             print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
@@ -131,6 +135,7 @@ def run(argv=None) -> int:
         extras["dtype"] = np.dtype(np.float32 if on_tpu else np.float64)
     if "harness" not in extras:
         extras["harness"] = "fused" if on_tpu else "host"
+    profile_dir = extras.pop("profile_dir", None)
     config = SolverConfig(**opts, **extras)
 
     from . import generators
@@ -164,7 +169,16 @@ def run(argv=None) -> int:
             with timers.time("preprocessing"):
                 setup = preprocessing(A, config, timers=timers)
         with timers.time("solve"):
-            result = solve(setup)
+            if profile_dir:
+                # xprof device trace around the solve — the hardware-counter
+                # analog of the reference's LIKWID markers (SURVEY.md §5);
+                # inspect with tensorboard/xprof.
+                with jax.profiler.trace(profile_dir):
+                    result = solve(setup)
+                print(f"[profile] trace written to {profile_dir}",
+                      file=sys.stderr)
+            else:
+                result = solve(setup)
         with timers.time("postprocessing"):
             summary_output(result)
             roofline_report(setup, result)

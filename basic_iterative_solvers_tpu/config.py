@@ -72,6 +72,10 @@ class SolverConfig:
     # residual sampling (reference solver_harness.hpp semantics); "fused" =
     # whole solve in one lax.while_loop on device (performance mode).
     harness: str = "host"
+    # Per-iteration invariant validation in the host harness (the reference's
+    # Debug-build SanityChecker, common.hpp:428-530): GMRES V-orthonormality
+    # and R=Q·H triangularity.  Host harness only.
+    debug_checks: bool = False
 
     def spec_dtype(self):
         return np.dtype(self.dtype)

@@ -140,7 +140,8 @@ def read_mtx(path_or_file, require_square: bool = True) -> MatrixCSR:
 
 def write_mtx(path, mat, comment: str = "") -> None:
     """Write CSR/COO as 'matrix coordinate real general', mirroring
-    MatrixCOO::write_to_mtx (/root/reference/sparse_matrix.hpp:204-223)."""
+    MatrixCOO::write_to_mtx (/root/reference/sparse_matrix.hpp:204-223).
+    Vectorized via np.savetxt (no per-entry Python loop)."""
     coo = csr_to_coo(mat) if isinstance(mat, MatrixCSR) else mat.sort()
     with open(path, "w") as f:
         f.write("%%MatrixMarket matrix coordinate real general\n")
@@ -148,5 +149,5 @@ def write_mtx(path, mat, comment: str = "") -> None:
             for line in comment.splitlines():
                 f.write(f"% {line}\n")
         f.write(f"{coo.n_rows} {coo.n_cols} {coo.nnz}\n")
-        for i, j, v in zip(coo.I, coo.J, coo.values):
-            f.write(f"{i + 1} {j + 1} {v:.17g}\n")
+        np.savetxt(f, np.column_stack([coo.I + 1, coo.J + 1, coo.values]),
+                   fmt=("%d", "%d", "%.17g"))

@@ -323,10 +323,15 @@ def _solve_host(setup: SolverSetup, method, timers: Timers,
     res_milestones = {1e-3: False, 1e-6: False}
     t_solve0 = time.perf_counter()
 
+    debug_check = (getattr(method, "debug_check", None)
+                   if config.debug_checks else None)
+
     while True:
         t0 = time.perf_counter()
         state = iterate(state)
         iter_count += 1
+        if debug_check is not None:
+            debug_check(state, iter_count)
         if iter_count % config.res_check_len == 0:
             rn = sample_norm(state)
             residual_norm = float(jax.block_until_ready(rn))

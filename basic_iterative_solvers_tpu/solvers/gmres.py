@@ -173,6 +173,29 @@ class GMRESMethod:
         state = jax.lax.cond(do, self._restart_state, lambda s: s, state)
         return state, do
 
+    def debug_check(self, state, iter_count):
+        """SanityChecker analogs (reference common.hpp:428-530, run under
+        IF_DEBUG_MODE at gmres.hpp:50,120): V-orthonormality of the current
+        basis and upper-triangularity of R = Q·H."""
+        import numpy as np
+        j = int(state["j"])
+        # rows 0..j-1 are the established basis; row j was just produced as
+        # w/H[j+1,j] and is numerically meaningless at (happy) breakdown.
+        V = np.asarray(state["V"])[:j]
+        if V.shape[0] == 0:
+            return
+        G = V @ V.T
+        err = np.max(np.abs(G - np.eye(V.shape[0])))
+        if err > 1e-8:
+            raise AssertionError(
+                f"GMRES V lost orthonormality at iter {iter_count}: "
+                f"max |VVᵀ - I| = {err:.3e}")
+        R = np.asarray(state["Q"]) @ np.asarray(state["H"])
+        below = np.tril(R[:, :j], k=-1)[:j]
+        if np.max(np.abs(below)) > 1e-8 * max(1.0, np.max(np.abs(R))):
+            raise AssertionError(
+                f"GMRES R = Q·H not upper-triangular at iter {iter_count}")
+
     def final_x(self, state):
         return self._explicit_x_jit(state)
 

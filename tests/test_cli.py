@@ -59,3 +59,26 @@ def test_cli_end_to_end():
     assert "converged in:" in out.stdout
     assert "Residual Norms" in out.stdout
     assert "conjugate-gradient with preconditioner: jacobi" in out.stdout
+
+
+def test_cli_profile_and_debug_checks(tmp_path, capsys):
+    from basic_iterative_solvers_tpu.cli import run
+    rc = run(["fdm:8", "-gm", "-rl", "20", "--platform", "cpu",
+              "--harness", "host", "--debug-checks",
+              "--profile", str(tmp_path / "trace")])
+    assert rc == 0
+    assert (tmp_path / "trace").exists()
+    out = capsys.readouterr().out
+    assert "converged" in out
+
+
+def test_write_mtx_roundtrip(tmp_path):
+    import numpy as np
+    from basic_iterative_solvers_tpu import generators, read_mtx, write_mtx
+    A = generators.banded(30, bandwidth=2, seed=7)
+    path = tmp_path / "m.mtx"
+    write_mtx(str(path), A, comment="roundtrip")
+    B = read_mtx(str(path))
+    np.testing.assert_array_equal(A.row_ptr, B.row_ptr)
+    np.testing.assert_array_equal(A.col, B.col)
+    np.testing.assert_allclose(A.val, B.val, rtol=1e-15)
