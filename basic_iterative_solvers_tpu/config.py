@@ -72,6 +72,13 @@ class SolverConfig:
     # residual sampling (reference solver_harness.hpp semantics); "fused" =
     # whole solve in one lax.while_loop on device (performance mode).
     harness: str = "host"
+    # GMRES orthogonalization: "mgs" = modified Gram-Schmidt, the reference's
+    # scheme (gmres.hpp:6-53) — a j-deep chain of dependent dot+axpy passes;
+    # "cgs2" = classical Gram-Schmidt with full re-orthogonalization — two
+    # fixed-shape (m+1)×N matvec pairs on the MXU (zero basis rows contribute
+    # nothing, so no masking), the latency-free TPU form with equivalent
+    # numerical stability.
+    orthog_mode: str = "mgs"
     # Per-iteration invariant validation in the host harness (the reference's
     # Debug-build SanityChecker, common.hpp:428-530): GMRES V-orthonormality
     # and R=Q·H triangularity.  Host harness only.

@@ -44,6 +44,9 @@ class GMRESMethod:
         self.b = setup.b
         self.m = setup.config.restart_length
         self.use_pallas = setup.config.use_pallas
+        self.orthog = setup.config.orthog_mode
+        if self.orthog not in ("mgs", "cgs2"):
+            raise ValueError(f"unknown orthog_mode: {self.orthog}")
         self._restart_jit = jax.jit(self._restart_state)
         self._explicit_x_jit = jax.jit(self.explicit_x)
 
@@ -84,15 +87,26 @@ class GMRESMethod:
         w = spmv(self.A, jnp.take(V, j, axis=0), self.use_pallas)
         w = apply_preconditioner(self.M, w)
 
-        # Modified Gram-Schmidt against v_0..v_j (gmres.hpp:6-30)
-        def mgs_body(i, carry):
-            w, H = carry
-            vi = jnp.take(V, i, axis=0)
-            h = jnp.dot(w, vi)
-            H = H.at[i, j].set(h)
-            return w - h * vi, H
+        if self.orthog == "cgs2":
+            # Classical Gram-Schmidt with re-orthogonalization: rows of V
+            # beyond j are zero, so the full fixed-shape matvecs V·w and
+            # hᵀ·V need no masking — two MXU passes replace the j-deep
+            # dependent MGS chain (same H up to O(eps²) by CGS2 stability).
+            h1 = V @ w
+            w = w - h1 @ V
+            h2 = V @ w
+            w = w - h2 @ V
+            H = H.at[:, j].set(h1 + h2)
+        else:
+            # Modified Gram-Schmidt against v_0..v_j (gmres.hpp:6-30)
+            def mgs_body(i, carry):
+                w, H = carry
+                vi = jnp.take(V, i, axis=0)
+                h = jnp.dot(w, vi)
+                H = H.at[i, j].set(h)
+                return w - h * vi, H
 
-        w, H = jax.lax.fori_loop(0, j + 1, mgs_body, (w, H))
+            w, H = jax.lax.fori_loop(0, j + 1, mgs_body, (w, H))
         h_next = jnp.sqrt(jnp.dot(w, w))          # H[j+1, j] (gmres.hpp:36-38)
         H = H.at[j + 1, j].set(h_next)
         V = V.at[j + 1].set(w / h_next)            # gmres.hpp:43-46

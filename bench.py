@@ -69,6 +69,8 @@ def main():
                          "stencil when the source supports it")
     ap.add_argument("--restart-length", type=int, default=50)
     ap.add_argument("--precond-inner-iters", type=int, default=1)
+    ap.add_argument("--orthog", default="cgs2", choices=("mgs", "cgs2"),
+                    help="GMRES orthogonalization (cgs2 = batched MXU form)")
     args = ap.parse_args()
 
     import jax
@@ -119,6 +121,7 @@ def main():
         dtype=dtype, matrix_dtype=args.matrix_dtype, harness="fused",
         max_iters=args.iters, tolerance=0.0,   # run exactly `iters` iterations
         restart_length=args.restart_length,
+        orthog_mode=args.orthog,
         precond_inner_iters=args.precond_inner_iters)
 
     t0 = time.perf_counter()

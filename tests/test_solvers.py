@@ -201,3 +201,35 @@ def test_max_iters_respected():
     result = solve(setup)
     assert result.iter_count == 5
     assert not result.converged
+
+
+def test_gmres_cgs2_matches_mgs():
+    """CGS2 orthogonalization must converge like MGS (same Krylov space)."""
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+    A = bis.generators.fdm_2d(12)
+    kw = dict(method=SolverType.GMRES, preconditioner=PrecondType.JACOBI,
+              restart_length=30, dtype=np.float64, tolerance=1e-10,
+              harness="fused")
+    r_mgs = bis.solve(bis.preprocessing(A, bis.SolverConfig(
+        orthog_mode="mgs", **kw)))
+    r_cgs = bis.solve(bis.preprocessing(A, bis.SolverConfig(
+        orthog_mode="cgs2", **kw)))
+    assert r_cgs.converged
+    assert abs(r_cgs.iter_count - r_mgs.iter_count) <= 2
+    np.testing.assert_allclose(r_cgs.x_star, r_mgs.x_star, rtol=1e-7,
+                               atol=1e-9)
+
+
+def test_gmres_cgs2_debug_checks_pass():
+    """CGS2 keeps the basis orthonormal (validated by the SanityChecker)."""
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.types import SolverType
+    A = bis.generators.banded(80, bandwidth=3, seed=11)
+    cfg = bis.SolverConfig(method=SolverType.GMRES, restart_length=25,
+                           orthog_mode="cgs2", dtype=np.float64,
+                           tolerance=1e-9, harness="host", debug_checks=True)
+    res = bis.solve(bis.preprocessing(A, cfg))
+    assert res.converged
