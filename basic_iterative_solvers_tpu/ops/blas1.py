@@ -45,6 +45,27 @@ def infty_vec_norm(v):
     return jnp.max(jnp.abs(v))
 
 
+def infty_mat_norm(A):
+    """max row sum of |A|  (kernels.hpp:179-192), for any device format."""
+    from ..device_matrix import DeviceDIA, DeviceELL
+    if isinstance(A, (DeviceDIA, DeviceELL)):
+        return jnp.max(jnp.sum(jnp.abs(A.data), axis=0 if
+                               isinstance(A, DeviceDIA) else 1))
+    from ..stencil_op import DeviceStencil, stencil_spmv
+    if isinstance(A, DeviceStencil):
+        # |A| row sums = |A| applied to ones; coefficients sign-folded
+        import dataclasses
+        A_abs = dataclasses.replace(
+            A, coeffs=jnp.abs(A.coeffs),
+            diag=None if A.diag is None else jnp.abs(A.diag))
+        ones = jnp.ones(A.n_rows, dtype=A.dtype)
+        if A.planar:
+            from ..stencil_op import to_planar_vec
+            ones = to_planar_vec(A, ones)
+        return jnp.max(stencil_spmv(A_abs, ones, use_pallas=False))
+    raise TypeError(f"unsupported matrix type: {type(A)}")
+
+
 def scale(v, scalar):
     """r = scalar * v  (kernels.hpp:214-220)."""
     return v * scalar

@@ -88,15 +88,36 @@ class GMRESMethod:
         w = apply_preconditioner(self.M, w)
 
         if self.orthog == "cgs2":
-            # Classical Gram-Schmidt with re-orthogonalization: rows of V
-            # beyond j are zero, so the full fixed-shape matvecs V·w and
-            # hᵀ·V need no masking — two MXU passes replace the j-deep
-            # dependent MGS chain (same H up to O(eps²) by CGS2 stability).
-            h1 = V @ w
-            w = w - h1 @ V
-            h2 = V @ w
-            w = w - h2 @ V
-            H = H.at[:, j].set(h1 + h2)
+            # Classical Gram-Schmidt with re-orthogonalization: two matvec
+            # pairs on the MXU replace the j-deep dependent MGS chain (CGS2
+            # has MGS-equivalent stability).  The basis is streamed in
+            # j-adaptive row buckets via lax.switch — static slice shapes
+            # per branch, so HBM traffic tracks the active basis size
+            # instead of the full (m+1)-row array.
+            BUCKET = 8
+            n_buckets = -(-(self.m + 1) // BUCKET)
+            dtype = V.dtype
+            mp1 = self.m + 1
+
+            def make_branch(k):
+                rows = min((k + 1) * BUCKET, mp1)
+
+                def branch(V, w):
+                    Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
+                    h1 = Vb @ w
+                    w1 = w - h1 @ Vb
+                    h2 = Vb @ w1
+                    w2 = w1 - h2 @ Vb
+                    h = jnp.zeros((mp1,), dtype).at[:rows].set(h1 + h2)
+                    return w2, h
+
+                return branch
+
+            # active rows = j+1 ≤ (k+1)·BUCKET for k = j // BUCKET
+            idx = jnp.minimum(j // BUCKET, n_buckets - 1)
+            w, h = jax.lax.switch(
+                idx, [make_branch(k) for k in range(n_buckets)], V, w)
+            H = H.at[:, j].set(h)
         else:
             # Modified Gram-Schmidt against v_0..v_j (gmres.hpp:6-30)
             def mgs_body(i, carry):

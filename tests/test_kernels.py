@@ -112,3 +112,22 @@ def test_euclidean_norm_edge_cases():
     # reference test_utilities.cpp:34-62: zero and empty vectors
     assert float(euclidean_vec_norm(jnp.zeros(5))) == 0.0
     assert float(euclidean_vec_norm(jnp.zeros(0))) == 0.0
+
+
+def test_infty_mat_norm_all_formats():
+    import jax.numpy as jnp
+    import numpy as np
+    from basic_iterative_solvers_tpu import dia, generators, stencil_op
+    from basic_iterative_solvers_tpu.device_matrix import csr_to_dia, csr_to_ell
+    from basic_iterative_solvers_tpu.ops.blas1 import infty_mat_norm
+    A = generators.anderson(4, 3, 3, ranpot=5.0, seed=8)
+    dense = A.to_dense()
+    expect = np.abs(dense).sum(axis=1).max()
+    for M in (csr_to_dia(A, np.float64), csr_to_ell(A, np.float64),
+              stencil_op.anderson_operator(4, 3, 3, ranpot=5.0, seed=8,
+                                           dtype=np.float64),
+              stencil_op.to_planar_matrix(
+                  stencil_op.anderson_operator(4, 3, 3, ranpot=5.0, seed=8,
+                                               dtype=np.float64))):
+        np.testing.assert_allclose(float(infty_mat_norm(M)), expect,
+                                   rtol=1e-13)
