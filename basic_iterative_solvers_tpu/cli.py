@@ -153,14 +153,20 @@ def run(argv=None) -> int:
         and config.preconditioner in DEVICE_NATIVE_PRECONDS
         and config.method not in (_ST.GAUSS_SEIDEL, _ST.SYMMETRIC_GAUSS_SEIDEL)
         and config.perm_mode == "none"
-        and config.matrix_format in ("auto", "dia"))
+        and not (config.num_scale and config.matrix_format == "stencil")
+        and config.matrix_format in ("auto", "dia", "stencil"))
 
     timers = Timers()
     with timers.time("total"):
         if device_path:
             with timers.time("read_matrix"):
-                A_dev = from_source_device(matrix_source,
-                                           dtype=config.mat_dtype())
+                if config.matrix_format == "stencil":
+                    from .stencil_op import from_source_operator
+                    A_dev = from_source_operator(matrix_source,
+                                                 dtype=config.mat_dtype())
+                else:
+                    A_dev = from_source_device(matrix_source,
+                                               dtype=config.mat_dtype())
             with timers.time("preprocessing"):
                 setup = preprocessing_device(A_dev, config, timers=timers)
         else:
@@ -168,17 +174,24 @@ def run(argv=None) -> int:
                 A = generators.from_source(matrix_source)
             with timers.time("preprocessing"):
                 setup = preprocessing(A, config, timers=timers)
+        # Mid-run milestone dumps at relative residuals 1e-3/1e-6 (host
+        # harness; reference solver_harness.hpp:27-37).
+        def milestone(iter_count, residual_norm):
+            print(f"[milestone] iter {iter_count}: ||r|| = "
+                  f"{residual_norm:.6e}", file=sys.stderr)
+            print(timers.report(), file=sys.stderr)
+
         with timers.time("solve"):
             if profile_dir:
                 # xprof device trace around the solve — the hardware-counter
                 # analog of the reference's LIKWID markers (SURVEY.md §5);
                 # inspect with tensorboard/xprof.
                 with jax.profiler.trace(profile_dir):
-                    result = solve(setup)
+                    result = solve(setup, progress=milestone)
                 print(f"[profile] trace written to {profile_dir}",
                       file=sys.stderr)
             else:
-                result = solve(setup)
+                result = solve(setup, progress=milestone)
         with timers.time("postprocessing"):
             summary_output(result)
             roofline_report(setup, result)

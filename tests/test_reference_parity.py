@@ -48,6 +48,7 @@ CASES = [
     ("fdm16_gm_j_rl50", 1e-4, 32, False),
     ("fdm16_cg_j_scale", 1e-5, None, True),
     ("klein_bi_j", 1e-4, None, True),
+    ("klein_gm_rl50", 1e-8, None, True),
     ("klein_gs", 1e-8, None, True),
 ]
 
