@@ -40,8 +40,8 @@ from .ops.pallas_spmv import MIN_ROW_TILE, _VMEM_LIMIT
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["coeffs", "diag"],
-         meta_fields=["legs", "dims", "n_rows", "n_cols", "row_tile",
-                      "planar"])
+         meta_fields=["legs", "coeff_values", "dims", "n_rows", "n_cols",
+                      "row_tile", "planar"])
 @dataclasses.dataclass
 class DeviceStencil:
     """Constant-coefficient stencil on an open-boundary nx×ny×nz grid.
@@ -55,6 +55,9 @@ class DeviceStencil:
     diag: Optional[jax.Array]              # (npad,) flat / (rows_pad*L,)
                                            # planar, or None
     legs: Tuple[Tuple[int, int, int], ...]
+    #: static copies of the coefficients (trace-time constants) — lets the
+    #: kernels group equal-coefficient legs and fold the values directly
+    coeff_values: Tuple[float, ...]
     dims: Tuple[int, int, int]
     n_rows: int
     n_cols: int
@@ -100,7 +103,8 @@ def make_stencil(legs_coeffs, nx: int, ny: int, nz: int, dtype=jnp.float32,
     legs = tuple(l for (l, _) in legs_coeffs)
     if len(set(legs)) != len(legs):
         raise ValueError("duplicate stencil legs")
-    coeffs = jnp.asarray([c for (_, c) in legs_coeffs], dtype=dtype)
+    values = tuple(c for (_, c) in legs_coeffs)
+    coeffs = jnp.asarray(values, dtype=dtype)
     n = nx * ny * nz
     row_tile = _row_tile_for_dims(legs, nx, ny, nz)
     npad = max(row_tile, -(-n // row_tile) * row_tile)
@@ -110,8 +114,8 @@ def make_stencil(legs_coeffs, nx: int, ny: int, nz: int, dtype=jnp.float32,
     else:
         d = None
     return DeviceStencil(coeffs=coeffs, diag=d, legs=legs,
-                         dims=(nx, ny, nz), n_rows=n, n_cols=n,
-                         row_tile=row_tile)
+                         coeff_values=values, dims=(nx, ny, nz), n_rows=n,
+                         n_cols=n, row_tile=row_tile)
 
 
 # ---------------------------------------------------------------------------
@@ -309,17 +313,34 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
             ok = (lanes + dx >= 0) & (lanes + dx < L)
             variants[dx] = jnp.where(ok, rolled, 0.0)
 
-    acc = jnp.zeros((TR, L), dtype=y_ref.dtype)
+    # Group legs sharing a coefficient VALUE (static metadata): sum their
+    # slices first, then scale once — HPCG's 26 equal off-diagonal
+    # coefficients cost one multiply instead of 26.
+    groups = {}
+    diag_leg = None
     for l, (dx, dy, dz) in enumerate(A.legs):
+        if (dx, dy, dz) == (0, 0, 0) and diag_ref is not None:
+            diag_leg = l
+            continue
+        groups.setdefault(A.coeff_values[l], []).append(l)
+
+    acc = jnp.zeros((TR, L), dtype=y_ref.dtype)
+
+    def leg_slice(l):
+        dx, dy, dz = A.legs[l]
         dr = dz * rows_plane + dy
         # window rows = planar [i·TR − TR, i·TR + 2·TR); output row j reads
         # window row TR + j + dr.
         base = TR + dr
-        sl = jax.lax.slice(variants[dx], (base, 0), (base + TR, L))
-        if (dx, dy, dz) == (0, 0, 0) and diag_ref is not None:
-            acc = acc + diag_ref[:] * sl
-        else:
-            acc = acc + coeff_ref[l] * sl
+        return jax.lax.slice(variants[dx], (base, 0), (base + TR, L))
+
+    for c, legs_l in sorted(groups.items()):
+        s = leg_slice(legs_l[0])
+        for l in legs_l[1:]:
+            s = s + leg_slice(l)
+        acc = acc + jnp.asarray(c, acc.dtype) * s
+    if diag_leg is not None:
+        acc = acc + diag_ref[:] * leg_slice(diag_leg)
 
     # Zero the output's halo rows/lanes so planar vectors stay exactly zero
     # outside the grid: row r real iff it's inside a real plane and not a
