@@ -67,3 +67,20 @@ def test_gspmd_rejects_indivisible():
     mesh = make_mesh(3)
     with pytest.raises(ValueError):
         shard_setup(setup, mesh)  # npad=8192 not divisible by 3
+
+
+def test_gspmd_planar_stencil():
+    """shard_setup on a planar-resident stencil setup (forced 'on')."""
+    from basic_iterative_solvers_tpu import stencil_op
+    A = stencil_op.stencil_27pt_operator(8, 8, 8, dtype=np.float64)
+    cfg = bis.SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                           preconditioner=PrecondType.JACOBI,
+                           dtype=np.float64, tolerance=1e-11,
+                           harness="fused", planar_vectors="on")
+    setup1 = bis.preprocessing_device(A, cfg)
+    res1 = bis.solve(setup1)
+    setup8 = shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8))
+    res8 = bis.solve(setup8)
+    assert res8.converged and res8.iter_count == res1.iter_count
+    np.testing.assert_allclose(res8.x_star, res1.x_star, rtol=1e-9,
+                               atol=1e-11)

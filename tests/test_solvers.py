@@ -233,3 +233,43 @@ def test_gmres_cgs2_debug_checks_pass():
                            tolerance=1e-9, harness="host", debug_checks=True)
     res = bis.solve(bis.preprocessing(A, cfg))
     assert res.converged
+
+
+def test_divergence_detection():
+    """NaN/oscillating runs must stop with converged=False
+    (check_stopping_criteria divergence branch, solver.hpp:181)."""
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.matrix import MatrixCSR
+    from basic_iterative_solvers_tpu.types import SolverType
+    # Jacobi diverges when the iteration matrix has spectral radius > 1
+    dense = np.array([[1.0, 4.0], [4.0, 1.0]])
+    A = MatrixCSR.from_dense(dense)
+    cfg = bis.SolverConfig(method=SolverType.JACOBI, dtype=np.float64,
+                           max_iters=2000, harness="fused")
+    res = bis.solve(bis.preprocessing(A, cfg))
+    assert not res.converged
+
+
+def test_max_iters_cap():
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.types import SolverType
+    A = bis.generators.fdm_2d(16)
+    cfg = bis.SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, max_iters=5, harness="fused")
+    res = bis.solve(bis.preprocessing(A, cfg))
+    assert res.iter_count == 5 and not res.converged
+
+
+def test_one_by_one_matrix():
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.matrix import MatrixCSR
+    from basic_iterative_solvers_tpu.types import SolverType
+    A = MatrixCSR.from_dense(np.array([[4.0]]))
+    cfg = bis.SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, tolerance=1e-14, harness="fused")
+    res = bis.solve(bis.preprocessing(A, cfg, b=np.array([8.0])))
+    assert res.converged
+    np.testing.assert_allclose(res.x_star, [2.0], rtol=1e-12)
