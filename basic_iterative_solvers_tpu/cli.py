@@ -51,9 +51,7 @@ def parse_cli(argv) -> tuple:
     opts = dict(method=SOLVER_CLI_FLAGS[method_flag],
                 preconditioner=PrecondType.NONE)
     extras = {}
-    i = 2
     args = list(argv[2:])
-    it = iter(range(len(args)))
     idx = 0
     while idx < len(args):
         arg = args[idx]

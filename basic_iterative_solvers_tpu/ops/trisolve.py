@@ -29,7 +29,6 @@ import numpy as np
 
 from ..matrix import MatrixCSR
 from ..factor import level_sets_lower, level_sets_upper
-from ..device_matrix import DeviceDIA, DeviceELL
 from .spmv import spmv
 
 

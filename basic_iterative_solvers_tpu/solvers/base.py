@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ import numpy as np
 from ..config import SolverConfig
 from ..factor import factor_LU, extract_scale, scale_mat
 from ..matrix import MatrixCSR
-from ..precond import Preconditioner, setup_preconditioner, apply_preconditioner
+from ..precond import Preconditioner, setup_preconditioner
 from ..types import PrecondType, SolverType
 from ..device_matrix import from_csr
 from ..ops.spmv import spmv
