@@ -80,6 +80,27 @@ def run_case(exe, matrix_path, method, extra):
             "iterations": iters}
 
 
+def build_variant(tmp: pathlib.Path, inner: int) -> pathlib.Path:
+    """Reference built with PRECOND_INNER_ITERS=inner (a CMake-time knob;
+    our framework makes it runtime config.precond_inner_iters)."""
+    exe = tmp / f"ref_solver_inner{inner}"
+    defines = [d if not d.startswith("-DPRECOND_INNER_ITERS")
+               else f"-DPRECOND_INNER_ITERS={inner}" for d in DEFINES]
+    subprocess.run(
+        ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17", *defines,
+         f"{REF}/main.cpp", f"{REF}/utilities/mmio.cpp", "-o", str(exe)],
+        check=True, capture_output=True)
+    return exe
+
+
+#: cases run against the PRECOND_INNER_ITERS=2 build (Richardson sweeps)
+INNER2_CASES = [
+    ("fdm16_cg_2st_inner2", "fdm16", "-cg", ["-p", "2st"]),
+    ("fdm16_cg_s2st_inner2", "fdm16", "-cg", ["-p", "s2st"]),
+    ("fdm16_bi_s2st_inner2", "fdm16", "-bi", ["-p", "s2st"]),
+]
+
+
 def main():
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="refgold_"))
     exe = build(tmp)
@@ -91,6 +112,16 @@ def main():
         r["matrix"] = MATRICES[mkey]
         r["method"] = method
         r["extra"] = extra
+        goldens[name] = r
+        print(f"{name}: {len(r['norms'])} samples, converged={r['converged']} "
+              f"in {r['iterations']}", file=sys.stderr)
+    exe2 = build_variant(tmp, inner=2)
+    for name, mkey, method, extra in INNER2_CASES:
+        r = run_case(exe2, MATRICES[mkey], method, extra)
+        r["matrix"] = MATRICES[mkey]
+        r["method"] = method
+        r["extra"] = extra
+        r["precond_inner_iters"] = 2
         goldens[name] = r
         print(f"{name}: {len(r['norms'])} samples, converged={r['converged']} "
               f"in {r['iterations']}", file=sys.stderr)

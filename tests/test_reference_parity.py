@@ -50,13 +50,19 @@ CASES = [
     ("klein_bi_j", 1e-4, None, True),
     ("klein_gm_rl50", 1e-8, None, True),
     ("klein_gs", 1e-8, None, True),
+    # Richardson (two-stage) with 2 inner sweeps, vs a reference rebuilt
+    # with -DPRECOND_INNER_ITERS=2
+    ("fdm16_cg_2st_inner2", 1e-7, 200, True),      # DNC: stable prefix
+    ("fdm16_cg_s2st_inner2", 1e-5, None, True),
+    ("fdm16_bi_s2st_inner2", 1e-4, None, True),
 ]
 
 
 def _config_for(case):
     g = GOLDENS[case]
     opts = dict(method=SOLVER_CLI_FLAGS[g["method"]], dtype=np.float64,
-                harness="fused")
+                harness="fused",
+                precond_inner_iters=g.get("precond_inner_iters", 0))
     extra = list(g["extra"])
     while extra:
         k = extra.pop(0)
