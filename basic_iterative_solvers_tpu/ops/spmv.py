@@ -58,6 +58,19 @@ def spmv(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
     raise TypeError(f"unsupported device matrix type: {type(A)}")
 
 
+def spmv_dot(A, x: jax.Array, use_pallas: bool = False):
+    """(A @ x, dot(A@x, x)) — fused in-kernel for planar-resident stencils
+    (CG's α denominator costs no extra memory pass); generic elsewhere."""
+    from ..stencil_op import (DeviceStencil, _planar_ok,
+                              stencil_spmv_resident)
+    if (isinstance(A, DeviceStencil) and A.planar and use_pallas
+            and jax.default_backend() == "tpu" and x.dtype.itemsize <= 4
+            and _planar_ok(A)):
+        return stencil_spmv_resident(A, x, with_dot=True)
+    y = spmv(A, x, use_pallas=use_pallas)
+    return y, jnp.dot(y, x)
+
+
 def compute_residual(A, x: jax.Array, b: jax.Array,
                      use_pallas: bool = False) -> jax.Array:
     """residual = b - A@x (reference compute_residual, kernels.hpp:155-162)."""

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.spmv import spmv
+from ..ops.spmv import spmv, spmv_dot
 from ..precond import apply_preconditioner
 from .base import SolverSetup
 from .fused import fused_solve
@@ -48,9 +48,9 @@ class ConjugateGradientMethod:
 
     def iterate(self, state):
         x, r, z, p = state["x"], state["r"], state["z"], state["p"]
-        t = spmv(self.A, p, self.use_pallas)
+        t, tp = spmv_dot(self.A, p, self.use_pallas)
         rz = jnp.dot(r, z)
-        alpha = rz / jnp.dot(t, p)
+        alpha = rz / tp
         x = x + alpha * p
         r_new = r - alpha * t
         z_new = apply_preconditioner(self.M, r_new)

@@ -297,7 +297,7 @@ def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
 
 def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                      coeff_ref, w0_ref, w1_ref, w2_ref, y_ref,
-                     diag_ref=None):
+                     diag_ref=None, dot_ref=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nx, ny, nz = A.dims
@@ -354,11 +354,22 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                 & (y_in_plane >= jnp.int32(1))
                 & (y_in_plane <= jnp.int32(ny)))
     real = real_row & (lanes < jnp.int32(nx))
-    y_ref[:] = jnp.where(real, acc, 0.0)
+    y = jnp.where(real, acc, 0.0)
+    y_ref[:] = y
+    if dot_ref is not None:
+        # fused partial of dot(y, x): the x tile for this output block is
+        # exactly the middle window block (halo rows of y are zero).  The
+        # (1, 8, 128) block exists only to satisfy TPU tiling; the partial
+        # is broadcast and read back from [i, 0, 0].
+        dot_ref[...] = jnp.full((1, 8, 128), jnp.sum(y * w1_ref[:]),
+                                dtype=y.dtype)
 
 
-def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
-    """y = A @ x with x and y in the planar-resident layout."""
+def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
+                          with_dot: bool = False):
+    """y = A @ x with x and y in the planar-resident layout.  With
+    `with_dot`, also returns dot(y, x) accumulated in-kernel (per-tile
+    partials summed) — saves one full pass over y and x for CG's α."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -367,9 +378,13 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
     x2 = xp.reshape(rows_pad, L)
 
     has_diag = A.diag is not None
-    kernel = lambda coeff_ref, w0, w1, w2, *rest: _resident_kernel(  # noqa: E731
-        A, TR, drmax, rows_plane, rows_total, L, coeff_ref, w0, w1, w2,
-        rest[-1], diag_ref=(rest[0] if has_diag else None))
+
+    def kernel(coeff_ref, w0, w1, w2, *rest):
+        outs = list(rest[1 if has_diag else 0:])
+        _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
+                         coeff_ref, w0, w1, w2, outs[0],
+                         diag_ref=(rest[0] if has_diag else None),
+                         dot_ref=(outs[1] if with_dot else None))
 
     # clamped 3-block window: edge clamps feed only masked halo outputs
     # (drmax ≤ rows_plane + 1 ≤ prologue/epilogue halo planes)
@@ -393,19 +408,29 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
                                      memory_space=pltpu.VMEM))
         args.append(A.diag.reshape(rows_pad, L))
     itemsize = xp.dtype.itemsize
-    y = pl.pallas_call(
+    out_specs = [pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((rows_pad, L), xp.dtype)]
+    if with_dot:
+        out_specs.append(pl.BlockSpec(
+            (1, 8, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((grid_n, 8, 128), xp.dtype))
+    outs = pl.pallas_call(
         kernel, grid=(grid_n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, L), xp.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * len(A.legs) * rows_pad * L,
             bytes_accessed=(2 + has_diag) * rows_pad * L * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*args)
-    return y.reshape(-1)
+    if with_dot:
+        y, partials = outs
+        return y.reshape(-1), jnp.sum(partials[:, 0, 0])
+    return outs[0].reshape(-1)
 
 
 def to_planar_matrix(A: "DeviceStencil") -> "DeviceStencil":
