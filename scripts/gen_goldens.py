@@ -101,6 +101,18 @@ INNER2_CASES = [
 ]
 
 
+#: Anderson-model cases: the reference's own generator needs the external
+#: SCAMAC library (unavailable offline), so OUR generator writes the matrix
+#: to .mtx and the reference binary consumes the file — validating the
+#: generator and the solve together.
+ANDERSON_SPEC = "scamac:Anderson,Lx=10,Ly=10,Lz=10,ranpot=6.0,seed=3"
+ANDERSON_CASES = [
+    ("anderson_cg_j", "-cg", ["-p", "j"]),
+    ("anderson_bi_j", "-bi", ["-p", "j"]),
+    ("anderson_gs", "-gs", []),
+]
+
+
 def main():
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="refgold_"))
     exe = build(tmp)
@@ -125,6 +137,19 @@ def main():
         goldens[name] = r
         print(f"{name}: {len(r['norms'])} samples, converged={r['converged']} "
               f"in {r['iterations']}", file=sys.stderr)
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+    from basic_iterative_solvers_tpu import generators, write_mtx
+    mtx = tmp / "anderson.mtx"
+    write_mtx(str(mtx), generators.from_source(ANDERSON_SPEC))
+    for name, method, extra in ANDERSON_CASES:
+        r = run_case(exe, str(mtx), method, extra)
+        r["matrix"] = ANDERSON_SPEC     # parity test regenerates, not reads
+        r["method"] = method
+        r["extra"] = extra
+        goldens[name] = r
+        print(f"{name}: {len(r['norms'])} samples, converged={r['converged']} "
+              f"in {r['iterations']}", file=sys.stderr)
+
     out = pathlib.Path(__file__).resolve().parent.parent / "tests" / "goldens"
     out.mkdir(parents=True, exist_ok=True)
     (out / "reference_histories.json").write_text(

@@ -55,6 +55,17 @@ CASES = [
     ("fdm16_cg_2st_inner2", 1e-7, 200, True),      # DNC: stable prefix
     ("fdm16_cg_s2st_inner2", 1e-5, None, True),
     ("fdm16_bi_s2st_inner2", 1e-4, None, True),
+    # Anderson model: OUR generator produced the .mtx the reference solved
+    # (its SCAMAC needs an external lib), so these pin generator + solver.
+    # The disordered Hamiltonian is indefinite — every method DNCs in BOTH
+    # implementations (agreeing divergence is parity too); trajectories are
+    # chaotic once stalled, so pin the early history only.
+    # (an SGS-preconditioned case is excluded: the triangular solves of
+    # this indefinite matrix amplify by ~1e30, so both implementations
+    # produce numerically meaningless, ulp-sensitive trajectories there)
+    ("anderson_cg_j", 1e-3, 30, True),
+    ("anderson_bi_j", 1e-3, 7, False),   # BiCGSTAB: ulp chaos doubles per iter on indefinite A
+    ("anderson_gs", 1e-7, 40, False),
 ]
 
 
@@ -78,7 +89,7 @@ def _config_for(case):
 @pytest.mark.parametrize("case,rtol,limit,check_iters", CASES)
 def test_history_matches_reference(case, rtol, limit, check_iters):
     g = GOLDENS[case]
-    A = bis.read_mtx(g["matrix"])
+    A = bis.generators.from_source(g["matrix"])  # .mtx path or spec
     cfg = _config_for(case)
     x0 = None
     if cfg.num_scale:
