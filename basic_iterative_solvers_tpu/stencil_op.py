@@ -171,86 +171,13 @@ def _from_planar(A, y_rows, L, rows_plane):
     return y3[1:nz + 1, 1:ny + 1, :nx].reshape(A.n_rows)
 
 
-def _planar_kernel(A, TR, drmax, rows_plane, L,
-                   coeff_ref, wlo_ref, whi_ref, y_ref, diag_ref=None):
-    from jax.experimental.pallas import tpu as pltpu
-    nx, _, _ = A.dims
-    window = jnp.concatenate([wlo_ref[:], whi_ref[:]], axis=0)  # (2TR, L)
-
-    # one rotated+zero-fixed window per distinct dx
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
-    variants = {}
-    for dx in sorted({leg[0] for leg in A.legs}):
-        if dx == 0:
-            variants[0] = window
-        else:
-            # rolled[:, l] = W[:, l+dx] (pltpu.roll needs shift ≥ 0, i32
-            # under jax_enable_x64)
-            rolled = pltpu.roll(window, jnp.int32((-dx) % L), 1)
-            # wrapped lanes: l + dx outside [0, L) → zero them once.
-            ok = (lanes + dx >= 0) & (lanes + dx < L)
-            variants[dx] = jnp.where(ok, rolled, 0.0)
-
-    acc = jnp.zeros((TR, L), dtype=y_ref.dtype)
-    for l, (dx, dy, dz) in enumerate(A.legs):
-        dr = dz * rows_plane + dy
-        # window row 0 = planar row i·TR − drmax (xp data offset = drmax),
-        # so output row j reads window row j + drmax + dr.
-        base = drmax + dr
-        sl = jax.lax.slice(variants[dx], (base, 0), (base + TR, L))
-        if (dx, dy, dz) == (0, 0, 0) and diag_ref is not None:
-            acc = acc + diag_ref[:] * sl
-        else:
-            acc = acc + coeff_ref[l] * sl
-    y_ref[:] = acc
-
-
 def stencil_spmv_planar(A: "DeviceStencil", x: jax.Array) -> jax.Array:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    grid_n = rows_pad // TR
-    # xp block i = planar rows [i·TR − drmax, (i+1)·TR − drmax); blocks
-    # (i, i+1) cover the output block's window since 2·drmax ≤ TR.
-    xp = _to_planar(A, x, L, rows_plane, (grid_n + 1) * TR, drmax)
-
-    has_diag = A.diag is not None
-    kernel = lambda coeff_ref, wlo, whi, *rest: _planar_kernel(  # noqa: E731
-        A, TR, drmax, rows_plane, L, coeff_ref, wlo, whi,
-        rest[-1], diag_ref=(rest[0] if has_diag else None))
-
-    # window of row-block i covers xp rows [TR + i·TR - drmax,
-    # TR + (i+1)·TR + drmax) ⊂ blocks i and i+1 of xp (xp has a TR-row
-    # zero prologue, so block i of xp = rows [i·TR, (i+1)·TR)).
-    in_specs = [
-        pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TR, L), lambda i: (i + jnp.int32(1), jnp.int32(0)),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [A.coeffs, xp, xp]
-    if has_diag:
-        dp = _to_planar(A, A.diag[:A.n_rows], L, rows_plane, rows_pad, 0)
-        in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
-                                     memory_space=pltpu.VMEM))
-        args.append(dp)
-    itemsize = x.dtype.itemsize
-    y = pl.pallas_call(
-        kernel, grid=(grid_n,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, L), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * len(A.legs) * rows_pad * L,
-            bytes_accessed=(3 + has_diag) * rows_pad * L * itemsize,
-            transcendentals=0),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(*args)
-    return _from_planar(A, y, L, rows_plane)
+    """y = A @ x for a flat-layout stencil via the resident kernel:
+    pad into the planar halo layout, apply, crop.  (Flat-layout TPU mode is
+    the non-default path — planar-resident vectors avoid the two extra
+    passes this costs.)"""
+    Ap = to_planar_matrix(A)
+    return from_planar_vec(Ap, stencil_spmv_resident(Ap, to_planar_vec(Ap, x)))
 
 
 #: planar kernel handles any |dx| < lane width (wrap mask = boundary mask)
@@ -345,7 +272,8 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
     # Zero the output's halo rows/lanes so planar vectors stay exactly zero
     # outside the grid: row r real iff it's inside a real plane and not a
     # y-halo row; lane real iff < nx.
-    i = pl_program_id()
+    from jax.experimental import pallas as pl
+    i = pl.program_id(0)
     r = (jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
          + i * jnp.int32(TR))
     y_in_plane = jax.lax.rem(r, jnp.int32(rows_plane))
@@ -473,78 +401,6 @@ def _leg_masks(g, legs, nx, ny, nz, n):
     return masks
 
 
-def _stencil_kernel(A: DeviceStencil, hneg, R, n,
-                    coeff_ref, xlo_ref, xhi_ref, y_ref, diag_ref=None):
-    nx, ny, nz = A.dims
-    window = jnp.concatenate([xlo_ref[:], xhi_ref[:]])     # (2R,)
-    g = (jax.lax.broadcasted_iota(jnp.int32, (R,), 0)
-         + pl_program_id() * jnp.int32(R))
-    masks = _leg_masks(g, A.legs, nx, ny, nz, n)
-    acc = jnp.zeros((R,), dtype=y_ref.dtype)
-    for l, (dx, dy, dz) in enumerate(A.legs):
-        lin = dx + nx * (dy + ny * dz)
-        start = lin + hneg
-        sl = jax.lax.slice(window, (start,), (start + R,))
-        contrib = jnp.where(masks[l], sl, 0.0)
-        if lin == 0 and diag_ref is not None:
-            acc = acc + diag_ref[:] * contrib
-        else:
-            acc = acc + coeff_ref[l] * contrib
-    y_ref[:] = acc
-
-
-def pl_program_id():
-    from jax.experimental import pallas as pl
-    return pl.program_id(0)
-
-
-def stencil_spmv_pallas(A: DeviceStencil, x: jax.Array) -> jax.Array:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n = A.n_rows
-    nx, ny, nz = A.dims
-    R = A.row_tile
-    offs = A.offsets
-    hneg = max(0, -min(offs)) if offs else 0
-    npad = A.diag.shape[0] if A.diag is not None else max(
-        R, -(-n // R) * R)
-    grid_n = npad // R
-    xp = jnp.zeros((grid_n + 1) * R, dtype=x.dtype).at[hneg:hneg + n].set(x)
-
-    has_diag = A.diag is not None
-    kernel = lambda coeff_ref, xlo, xhi, *rest: _stencil_kernel(  # noqa: E731
-        A, hneg, R, n, coeff_ref, xlo, xhi,
-        rest[-1], diag_ref=(rest[0] if has_diag else None))
-
-    in_specs = [
-        pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((R,), lambda i: (i,), memory_space=pltpu.VMEM),
-        pl.BlockSpec((R,), lambda i: (i + jnp.int32(1),),
-                     memory_space=pltpu.VMEM),
-    ]
-    args = [A.coeffs, xp, xp]
-    if has_diag:
-        in_specs.append(pl.BlockSpec((R,), lambda i: (i,),
-                                     memory_space=pltpu.VMEM))
-        args.append(A.diag)
-    itemsize = x.dtype.itemsize
-    y = pl.pallas_call(
-        kernel, grid=(grid_n,),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((R,), lambda i: (i,),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=4 * len(A.legs) * npad,
-            bytes_accessed=(3 + has_diag) * npad * itemsize,
-            transcendentals=0),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
-    )(*args)
-    return y[:n]
-
-
 def stencil_spmv_xla(A: DeviceStencil, x: jax.Array) -> jax.Array:
     """Reference/fallback path (CPU, sharded mode): masked shifted adds."""
     n = A.n_rows
@@ -574,10 +430,8 @@ def stencil_spmv(A: DeviceStencil, x: jax.Array,
         if on_tpu_pallas and _planar_ok(A):
             return stencil_spmv_resident(A, x)
         return stencil_spmv_resident_xla(A, x)
-    if on_tpu_pallas:
-        if _planar_ok(A):
-            return stencil_spmv_planar(A, x)
-        return stencil_spmv_pallas(A, x)
+    if on_tpu_pallas and _planar_ok(A):
+        return stencil_spmv_planar(A, x)
     return stencil_spmv_xla(A, x)
 
 
