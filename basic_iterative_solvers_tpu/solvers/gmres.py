@@ -103,6 +103,9 @@ class GMRESMethod:
                 rows = min((k + 1) * BUCKET, mp1)
 
                 def branch(V, w):
+                    # unconditional re-orthogonalization: a DGKS-style
+                    # selective scheme was measured SLOWER here (the
+                    # criterion's norm reductions serialize the pipeline)
                     Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
                     h1 = Vb @ w
                     w1 = w - h1 @ Vb
