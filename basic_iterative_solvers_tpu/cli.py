@@ -154,6 +154,15 @@ def run(argv=None) -> int:
         and not (config.num_scale and config.matrix_format == "stencil")
         and config.matrix_format in ("auto", "dia", "stencil"))
 
+    if config.matrix_format == "stencil" and not device_path:
+        # the matrix-free format only exists on the device-native path;
+        # fall back to DIA with a note instead of a confusing failure later
+        print("NOTE: --format stencil requires a generator source and a "
+              "device-native method/preconditioner; falling back to DIA.",
+              file=sys.stderr)
+        import dataclasses as _dc
+        config = _dc.replace(config, matrix_format="auto")
+
     timers = Timers()
     with timers.time("total"):
         if device_path:

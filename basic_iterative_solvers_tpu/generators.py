@@ -30,25 +30,6 @@ import numpy as np
 from .matrix import MatrixCOO, MatrixCSR, convert_coo_to_csr
 
 
-def _grid_neighbors_3d(nx, ny, nz, offsets):
-    """COO entries linking each 3-D grid point to its neighbors at the given
-    (dx, dy, dz) offsets (open boundary). Lexicographic ordering: x fastest."""
-    X, Y, Z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz),
-                          indexing="ij")
-    # Row index: x fastest (i = x + nx*(y + ny*z)), matching HPCG convention.
-    idx = (X + nx * (Y + ny * Z)).ravel()
-    I_list, J_list, O_list = [], [], []
-    for (dx, dy, dz) in offsets:
-        Xn, Yn, Zn = X + dx, Y + dy, Z + dz
-        valid = ((Xn >= 0) & (Xn < nx) & (Yn >= 0) & (Yn < ny)
-                 & (Zn >= 0) & (Zn < nz)).ravel()
-        jdx = (Xn + nx * (Yn + ny * Zn)).ravel()
-        I_list.append(idx[valid])
-        J_list.append(jdx[valid])
-        O_list.append(np.full(valid.sum(), True))
-    return np.concatenate(I_list), np.concatenate(J_list)
-
-
 def stencil_27pt(nx: int, ny: int = None, nz: int = None,
                  diag: float = 26.0, off: float = -1.0) -> MatrixCSR:
     """HPCG-style 27-point stencil on an nx×ny×nz grid (open boundary).

@@ -20,12 +20,12 @@ from ..device_matrix import DeviceDIA, DeviceELL
 
 
 def spmv_dia(A: DeviceDIA, x: jax.Array, use_pallas: bool = False) -> jax.Array:
+    n = A.n_rows
+    if not A.offsets:   # no stored diagonals (e.g. strict part of diag-only)
+        return jnp.zeros(n, dtype=x.dtype)
     if use_pallas:
         from .pallas_spmv import dia_spmv_pallas
         return dia_spmv_pallas(A, x)
-    n = A.n_rows
-    if not A.offsets:
-        return jnp.zeros(n, dtype=x.dtype)
     # DIA is used for square matrices only (the solver path guarantees this;
     # rectangular cases fall back to ELL in from_csr).  The data row
     # dimension is tile-padded (device_matrix.csr_to_dia), so slices run over

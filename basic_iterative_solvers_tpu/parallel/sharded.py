@@ -59,7 +59,7 @@ def shard_dia(A: DeviceDIA, mesh: Mesh, axis: str = AXIS) -> DeviceDIA:
             "use fewer devices or a larger matrix")
     data = jax.device_put(A.data, NamedSharding(mesh, P(None, axis)))
     return DeviceDIA(data=data, offsets=A.offsets, n_rows=A.n_rows,
-                     n_cols=A.n_cols)
+                     n_cols=A.n_cols, row_tile=A.row_tile)
 
 
 def shard_vector(v: jax.Array, npad: int, mesh: Mesh, axis: str = AXIS):

@@ -209,10 +209,13 @@ def preprocessing_device(A_dev, config: SolverConfig,
     # SpMV; see stencil_op).
     x_decode = None
     planar = config.planar_vectors
+    from ..stencil_op import _planar_ok
     if is_stencil and not A_dev.planar and (
             planar == "on"
             or (planar == "auto" and config.use_pallas
-                and jax.default_backend() == "tpu")):
+                and jax.default_backend() == "tpu"
+                and dtype.itemsize <= 4      # resident kernel's dtype gate
+                and _planar_ok(A_dev))):
         A_dev = to_planar_matrix(A_dev)
         b_dev = to_planar_vec(A_dev, b_dev)
         x0_dev = to_planar_vec(A_dev, x0_dev)

@@ -48,38 +48,45 @@ class FusedRunner:
             stopping = config.tolerance * r0
             norms = jnp.zeros(max_hist, dtype=r0.dtype).at[0].set(r0)
 
+            # `last` = the most recently SAMPLED norm: the reference's
+            # residual_norm member is refreshed only every res_check_len
+            # iterations (sample_residual, solver.hpp:166-171), and its
+            # stopping check reads that member — so convergence must gate on
+            # the sampled value, not the per-iteration recurrence norm.
             def cond(carry):
-                state, it, norms_, hist, restarts = carry
-                rn = state["residual_norm"]
-                not_conv = jnp.abs(rn) >= stopping
+                state, it, last, norms_, hist, restarts = carry
+                not_conv = jnp.abs(last) >= stopping
                 under_max = it < (max_iters - restarts)
-                return not_conv & under_max & jnp.isfinite(rn)
+                return not_conv & under_max & jnp.isfinite(last)
 
             def body(carry):
-                state, it, norms_, hist, restarts = carry
+                state, it, last, norms_, hist, restarts = carry
                 state = iterate(state)
                 it = it + 1
                 do_sample = (it % k) == 0
                 rn = jax.lax.cond(do_sample, lambda s: sample_norm(s),
                                   lambda s: s["residual_norm"], state)
-                state = dict(state, residual_norm=rn)
+                last = jnp.where(do_sample, rn, last)
                 norms_ = jax.lax.cond(
                     do_sample, lambda m: m.at[hist].set(rn),
                     lambda m: m, norms_)
                 hist = hist + do_sample.astype(jnp.int32)
                 if restart_fn is not None:
-                    state, restarted = restart_fn(state, it, stopping)
+                    state, restarted = restart_fn(state, it, stopping, last)
                     restarts = restarts + restarted.astype(jnp.int32)
+                    last = jnp.where(restarted, state["residual_norm"], last)
                     norms_ = jax.lax.cond(
                         restarted,
                         lambda m: m.at[hist].set(state["residual_norm"]),
                         lambda m: m, norms_)
                     hist = hist + restarted.astype(jnp.int32)
-                return (state, it, norms_, hist, restarts)
+                return (state, it, last, norms_, hist, restarts)
 
-            carry = (state0, jnp.int32(0), norms, jnp.int32(1), jnp.int32(0))
-            state, it, norms, hist, restarts = jax.lax.while_loop(
+            carry = (state0, jnp.int32(0), r0, norms, jnp.int32(1),
+                     jnp.int32(0))
+            state, it, last, norms, hist, restarts = jax.lax.while_loop(
                 cond, body, carry)
+            state = dict(state, residual_norm=last)
             return state, it, norms, hist, restarts, stopping
 
         self._init_jit = jax.jit(init_state)

@@ -133,7 +133,13 @@ class GMRESMethod:
             w, H = jax.lax.fori_loop(0, j + 1, mgs_body, (w, H))
         h_next = jnp.sqrt(jnp.dot(w, w))          # H[j+1, j] (gmres.hpp:36-38)
         H = H.at[j + 1, j].set(h_next)
-        V = V.at[j + 1].set(w / h_next)            # gmres.hpp:43-46
+        # Happy breakdown (h_next == 0): the next basis vector is undefined;
+        # store a zero row instead of w/0 = NaN so explicit_x's full-basis
+        # contraction stays finite (the residual is 0, so the solve stops
+        # before the row is ever used as a direction).
+        v_next = jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1.0),
+                           0.0)
+        V = V.at[j + 1].set(v_next)                # gmres.hpp:43-46
 
         # Givens least squares (gmres.hpp:55-121): rotate column j of H by the
         # accumulated Q, derive the new rotation, fold it into Q.
@@ -204,10 +210,12 @@ class GMRESMethod:
             return state, True, float(state["residual_norm"])
         return state, False, residual_norm
 
-    def _fused_restart(self, state, it, stopping):
+    def _fused_restart(self, state, it, stopping, last_sampled):
         cycle = jnp.logical_and((it % self.m) == 0, it > 0)
-        rn = state["residual_norm"]
-        do = cycle & (jnp.abs(rn) >= stopping) & jnp.isfinite(rn)
+        # convergence gate uses the last SAMPLED norm (reference
+        # check_restart reads the sampled residual_norm member)
+        do = (cycle & (jnp.abs(last_sampled) >= stopping)
+              & jnp.isfinite(last_sampled))
         state = jax.lax.cond(do, self._restart_state, lambda s: s, state)
         return state, do
 

@@ -147,9 +147,12 @@ def _planar_geometry(A: "DeviceStencil"):
     L = max(128, -(-nx // 128) * 128)
     rows_plane = ny + 2
     rows_total = (nz + 2) * rows_plane
-    drmax = max(abs(dz) * rows_plane + abs(dy)
-                for (dx, dy, dz) in A.legs) if A.legs else 0
-    # two-block window: need 2*drmax ≤ TR (data sits at offset drmax)
+    # drmax floors at the dims-only bound rows_plane+1 (covers any
+    # |dy|,|dz| ≤ 1 leg) so L/U leg SUBSETS of a stencil share its planar
+    # geometry — planar vectors then flow through splits unchanged.
+    drmax = max([rows_plane + 1]
+                + [abs(dz) * rows_plane + abs(dy)
+                   for (dx, dy, dz) in A.legs])
     TR = max(_ROW_TILE_2D, -(-2 * drmax // _ROW_TILE_2D) * _ROW_TILE_2D)
     rows_pad = -(-rows_total // TR) * TR
     return L, rows_plane, rows_total, drmax, TR, rows_pad
@@ -482,6 +485,11 @@ def stencil_split(A: DeviceStencil):
     L = make_stencil(lower, nxd, nyd, nzd, dtype=A.dtype)
     U = make_stencil(upper, nxd, nyd, nzd, dtype=A.dtype)
     if A.planar:
+        if (_planar_geometry(L)[4:] != _planar_geometry(A)[4:]
+                or _planar_geometry(U)[4:] != _planar_geometry(A)[4:]):
+            raise ValueError(
+                "stencil split geometry differs from the parent's (legs with "
+                "|dy| or |dz| > 1); use planar_vectors='off' for this matrix")
         L = dataclasses.replace(L, planar=True)
         U = dataclasses.replace(U, planar=True)
     if bool(jnp.any(stencil_diag(A) == 0)):

@@ -273,3 +273,57 @@ def test_one_by_one_matrix():
     res = bis.solve(bis.preprocessing(A, cfg, b=np.array([8.0])))
     assert res.converged
     np.testing.assert_allclose(res.x_star, [2.0], rtol=1e-12)
+
+
+def test_gmres_happy_breakdown_finite():
+    """Exact Krylov breakdown (A = 2I) must yield a finite x_star, not NaN
+    from the w/0 basis row (code-review finding)."""
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.matrix import MatrixCSR
+    from basic_iterative_solvers_tpu.types import SolverType
+    A = MatrixCSR.from_dense(2.0 * np.eye(8))
+    b = np.zeros(8); b[0] = 1.0
+    for harness in ("host", "fused"):
+        cfg = bis.SolverConfig(method=SolverType.GMRES, dtype=np.float64,
+                               tolerance=1e-12, harness=harness)
+        res = bis.solve(bis.preprocessing(A, cfg, b=b,
+                                          x0=np.zeros(8)))
+        assert res.converged
+        assert np.all(np.isfinite(res.x_star)), harness
+        np.testing.assert_allclose(res.x_star, b / 2.0, atol=1e-12)
+
+
+def test_spmv_empty_offsets_pallas_guard():
+    """Strict split of a diagonal-only matrix has no stored diagonals; spmv
+    must return zeros on every path (code-review finding)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from basic_iterative_solvers_tpu import dia
+    from basic_iterative_solvers_tpu.ops.spmv import spmv
+    A = dia.banded_device(50, bandwidth=0, dtype=np.float64)
+    L, U, D, Dinv = dia.dia_split(A)
+    x = jnp.arange(50, dtype=jnp.float64)
+    for M in (L, U):
+        for up in (True, False):
+            np.testing.assert_array_equal(np.asarray(spmv(M, x, up)),
+                                          np.zeros(50))
+
+
+def test_fused_matches_host_with_sparse_sampling():
+    """res_check_len > 1: fused and host harnesses must stop at the same
+    iteration (both gate on the last SAMPLED norm; code-review finding)."""
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.types import SolverType
+    A = bis.generators.fdm_2d(16)
+    kw = dict(method=SolverType.CONJUGATE_GRADIENT, dtype=np.float64,
+              tolerance=1e-10, res_check_len=7)
+    res_h = bis.solve(bis.preprocessing(A, bis.SolverConfig(
+        harness="host", **kw)))
+    res_f = bis.solve(bis.preprocessing(A, bis.SolverConfig(
+        harness="fused", **kw)))
+    assert res_f.iter_count == res_h.iter_count
+    assert res_f.converged == res_h.converged
+    np.testing.assert_allclose(res_f.residual_norms[:-1],
+                               res_h.residual_norms[:-1], rtol=1e-10)
