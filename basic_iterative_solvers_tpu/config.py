@@ -99,33 +99,45 @@ class SolverConfig:
 
 @dataclasses.dataclass
 class Args:
-    """Parsed CLI, mirroring reference Args (/root/reference/common.hpp:105-111)."""
+    """Parsed CLI, mirroring reference Args (/root/reference/common.hpp:105-111).
+
+    `cli.parse_cli` is the operational parser (it feeds SolverConfig
+    directly); this dataclass is the stable programmatic equivalent for
+    embedding callers.
+    """
 
     matrix_source: str = ""
     method: SolverType = SolverType.CONJUGATE_GRADIENT
     preconditioner: PrecondType = PrecondType.NONE
     restart_length: int = 10
     num_scale: bool = False
+    perm_mode: str = "none"
     # TPU-native extras
     dtype: str = "auto"               # auto → f32 on TPU, f64 on CPU
-    harness: str = "host"
+    matrix_dtype: Optional[str] = None
+    harness: str = "auto"             # auto → fused on TPU, host on CPU
     matrix_format: str = "auto"
 
     def to_config(self, dtype: Optional[np.dtype] = None) -> SolverConfig:
+        import jax
+
+        on_tpu = jax.default_backend() not in ("cpu",)
         if dtype is None:
             if self.dtype == "auto":
-                import jax
-
-                on_tpu = jax.default_backend() not in ("cpu",)
                 dtype = np.float32 if on_tpu else np.float64
             else:
                 dtype = np.dtype(self.dtype)
+        harness = self.harness
+        if harness == "auto":
+            harness = "fused" if on_tpu else "host"
         return SolverConfig(
             method=self.method,
             preconditioner=self.preconditioner,
             restart_length=self.restart_length,
             num_scale=self.num_scale,
+            perm_mode=self.perm_mode,
             dtype=dtype,
-            harness=self.harness,
+            matrix_dtype=self.matrix_dtype,
+            harness=harness,
             matrix_format=self.matrix_format,
         )

@@ -82,3 +82,17 @@ def test_write_mtx_roundtrip(tmp_path):
     np.testing.assert_array_equal(A.row_ptr, B.row_ptr)
     np.testing.assert_array_equal(A.col, B.col)
     np.testing.assert_allclose(A.val, B.val, rtol=1e-15)
+
+
+def test_args_dataclass_to_config():
+    import numpy as np
+    from basic_iterative_solvers_tpu import Args
+    from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+    a = Args(matrix_source="fdm:8", method=SolverType.BICGSTAB,
+             preconditioner=PrecondType.JACOBI, perm_mode="rcm",
+             dtype="float64", harness="host")
+    cfg = a.to_config()
+    assert cfg.method == SolverType.BICGSTAB
+    assert cfg.perm_mode == "rcm"
+    assert cfg.spec_dtype() == np.float64
+    assert cfg.harness == "host"
