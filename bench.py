@@ -81,6 +81,19 @@ def main():
     method_name, precond_name = METHOD_MAP[args.method]
     dtype = np.dtype(args.dtype)
 
+    if method_name in ("GAUSS_SEIDEL", "SYMMETRIC_GAUSS_SEIDEL"):
+        # Exact GS sweeps on a 3-D stencil are inherently sequential (the
+        # -1 offset makes every row depend on the previous: level count = n),
+        # so there is no parallel exact form on ANY hardware — the reference
+        # runs them serially (46.5 ms/iter and DNC).  Benchmark them on a
+        # smaller system or via the two-stage (Richardson) smoother instead.
+        log("ERROR: exact Gauss-Seidel sweeps are serial by construction on "
+            "stencil matrices (level count == n rows); the reference runs "
+            "them single-threaded.  Use a smaller matrix (e.g. "
+            "--matrix hpcg:32x32x32 via the CLI) or the two-stage smoother "
+            "(-p 2st/s2st).")
+        sys.exit(2)
+
     # Generator specs build the matrix *on device* (dia.from_source_device):
     # construction and all of setup are diagonal-row slices on the TPU, no
     # O(nnz) host passes.  File sources go through the host CSR pipeline.
