@@ -33,21 +33,25 @@ class JacobiMethod:
 
     def init_state(self):
         x = self.setup.x0
-        r = self.b - spmv(self.A, x, self.use_pallas)
-        return {"x": x,
+        Ax = spmv(self.A, x, self.use_pallas)
+        r = self.b - Ax
+        return {"x": x, "Ax": Ax,
                 "residual_norm": jnp.sqrt(jnp.dot(r, r))}
 
     def initial_residual_norm(self, state):
         return state["residual_norm"]
 
     def iterate(self, state):
-        x = state["x"]
-        t = spmv(self.A, x, self.use_pallas)
-        x_new = (self.b - (t - self.D * x)) / self.D
-        return dict(state, x=x_new)
+        # One SpMV per iteration: A·x_new feeds BOTH the explicit residual
+        # sample (jacobi.hpp:102-107 recomputes it) and the next update's
+        # A·x_old — the reference pays two SpMVs for the same numbers.
+        x, Ax = state["x"], state["Ax"]
+        x_new = (self.b - (Ax - self.D * x)) / self.D
+        Ax_new = spmv(self.A, x_new, self.use_pallas)
+        return dict(state, x=x_new, Ax=Ax_new)
 
     def sample_norm(self, state):
-        r = self.b - spmv(self.A, state["x"], self.use_pallas)
+        r = self.b - state["Ax"]
         return jnp.sqrt(jnp.dot(r, r))
 
     def check_restart(self, state, iter_count, residual_norm, stopping):
