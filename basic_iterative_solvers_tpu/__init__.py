@@ -47,3 +47,63 @@ from .solvers import (SolverSetup, SolveResult, preprocessing,  # noqa: E402,F40
                       preprocessing_device, solve)
 
 __version__ = "0.1.0"
+
+
+def solve_system(matrix_source, method="cg", preconditioner=None,
+                 b=None, x0=None, **config_kwargs) -> "SolveResult":
+    """One-call convenience API: the CLI pipeline, in process.
+
+    `matrix_source` is a .mtx path, a generator spec ("hpcg:64x64x64",
+    "scamac:Anderson,Lx=20,...", "fdm:16", "band:100,2"), a MatrixCSR, or a
+    device matrix (DeviceDIA/DeviceStencil).  `method` and `preconditioner`
+    accept the CLI short names ("cg", "gm", "bi", "j", "gs", "sgs" /
+    "j", "gs", "bgs", "sgs", "2st", "s2st", "ilu0") or the enums.
+    Remaining kwargs go to SolverConfig.  Uses the device-native setup path
+    whenever the inputs allow it (same rules as the CLI).
+    """
+    import numpy as _np
+
+    from .matrix import MatrixCSR as _CSR
+    from .types import (PRECOND_CLI_NAMES, SOLVER_CLI_FLAGS, PrecondType as _PT,
+                        SolverType as _ST)
+
+    if isinstance(method, str):
+        method = SOLVER_CLI_FLAGS.get("-" + method.lstrip("-"), None) or \
+            _ST(method)
+    if preconditioner is None:
+        preconditioner = _PT.NONE
+    elif isinstance(preconditioner, str):
+        preconditioner = PRECOND_CLI_NAMES.get(preconditioner) or \
+            _PT(preconditioner)
+
+    if "dtype" not in config_kwargs:
+        config_kwargs["dtype"] = (_np.float32
+                                  if _jax.default_backend() != "cpu"
+                                  else _np.float64)
+    if "harness" not in config_kwargs:
+        config_kwargs["harness"] = ("fused"
+                                    if _jax.default_backend() != "cpu"
+                                    else "host")
+    config = SolverConfig(method=method, preconditioner=preconditioner,
+                          **config_kwargs)
+
+    from .precond import DEVICE_NATIVE_PRECONDS
+    A = matrix_source
+    if isinstance(A, (DeviceDIA, DeviceStencil)):
+        return solve(preprocessing_device(A, config, b=b, x0=x0))
+    if isinstance(A, str):
+        from .dia import _GEN_RE, from_source_device
+        device_ok = (_GEN_RE.match(A) is not None
+                     and preconditioner in DEVICE_NATIVE_PRECONDS
+                     and method not in (_ST.GAUSS_SEIDEL,
+                                        _ST.SYMMETRIC_GAUSS_SEIDEL)
+                     and config.perm_mode == "none"
+                     and not config.num_scale
+                     and config.matrix_format in ("auto", "dia"))
+        if device_ok:
+            A_dev = from_source_device(A, dtype=config.mat_dtype())
+            return solve(preprocessing_device(A_dev, config, b=b, x0=x0))
+        A = generators.from_source(A)
+    if not isinstance(A, _CSR):
+        raise TypeError(f"unsupported matrix source: {type(matrix_source)}")
+    return solve(preprocessing(A, config, b=b, x0=x0))

@@ -96,3 +96,23 @@ def test_args_dataclass_to_config():
     assert cfg.perm_mode == "rcm"
     assert cfg.spec_dtype() == np.float64
     assert cfg.harness == "host"
+
+
+def test_solve_system_convenience():
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    res = bis.solve_system("fdm:12", method="cg", preconditioner="j",
+                           dtype=np.float64, tolerance=1e-10)
+    assert res.converged
+    # device matrix input + enum method
+    A = bis.dia.fdm_2d_device(12, dtype=np.float64)
+    res2 = bis.solve_system(A, method=bis.SolverType.CONJUGATE_GRADIENT,
+                            preconditioner=bis.PrecondType.JACOBI,
+                            dtype=np.float64, tolerance=1e-10,
+                            harness="fused")
+    assert res2.converged and res2.iter_count == res.iter_count
+    # CSR input with host-path preconditioner
+    A_csr = bis.generators.fdm_2d(12)
+    res3 = bis.solve_system(A_csr, method="bi", preconditioner="ilu0",
+                            dtype=np.float64, tolerance=1e-10)
+    assert res3.converged
