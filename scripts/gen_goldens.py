@@ -43,6 +43,8 @@ CASES = [
     ("fdm16_bi", "fdm16", "-bi", []),
     ("fdm16_bi_j", "fdm16", "-bi", ["-p", "j"]),
     ("fdm16_bi_sgs", "fdm16", "-bi", ["-p", "sgs"]),
+    ("fdm16_bi_bgs", "fdm16", "-bi", ["-p", "bgs"]),
+    ("fdm16_gs_precond_cg", "fdm16", "-cg", ["-p", "gs"]),
     ("fdm16_gm_rl50", "fdm16", "-gm", ["-rl", "50"]),
     ("fdm16_gm_j_rl50", "fdm16", "-gm", ["-p", "j", "-rl", "50"]),
     ("fdm16_cg_j_scale", "fdm16", "-cg", ["-p", "j", "-scale", "1"]),
@@ -80,18 +82,30 @@ def run_case(exe, matrix_path, method, extra):
             "iterations": iters}
 
 
-def build_variant(tmp: pathlib.Path, inner: int) -> pathlib.Path:
-    """Reference built with PRECOND_INNER_ITERS=inner (a CMake-time knob;
-    our framework makes it runtime config.precond_inner_iters)."""
-    exe = tmp / f"ref_solver_inner{inner}"
-    defines = [d if not d.startswith("-DPRECOND_INNER_ITERS")
-               else f"-DPRECOND_INNER_ITERS={inner}" for d in DEFINES]
+def build_variant(tmp: pathlib.Path, inner: int = None,
+                  outer: int = None) -> pathlib.Path:
+    """Reference built with PRECOND_INNER/OUTER_ITERS overridden (CMake-time
+    knobs; our framework makes them runtime config fields)."""
+    exe = tmp / f"ref_solver_i{inner}_o{outer}"
+    defines = list(DEFINES)
+    if inner is not None:
+        defines = [d if not d.startswith("-DPRECOND_INNER_ITERS")
+                   else f"-DPRECOND_INNER_ITERS={inner}" for d in defines]
+    if outer is not None:
+        defines = [d if not d.startswith("-DPRECOND_OUTER_ITERS")
+                   else f"-DPRECOND_OUTER_ITERS={outer}" for d in defines]
     subprocess.run(
         ["g++", "-O3", "-march=native", "-fopenmp", "-std=c++17", *defines,
          f"{REF}/main.cpp", f"{REF}/utilities/mmio.cpp", "-o", str(exe)],
         check=True, capture_output=True)
     return exe
 
+
+#: cases run against a PRECOND_OUTER_ITERS=2 build (precond composition)
+OUTER2_CASES = [
+    ("fdm16_bi_j_outer2", "fdm16", "-bi", ["-p", "j"]),
+    ("fdm16_bi_sgs_outer2", "fdm16", "-bi", ["-p", "sgs"]),
+]
 
 #: cases run against the PRECOND_INNER_ITERS=2 build (Richardson sweeps)
 INNER2_CASES = [
@@ -124,6 +138,16 @@ def main():
         r["matrix"] = MATRICES[mkey]
         r["method"] = method
         r["extra"] = extra
+        goldens[name] = r
+        print(f"{name}: {len(r['norms'])} samples, converged={r['converged']} "
+              f"in {r['iterations']}", file=sys.stderr)
+    exe3 = build_variant(tmp, outer=2)
+    for name, mkey, method, extra in OUTER2_CASES:
+        r = run_case(exe3, MATRICES[mkey], method, extra)
+        r["matrix"] = MATRICES[mkey]
+        r["method"] = method
+        r["extra"] = extra
+        r["precond_outer_iters"] = 2
         goldens[name] = r
         print(f"{name}: {len(r['norms'])} samples, converged={r['converged']} "
               f"in {r['iterations']}", file=sys.stderr)

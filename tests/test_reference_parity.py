@@ -41,6 +41,13 @@ CASES = [
     ("fdm16_bi", 1e-4, None, True),
     ("fdm16_bi_j", 1e-4, None, True),
     ("fdm16_bi_sgs", 1e-4, None, True),
+    ("fdm16_bi_bgs", 1e-4, None, True),
+    ("fdm16_gs_precond_cg", 1e-5, 100, True),      # DNC: stable prefix
+    # PRECOND_OUTER_ITERS=2 reference build.  Only the Jacobi case is a
+    # history-parity case: FDM's constant diagonal makes it insensitive to
+    # the reference's outer-iters init defect (see
+    # test_reference_outer_iters_init_quirk for the SGS case).
+    ("fdm16_bi_j_outer2", 1e-4, None, True),
     # GMRES(50)'s implicit |g| plateaus at the f64 noise floor (~3e-13,
     # within ~2x of the stopping value) from iteration ~33, where both the
     # plateau level and the restart-vs-stop decision are float-noise
@@ -73,7 +80,8 @@ def _config_for(case):
     g = GOLDENS[case]
     opts = dict(method=SOLVER_CLI_FLAGS[g["method"]], dtype=np.float64,
                 harness="fused",
-                precond_inner_iters=g.get("precond_inner_iters", 0))
+                precond_inner_iters=g.get("precond_inner_iters", 0),
+                precond_outer_iters=g.get("precond_outer_iters", 1))
     extra = list(g["extra"])
     while extra:
         k = extra.pop(0)
@@ -119,6 +127,47 @@ def test_history_matches_reference(case, rtol, limit, check_iters):
     # near the f64 noise floor — the reference shows the same gap)
     if g["converged"]:
         assert res.final_residual_norm < 10.0 * res.stopping_criteria
+
+
+def test_reference_outer_iters_init_quirk():
+    """Reference defect, documented: with PRECOND_OUTER_ITERS>1 its init call
+    aliases input and output (`apply_preconditioner(..., residual, residual,
+    ...)`, bicgstab.hpp:155-162), and the outer loop's final input-restore
+    (kernels.hpp:407-409) then OVERWRITES the preconditioned result — the
+    solve starts from an unpreconditioned r0hat/p0.  Simulating exactly that
+    recurrence reproduces the golden to machine precision; our (correct)
+    composed init converges strictly faster."""
+    import numpy.linalg as la
+    g = GOLDENS["fdm16_bi_sgs_outer2"]
+    A = bis.generators.from_source(g["matrix"])
+    dense = A.to_dense()
+    D = np.diag(dense)
+    n = A.n_rows
+
+    def sgs2(v):  # true 2x composition (per-iteration applies are fine)
+        for _ in range(2):
+            t = la.solve(np.tril(dense), v)
+            v = la.solve(np.triu(dense), t * D)
+        return v
+
+    b = np.ones(n)
+    x = np.full(n, 0.1)
+    r = b - dense @ x
+    r0hat = r.copy()          # the defect: init preconditioning destroyed
+    rho = r @ r
+    y = sgs2(r0hat)
+    v = dense @ y
+    alpha = rho / (r0hat @ v)
+    s = r - alpha * v
+    t = dense @ sgs2(s)
+    omega = (t @ s) / (t @ t)
+    r1 = s - omega * t
+    np.testing.assert_allclose(np.linalg.norm(r1), g["norms"][1], rtol=1e-12)
+
+    # our init preconditions r0hat properly and converges faster
+    cfg = _config_for("fdm16_bi_sgs_outer2")
+    res = bis.solve(bis.preprocessing(A, cfg))
+    assert res.converged and res.iter_count < g["iterations"]
 
 
 def test_goldens_are_fresh():
