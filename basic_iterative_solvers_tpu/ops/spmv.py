@@ -58,17 +58,45 @@ def spmv(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
     raise TypeError(f"unsupported device matrix type: {type(A)}")
 
 
+def _fused_dots_capable(A, x, use_pallas):
+    from ..stencil_op import DeviceStencil, _planar_ok
+    return (isinstance(A, DeviceStencil) and A.planar and use_pallas
+            and jax.default_backend() == "tpu" and x.dtype.itemsize <= 4
+            and _planar_ok(A))
+
+
 def spmv_dot(A, x: jax.Array, use_pallas: bool = False):
     """(A @ x, dot(A@x, x)) — fused in-kernel for planar-resident stencils
     (CG's α denominator costs no extra memory pass); generic elsewhere."""
-    from ..stencil_op import (DeviceStencil, _planar_ok,
-                              stencil_spmv_resident)
-    if (isinstance(A, DeviceStencil) and A.planar and use_pallas
-            and jax.default_backend() == "tpu" and x.dtype.itemsize <= 4
-            and _planar_ok(A)):
+    if _fused_dots_capable(A, x, use_pallas):
+        from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, with_dot=True)
     y = spmv(A, x, use_pallas=use_pallas)
     return y, jnp.dot(y, x)
+
+
+def spmv_dots(A, x: jax.Array, aux: jax.Array = None,
+              with_self: bool = False, use_pallas: bool = False):
+    """y = A @ x plus fused reductions: returns (y[, dot(y,aux)][, dot(y,y)])
+    — BiCGSTAB's α/ω dots with no extra memory passes on the resident
+    stencil path; generic fallback elsewhere."""
+    dots = ()
+    if aux is not None:
+        dots += ("aux",)
+    if with_self:
+        dots += ("self",)
+    if not dots:
+        return (spmv(A, x, use_pallas=use_pallas),)
+    if _fused_dots_capable(A, x, use_pallas):
+        from ..stencil_op import stencil_spmv_resident
+        return stencil_spmv_resident(A, x, dots=dots, aux=aux)
+    y = spmv(A, x, use_pallas=use_pallas)
+    out = (y,)
+    if aux is not None:
+        out += (jnp.dot(y, aux),)
+    if with_self:
+        out += (jnp.dot(y, y),)
+    return out
 
 
 def compute_residual(A, x: jax.Array, b: jax.Array,

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.spmv import spmv
+from ..ops.spmv import spmv, spmv_dots
 from ..precond import apply_preconditioner
 from .base import SolverSetup
 from .fused import fused_solve
@@ -56,12 +56,16 @@ class BiCGSTABMethod:
         x, r, p = state["x"], state["r"], state["p"]
         r0hat, rho = state["r0hat"], state["rho"]
         y = apply_preconditioner(self.M, p)
-        v = spmv(self.A, y, self.use_pallas)
-        alpha = rho / jnp.dot(r0hat, v)
+        # α and ω dots are accumulated inside the SpMV kernels where the
+        # format supports it (ops.spmv.spmv_dots) — no separate passes.
+        v, r0hat_v = spmv_dots(self.A, y, aux=r0hat,
+                               use_pallas=self.use_pallas)
+        alpha = rho / r0hat_v
         s = r - alpha * v
         s_hat = apply_preconditioner(self.M, s)
-        t = spmv(self.A, s_hat, self.use_pallas)
-        omega = jnp.dot(t, s) / jnp.dot(t, t)
+        t, t_s, t_t = spmv_dots(self.A, s_hat, aux=s, with_self=True,
+                                use_pallas=self.use_pallas)
+        omega = t_s / t_t
         x_new = (x + alpha * y) + omega * s_hat
         r_new = s - omega * t
         rho_new = jnp.dot(r0hat, r_new)

@@ -228,7 +228,7 @@ def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
 
 def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                      coeff_ref, w0_ref, w1_ref, w2_ref, y_ref,
-                     diag_ref=None, dot_ref=None):
+                     diag_ref=None, dot_refs=(), aux_ref=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nx, ny, nz = A.dims
@@ -288,35 +288,56 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
     real = real_row & (lanes < jnp.int32(nx))
     y = jnp.where(real, acc, 0.0)
     y_ref[:] = y
-    if dot_ref is not None:
-        # fused partial of dot(y, x): the x tile for this output block is
-        # exactly the middle window block (halo rows of y are zero).  The
-        # (1, 8, 128) block exists only to satisfy TPU tiling; the partial
-        # is broadcast and read back from [i, 0, 0].
-        dot_ref[...] = jnp.full((1, 8, 128), jnp.sum(y * w1_ref[:]),
-                                dtype=y.dtype)
+    # Fused per-tile dot partials (halo rows of y are zero, so whole-tile
+    # sums are exact).  "x" uses the middle window block (= this tile of x);
+    # the (1, 8, 128) blocks exist only to satisfy TPU tiling — partials are
+    # broadcast and read back from [i, 0, 0].
+    for kind, ref in dot_refs:
+        if kind == "x":
+            p = jnp.sum(y * w1_ref[:])
+        elif kind == "self":
+            p = jnp.sum(y * y)
+        else:  # "aux"
+            p = jnp.sum(y * aux_ref[:])
+        ref[...] = jnp.full((1, 8, 128), p, dtype=y.dtype)
 
 
 def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
-                          with_dot: bool = False):
-    """y = A @ x with x and y in the planar-resident layout.  With
-    `with_dot`, also returns dot(y, x) accumulated in-kernel (per-tile
-    partials summed) — saves one full pass over y and x for CG's α."""
+                          with_dot: bool = False,
+                          dots=(), aux: jax.Array = None):
+    """y = A @ x with x and y in the planar-resident layout.
+
+    `dots` is a tuple drawn from {"x", "self", "aux"}: each requests a dot
+    product accumulated in-kernel from per-tile partials — dot(y, x),
+    dot(y, y), dot(y, aux) respectively ("aux" streams the extra planar
+    vector `aux` tile-aligned with the output) — saving a full memory pass
+    over y (and the partner vector) per dot.  `with_dot=True` is shorthand
+    for dots=("x",).  Returns y, then the requested dot scalars in order.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
+
+    if with_dot:
+        dots = ("x",) + tuple(dots)
+    if "aux" in dots and aux is None:
+        raise ValueError("dots containing 'aux' require the aux vector")
 
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
     grid_n = rows_pad // TR
     x2 = xp.reshape(rows_pad, L)
 
     has_diag = A.diag is not None
+    has_aux = "aux" in dots
+    n_in_extra = int(has_diag) + int(has_aux)
 
     def kernel(coeff_ref, w0, w1, w2, *rest):
-        outs = list(rest[1 if has_diag else 0:])
+        ins = rest[:n_in_extra]
+        outs = rest[n_in_extra:]
         _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                          coeff_ref, w0, w1, w2, outs[0],
-                         diag_ref=(rest[0] if has_diag else None),
-                         dot_ref=(outs[1] if with_dot else None))
+                         diag_ref=(ins[0] if has_diag else None),
+                         dot_refs=list(zip(dots, outs[1:])),
+                         aux_ref=(ins[-1] if has_aux else None))
 
     # clamped 3-block window: edge clamps feed only masked halo outputs
     # (drmax ≤ rows_plane + 1 ≤ prologue/epilogue halo planes)
@@ -339,11 +360,15 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
                                      memory_space=pltpu.VMEM))
         args.append(A.diag.reshape(rows_pad, L))
+    if has_aux:
+        in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+                                     memory_space=pltpu.VMEM))
+        args.append(aux.reshape(rows_pad, L))
     itemsize = xp.dtype.itemsize
     out_specs = [pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
                               memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((rows_pad, L), xp.dtype)]
-    if with_dot:
+    for _ in dots:
         out_specs.append(pl.BlockSpec(
             (1, 8, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
             memory_space=pltpu.VMEM))
@@ -355,14 +380,14 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * len(A.legs) * rows_pad * L,
-            bytes_accessed=(2 + has_diag) * rows_pad * L * itemsize,
+            bytes_accessed=(2 + has_diag + has_aux) * rows_pad * L * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
     )(*args)
-    if with_dot:
-        y, partials = outs
-        return y.reshape(-1), jnp.sum(partials[:, 0, 0])
-    return outs[0].reshape(-1)
+    y = outs[0].reshape(-1)
+    if not dots:
+        return y
+    return (y,) + tuple(jnp.sum(p[:, 0, 0]) for p in outs[1:])
 
 
 def to_planar_matrix(A: "DeviceStencil") -> "DeviceStencil":
