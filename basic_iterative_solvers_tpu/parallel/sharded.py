@@ -40,6 +40,9 @@ AXIS = "rows"
 def make_mesh(n_devices: Optional[int] = None, axis: str = AXIS) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} available")
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (axis,))
 
@@ -148,7 +151,7 @@ class ShardedCG:
         axis = self.axis
         dinv_present = self.D_inv is not None
 
-        def step(data, b, dinv, state):
+        def step(data, dinv, state):
             x, r, z, p = state["x"], state["r"], state["z"], state["p"]
             t = sharded_spmv_dia(data, offs, p, axis)
             rz = _pdot(r, z, axis)
@@ -165,11 +168,11 @@ class ShardedCG:
         spec_v = P(self.axis)
         state_spec = {"x": spec_v, "r": spec_v, "z": spec_v, "p": spec_v,
                       "residual_norm": P()}
-        in_specs = (P(None, self.axis), spec_v,
+        in_specs = (P(None, self.axis),
                     spec_v if dinv_present else None, state_spec)
         sharded = jax.shard_map(step, mesh=self.mesh, in_specs=in_specs,
                                 out_specs=state_spec)
-        return jax.jit(lambda s: sharded(self.A.data, self.b, self.D_inv, s))
+        return jax.jit(lambda s: sharded(self.A.data, self.D_inv, s))
 
 
 def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
@@ -195,16 +198,14 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
 
     n_dev = mesh.devices.size
     A = setup.A
-    if isinstance(A, _ST):
-        npad = A.diag.shape[0] if A.diag is not None else (
-            -(-A.n_rows // A.row_tile) * A.row_tile)
-    elif isinstance(A, _DIA):
-        npad = A.data.shape[1]
+    # gate on the length of the vectors that will actually be sharded
+    if isinstance(A, (_ST, _DIA)):
+        vec_len = setup.b.shape[0]
     else:
         raise ValueError("shard_setup supports DIA and stencil matrices")
-    if npad % n_dev:
+    if vec_len % n_dev:
         raise ValueError(
-            f"padded rows {npad} not divisible by {n_dev} devices")
+            f"vector length {vec_len} not divisible by {n_dev} devices")
 
     mat_sh = NamedSharding(mesh, P(None, axis))
     vec_sh = NamedSharding(mesh, P(axis))

@@ -28,8 +28,8 @@ class FusedRunner:
 
     init_state() -> state dict with 'residual_norm' set to ||b - A x0||;
     iterate(state) -> state; sample_norm(state) -> device scalar;
-    restart_fn(state, iter_count, stopping) -> (state, restarted_bool)
-    for GMRES, else None.
+    restart_fn(state, iter_count, stopping, last_sampled_norm)
+    -> (state, restarted_bool) for GMRES, else None.
     """
 
     def __init__(self, setup: SolverSetup, init_state: Callable,

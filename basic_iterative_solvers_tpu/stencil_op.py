@@ -184,10 +184,14 @@ def stencil_spmv_planar(A: "DeviceStencil", x: jax.Array) -> jax.Array:
     return from_planar_vec(Ap, stencil_spmv_resident(Ap, to_planar_vec(Ap, x)))
 
 
-#: planar kernel handles any |dx| < lane width (wrap mask = boundary mask)
 def _planar_ok(A: "DeviceStencil") -> bool:
+    """Legs the planar layout can express: |dx| < lane width (rotation wrap
+    doubles as the boundary mask), |dy| ≤ 2 (two adjacent halo rows separate
+    planes), |dz| ≤ 1 (one halo plane per z end).  Wider legs fall back to
+    the XLA path, which handles arbitrary offsets via explicit masks."""
     L, *_ = _planar_geometry(A)
-    return all(abs(dx) < L for (dx, _, _) in A.legs)
+    return all(abs(dx) < L and abs(dy) <= 2 and abs(dz) <= 1
+               for (dx, dy, dz) in A.legs)
 
 
 # ---------------------------------------------------------------------------
@@ -276,7 +280,6 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
     # Zero the output's halo rows/lanes so planar vectors stay exactly zero
     # outside the grid: row r real iff it's inside a real plane and not a
     # y-halo row; lane real iff < nx.
-    from jax.experimental import pallas as pl
     i = pl.program_id(0)
     r = (jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
          + i * jnp.int32(TR))
@@ -297,8 +300,10 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
             p = jnp.sum(y * w1_ref[:])
         elif kind == "self":
             p = jnp.sum(y * y)
-        else:  # "aux"
+        elif kind == "aux":
             p = jnp.sum(y * aux_ref[:])
+        else:
+            raise ValueError(f"unknown fused-dot kind: {kind!r}")
         ref[...] = jnp.full((1, 8, 128), p, dtype=y.dtype)
 
 
