@@ -46,6 +46,7 @@ CASES = [
     ("fdm16_bi_bgs", "fdm16", "-bi", ["-p", "bgs"]),
     ("fdm16_gs_precond_cg", "fdm16", "-cg", ["-p", "gs"]),
     ("fdm16_gm_rl50", "fdm16", "-gm", ["-rl", "50"]),
+    ("fdm16_gm_j_rl10", "fdm16", "-gm", ["-p", "j"]),   # ~19 restarts
     ("fdm16_gm_j_rl50", "fdm16", "-gm", ["-p", "j", "-rl", "50"]),
     ("fdm16_cg_j_scale", "fdm16", "-cg", ["-p", "j", "-scale", "1"]),
     ("klein_bi_j", "klein", "-bi", ["-p", "j"]),

@@ -53,6 +53,12 @@ CASES = [
     # plateau level and the restart-vs-stop decision are float-noise
     # artifacts: pin the above-noise prefix only.
     ("fdm16_gm_j_rl50", 1e-4, 32, False),
+    # GMRES(10): 19 restarts before convergence — the restart machinery
+    # (explicit-x recovery, residual re-preconditioning, Krylov reset, and
+    # restart entries appended to the history) matches the reference
+    # entry-for-entry through the first 8 cycles (rounding divergence
+    # compounds across later restarts); total iteration count still agrees.
+    ("fdm16_gm_j_rl10", 1e-6, 90, True),
     ("fdm16_cg_j_scale", 1e-5, None, True),
     ("klein_bi_j", 1e-4, None, True),
     ("klein_gm_rl50", 1e-8, None, True),
