@@ -98,11 +98,22 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
                      and method not in (_ST.GAUSS_SEIDEL,
                                         _ST.SYMMETRIC_GAUSS_SEIDEL)
                      and config.perm_mode == "none"
-                     and not config.num_scale
-                     and config.matrix_format in ("auto", "dia"))
+                     and not (config.num_scale
+                              and config.matrix_format == "stencil")
+                     and config.matrix_format in ("auto", "dia", "stencil"))
         if device_ok:
-            A_dev = from_source_device(A, dtype=config.mat_dtype())
+            if config.matrix_format == "stencil":
+                # matrix-free operator (same rule as the CLI --format stencil)
+                A_dev = stencil_op.from_source_operator(
+                    A, dtype=config.mat_dtype())
+            else:
+                A_dev = from_source_device(A, dtype=config.mat_dtype())
             return solve(preprocessing_device(A_dev, config, b=b, x0=x0))
+        if config.matrix_format == "stencil":
+            raise ValueError(
+                "matrix_format='stencil' needs a generator source and a "
+                "device-native method/preconditioner (like the CLI, which "
+                "falls back to DIA); use matrix_format='auto' here")
         A = generators.from_source(A)
     if not isinstance(A, _CSR):
         raise TypeError(f"unsupported matrix source: {type(matrix_source)}")

@@ -73,7 +73,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_peel_diag.restype = ctypes.c_longlong
     lib.bis_peel_diag.argtypes = [
         ctypes.c_int32, _i64p, _i32p, _f64p, ctypes.c_double, ctypes.c_int,
-        _f64p]
+        _f64p, _i64p]
     lib.bis_ilu0.restype = ctypes.c_longlong
     lib.bis_ilu0.argtypes = [
         ctypes.c_int32, ctypes.c_int32, _i64p, _i32p, _f64p,
@@ -104,16 +104,20 @@ def _as(arr, dtype):
 
 def parse_triplets(data_text: str, nnz_stored: int, with_value: bool,
                    pattern_value: float = 0.01):
-    """Parse up to nnz_stored 'i j [v]' lines -> (I, J, V) 0-based, or None
-    if the native library is unavailable."""
+    """Parse 'i j [v]' lines -> (I, J, V) 0-based, or None if the native
+    library is unavailable.  Asks the parser for nnz_stored + 1 entries so a
+    file with MORE data lines than its header declares yields a count the
+    caller's exact-count check rejects — matching the NumPy fallback, which
+    parses everything and raises on a surplus."""
     lib = _load()
     if lib is None:
         return None
     buf = data_text.encode()
-    I = np.empty(nnz_stored, dtype=np.int32)
-    J = np.empty(nnz_stored, dtype=np.int32)
-    V = np.empty(nnz_stored, dtype=np.float64)
-    got = lib.bis_parse_triplets(buf, len(buf), nnz_stored,
+    cap = nnz_stored + 1
+    I = np.empty(cap, dtype=np.int32)
+    J = np.empty(cap, dtype=np.int32)
+    V = np.empty(cap, dtype=np.float64)
+    got = lib.bis_parse_triplets(buf, len(buf), cap,
                                  1 if with_value else 0, pattern_value,
                                  I, J, V)
     if got < 0:
@@ -170,17 +174,18 @@ def peel_diag(A, zero_tol: float, check_missing: bool, check_zero: bool):
     if lib is None:
         return None
     D = np.empty(A.n_rows, dtype=np.float64)
+    bad_row = np.empty(1, dtype=np.int64)
     flags = (1 if check_missing else 0) | (2 if check_zero else 0)
     rc = lib.bis_peel_diag(A.n_rows, _as(A.row_ptr, np.int64),
                            _as(A.col, np.int32), _as(A.val, np.float64),
-                           zero_tol, flags, D)
+                           zero_tol, flags, D, bad_row)
     if rc < 0:
         from .factor import MissingDiagonalError, ZeroDiagonalError
-        if rc <= -2000000:
+        if rc == -4:
             raise ZeroDiagonalError(
-                f"ERROR: Zero diagonal element in row {-rc - 2000000}")
+                f"ERROR: Zero diagonal element in row {int(bad_row[0])}")
         raise MissingDiagonalError(
-            f"ERROR: No diagonal element found in row {-rc - 1000}")
+            f"ERROR: No diagonal element found in row {int(bad_row[0])}")
     return D
 
 

@@ -1,9 +1,11 @@
-"""BLAS-1 vector kernels.
+"""BLAS-1 vector kernels — the solver hot path's named kernel layer.
 
 Functional analogs of /root/reference/kernels.hpp:119-257.  On TPU these are
-single fused VPU loops under jit; they exist as named functions (rather than
-inline jnp expressions) to keep call sites readable and parity with the
-reference auditable.
+single fused VPU loops under jit (XLA inlines and fuses them into the
+surrounding computation, so the indirection is free).  All solver methods
+(solvers/{cg,jacobi,gauss_seidel,gmres,bicgstab}.py) route their axpy/dot/
+norm operations through these functions, keeping parity with the reference
+kernels auditable at the call sites.
 """
 from __future__ import annotations
 

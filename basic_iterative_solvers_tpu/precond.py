@@ -199,3 +199,20 @@ def apply_preconditioner(M: Preconditioner, y: jax.Array) -> jax.Array:
     for _ in range(max(1, M.outer_iters)):
         out = _apply_once(M, out)
     return out
+
+
+def estimated_precond_passes(M: Preconditioner) -> float:
+    """Estimated HBM cost of one apply in units of one full vector stream
+    (for the roofline report; static estimate from the apply structure)."""
+    k = M.inner_iters
+    per = {
+        PrecondType.NONE: 0.0,
+        PrecondType.JACOBI: 3.0,                   # read y, read D, write z
+        PrecondType.GAUSS_SEIDEL: 8.0,             # level-scan gather+solve
+        PrecondType.BACKWARDS_GAUSS_SEIDEL: 8.0,
+        PrecondType.SYMMETRIC_GAUSS_SEIDEL: 17.0,
+        PrecondType.TWO_STAGE_GS: 3.0 + 6.0 * k,   # k Richardson sweeps
+        PrecondType.SYMMETRIC_TWO_STAGE_GS: 7.0 + 12.0 * k,
+        PrecondType.ILU0: 16.0,
+    }[M.ptype]
+    return per * max(1, M.outer_iters)

@@ -248,13 +248,33 @@ def preprocessing_device(A_dev, config: SolverConfig,
 def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
     """||b − A·x*||₂ for the final report (save_x_star analog,
     /root/reference/solver.hpp:153-159).  Uses the fp64 host oracle when a
-    host CSR is retained; otherwise computes on device in the solve dtype."""
+    host CSR is retained; on the device-native path it upcasts x*/b/A to
+    float64 for this one evaluation so the reported residual matches the
+    reference's fp64 accounting even in f32/bf16 perf modes."""
     if setup.A_host is not None:
         return float(np.linalg.norm(
             np.asarray(setup.b, dtype=np.float64)
             - setup.A_host.spmv(np.asarray(x_star, dtype=np.float64))))
-    r = setup.b - spmv(setup.A, jnp.asarray(x_star, dtype=setup.b.dtype),
-                       setup.config.use_pallas)
+    import dataclasses as _dc
+    from ..stencil_op import DeviceStencil, from_planar_vec
+    A = setup.A
+    x = jnp.asarray(x_star, dtype=setup.b.dtype)
+    b = setup.b
+    if isinstance(A, DeviceStencil):
+        if A.planar:
+            # the f64 evaluation runs on the XLA flat path (no f64 Pallas)
+            x = from_planar_vec(A, x)
+            b = from_planar_vec(A, b)
+            A = _dc.replace(
+                A, planar=False,
+                diag=None if A.diag is None else from_planar_vec(A, A.diag))
+        A = _dc.replace(
+            A, coeffs=A.coeffs.astype(jnp.float64),
+            diag=None if A.diag is None else A.diag.astype(jnp.float64))
+    else:
+        A = _dc.replace(A, data=A.data.astype(jnp.float64))
+    r = b.astype(jnp.float64) - spmv(A, x.astype(jnp.float64),
+                                     use_pallas=False)
     return float(jnp.sqrt(jnp.dot(r, r)))
 
 

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.blas1 import dot, euclidean_vec_norm, subtract_vectors, sum_vectors
 from ..ops.spmv import spmv, spmv_dots
 from ..precond import apply_preconditioner
 from .base import SolverSetup
@@ -43,11 +44,11 @@ class BiCGSTABMethod:
 
     def init_state(self):
         x = self.setup.x0
-        r = self.b - spmv(self.A, x, self.use_pallas)
+        r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
         r_prec = apply_preconditioner(self.M, r)
-        rho = jnp.dot(r, r_prec)
+        rho = dot(r, r_prec)
         return {"x": x, "r": r, "p": r_prec, "r0hat": r_prec, "rho": rho,
-                "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+                "residual_norm": euclidean_vec_norm(r)}
 
     def initial_residual_norm(self, state):
         return state["residual_norm"]
@@ -61,19 +62,19 @@ class BiCGSTABMethod:
         v, r0hat_v = spmv_dots(self.A, y, aux=r0hat,
                                use_pallas=self.use_pallas)
         alpha = rho / r0hat_v
-        s = r - alpha * v
+        s = subtract_vectors(r, v, alpha)
         s_hat = apply_preconditioner(self.M, s)
         t, t_s, t_t = spmv_dots(self.A, s_hat, aux=s, with_self=True,
                                 use_pallas=self.use_pallas)
         omega = t_s / t_t
-        x_new = (x + alpha * y) + omega * s_hat
-        r_new = s - omega * t
-        rho_new = jnp.dot(r0hat, r_new)
+        x_new = sum_vectors(sum_vectors(x, y, alpha), s_hat, omega)
+        r_new = subtract_vectors(s, t, omega)
+        rho_new = dot(r0hat, r_new)
         beta = (rho_new / rho) * (alpha / omega)
-        p_new = r_new + beta * (p - omega * v)
+        p_new = sum_vectors(r_new, subtract_vectors(p, v, omega), beta)
         return {"x": x_new, "r": r_new, "p": p_new, "r0hat": r0hat,
                 "rho": rho_new,
-                "residual_norm": jnp.sqrt(jnp.dot(r_new, r_new))}
+                "residual_norm": euclidean_vec_norm(r_new)}
 
     def sample_norm(self, state):
         return state["residual_norm"]

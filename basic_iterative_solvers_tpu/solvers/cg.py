@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.blas1 import dot, euclidean_vec_norm, subtract_vectors, sum_vectors
 from ..ops.spmv import spmv, spmv_dot
 from ..precond import apply_preconditioner
 from .base import SolverSetup
@@ -38,10 +39,10 @@ class ConjugateGradientMethod:
 
     def init_state(self):
         x = self.setup.x0
-        r = self.b - spmv(self.A, x, self.use_pallas)
+        r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
         z = apply_preconditioner(self.M, r)
         return {"x": x, "r": r, "z": z, "p": z,
-                "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+                "residual_norm": euclidean_vec_norm(r)}
 
     def initial_residual_norm(self, state):
         return state["residual_norm"]
@@ -49,15 +50,15 @@ class ConjugateGradientMethod:
     def iterate(self, state):
         x, r, z, p = state["x"], state["r"], state["z"], state["p"]
         t, tp = spmv_dot(self.A, p, self.use_pallas)
-        rz = jnp.dot(r, z)
+        rz = dot(r, z)
         alpha = rz / tp
-        x = x + alpha * p
-        r_new = r - alpha * t
+        x = sum_vectors(x, p, alpha)
+        r_new = subtract_vectors(r, t, alpha)
         z_new = apply_preconditioner(self.M, r_new)
-        beta = jnp.dot(r_new, z_new) / rz
-        p_new = z_new + beta * p
+        beta = dot(r_new, z_new) / rz
+        p_new = sum_vectors(z_new, p, beta)
         return {"x": x, "r": r_new, "z": z_new, "p": p_new,
-                "residual_norm": jnp.sqrt(jnp.dot(r_new, r_new))}
+                "residual_norm": euclidean_vec_norm(r_new)}
 
     def sample_norm(self, state):
         return state["residual_norm"]

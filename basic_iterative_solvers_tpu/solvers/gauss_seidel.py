@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.blas1 import euclidean_vec_norm, subtract_vectors
 from ..ops.spmv import spmv
 from ..ops.trisolve import trisolve
 from .base import SolverSetup
@@ -35,8 +36,8 @@ class GaussSeidelMethod:
 
     def init_state(self):
         x = self.setup.x0
-        r = self.b - spmv(self.A, x, self.use_pallas)
-        return {"x": x, "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+        r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
+        return {"x": x, "residual_norm": euclidean_vec_norm(r)}
 
     def initial_residual_norm(self, state):
         return state["residual_norm"]
@@ -51,8 +52,8 @@ class GaussSeidelMethod:
         return dict(state, x=x)
 
     def sample_norm(self, state):
-        r = self.b - spmv(self.A, state["x"], self.use_pallas)
-        return jnp.sqrt(jnp.dot(r, r))
+        r = subtract_vectors(self.b, spmv(self.A, state["x"], self.use_pallas))
+        return euclidean_vec_norm(r)
 
     def check_restart(self, state, iter_count, residual_norm, stopping):
         return state, False, residual_norm

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops.blas1 import dot, euclidean_vec_norm, subtract_vectors
 from ..ops.spmv import spmv
 from ..precond import apply_preconditioner
 from .base import SolverSetup
@@ -65,10 +66,10 @@ class GMRESMethod:
 
     def init_state(self):
         x = self.setup.x0
-        r = self.b - spmv(self.A, x, self.use_pallas)
-        rn_unprec = jnp.sqrt(jnp.dot(r, r))
+        r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
+        rn_unprec = euclidean_vec_norm(r)
         r_prec = apply_preconditioner(self.M, r)
-        beta = jnp.sqrt(jnp.dot(r_prec, r_prec))
+        beta = euclidean_vec_norm(r_prec)
         state = self._krylov_reset(x, r_prec, beta, x.dtype)
         state["residual_norm"] = rn_unprec
         return state
@@ -126,12 +127,12 @@ class GMRESMethod:
             def mgs_body(i, carry):
                 w, H = carry
                 vi = jnp.take(V, i, axis=0)
-                h = jnp.dot(w, vi)
+                h = dot(w, vi)
                 H = H.at[i, j].set(h)
                 return w - h * vi, H
 
             w, H = jax.lax.fori_loop(0, j + 1, mgs_body, (w, H))
-        h_next = jnp.sqrt(jnp.dot(w, w))          # H[j+1, j] (gmres.hpp:36-38)
+        h_next = euclidean_vec_norm(w)            # H[j+1, j] (gmres.hpp:36-38)
         H = H.at[j + 1, j].set(h_next)
         # Happy breakdown (h_next == 0): the next basis vector is undefined;
         # store a zero row instead of w/0 = NaN so explicit_x's full-basis
@@ -193,9 +194,9 @@ class GMRESMethod:
         """Reference restart: recover x, recompute + re-precondition residual,
         reset Krylov state (gmres.hpp:396-413 + init_residual 274-316)."""
         x = self.explicit_x(state)
-        r = self.b - spmv(self.A, x, self.use_pallas)
+        r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
         r_prec = apply_preconditioner(self.M, r)
-        beta = jnp.sqrt(jnp.dot(r_prec, r_prec))
+        beta = euclidean_vec_norm(r_prec)
         new = self._krylov_reset(x, r_prec, beta, x.dtype)
         new["residual_norm"] = beta
         return new
@@ -230,15 +231,20 @@ class GMRESMethod:
         V = np.asarray(state["V"])[:j]
         if V.shape[0] == 0:
             return
+        # Tolerance scales with the state dtype: a fixed fp64-calibrated
+        # bound fires spuriously under float32 (V-orthonormality error is
+        # already ~2e-7 at j=1).  MGS drift grows like eps·κ(A), so leave
+        # headroom above eps·j — the check is for gross (O(1)) loss.
+        tol = 1e4 * np.finfo(V.dtype).eps * max(1, j)
         G = V @ V.T
         err = np.max(np.abs(G - np.eye(V.shape[0])))
-        if err > 1e-8:
+        if err > tol:
             raise AssertionError(
                 f"GMRES V lost orthonormality at iter {iter_count}: "
-                f"max |VVᵀ - I| = {err:.3e}")
+                f"max |VVᵀ - I| = {err:.3e} (tol {tol:.3e})")
         R = np.asarray(state["Q"]) @ np.asarray(state["H"])
         below = np.tril(R[:, :j], k=-1)[:j]
-        if np.max(np.abs(below)) > 1e-8 * max(1.0, np.max(np.abs(R))):
+        if np.max(np.abs(below)) > tol * max(1.0, np.max(np.abs(R))):
             raise AssertionError(
                 f"GMRES R = Q·H not upper-triangular at iter {iter_count}")
 

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ..ops.blas1 import euclidean_vec_norm, subtract_vectors
 from ..ops.spmv import spmv
 from .base import SolverSetup
 from .fused import fused_solve
@@ -34,9 +35,9 @@ class JacobiMethod:
     def init_state(self):
         x = self.setup.x0
         Ax = spmv(self.A, x, self.use_pallas)
-        r = self.b - Ax
+        r = subtract_vectors(self.b, Ax)
         return {"x": x, "Ax": Ax,
-                "residual_norm": jnp.sqrt(jnp.dot(r, r))}
+                "residual_norm": euclidean_vec_norm(r)}
 
     def initial_residual_norm(self, state):
         return state["residual_norm"]
@@ -51,8 +52,8 @@ class JacobiMethod:
         return dict(state, x=x_new, Ax=Ax_new)
 
     def sample_norm(self, state):
-        r = self.b - state["Ax"]
-        return jnp.sqrt(jnp.dot(r, r))
+        r = subtract_vectors(self.b, state["Ax"])
+        return euclidean_vec_norm(r)
 
     def check_restart(self, state, iter_count, residual_norm, stopping):
         return state, False, residual_norm

@@ -10,7 +10,8 @@
 // All functions are extern "C", operate on caller-allocated buffers, and
 // return 0 on success or a negative error code:
 //   -1 generic failure        -2 duplicate (row,col) entry
-//   -(1000+i) missing diagonal in row i (row encoded, capped)
+//   -3 missing diagonal       -4 zero diagonal (row via out-param where
+//   present; bis_ilu0 returns -(1000+i) with i = the missing-diagonal row)
 //
 // Index conventions match the Python layer: row_ptr int64, col/I/J int32,
 // values double.
@@ -177,22 +178,28 @@ void bis_split_lu_fill(int32_t n_rows, const int64_t* row_ptr,
 
 // ---------------------------------------------------------------------------
 // Diagonal peel (peel_diag_crs analog, LU_factors.hpp:783-878).  D[i] = 0
-// when missing.  Returns 0, or -(1000+i) for the first row with a missing
-// diagonal, or -(2000+i) for the first |diag| < zero_tol (checks enabled
-// via flags bit0 = check_missing, bit1 = check_zero).
+// when missing.  Returns 0, or a small error enum with the offending row
+// written to *bad_row: -3 = missing diagonal, -4 = |diag| < zero_tol
+// (checks enabled via flags bit0 = check_missing, bit1 = check_zero).
+// Non-overlapping encodings — row-in-return-code schemes collide once the
+// row index crosses the next code's base.
 // ---------------------------------------------------------------------------
 long long bis_peel_diag(int32_t n_rows, const int64_t* row_ptr,
                         const int32_t* col, const double* val,
-                        double zero_tol, int flags, double* D) {
+                        double zero_tol, int flags, double* D,
+                        int64_t* bad_row) {
+    *bad_row = -1;
     for (int32_t i = 0; i < n_rows; ++i) {
         double d = 0.0;
         int found = 0;
         for (int64_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
             if (col[k] == i) { d = val[k]; found = 1; break; }
         }
-        if (!found && (flags & 1)) return -(1000LL + i);
-        if (found && (flags & 2) && std::fabs(d) < zero_tol)
-            return -(2000000LL + i);
+        if (!found && (flags & 1)) { *bad_row = i; return -3; }
+        if (found && (flags & 2) && std::fabs(d) < zero_tol) {
+            *bad_row = i;
+            return -4;
+        }
         D[i] = d;
     }
     return 0;

@@ -131,3 +131,25 @@ def test_level_sets():
     for i in range(Us.n_rows):
         cols = Us.col[Us.row_ptr[i]:Us.row_ptr[i + 1]]
         assert all(levu[c] < levu[i] for c in cols)
+
+
+def test_peel_diag_error_rows_unambiguous():
+    """Native peel_diag encodes the offending row in an out-parameter, so
+    a missing diagonal is never misreported as a zero diagonal regardless
+    of the row index (ADVICE r1: old -(1000+i)/-(2000000+i) codes collided
+    once i >= 1,999,000)."""
+    import re
+    # missing diagonal in the LAST row
+    n = 5
+    row_ptr = np.arange(n + 1, dtype=np.int64)
+    col = np.array([0, 1, 2, 3, 3], dtype=np.int32)  # row 4 has col 3 only
+    val = np.ones(5)
+    A = MatrixCSR(n, n, 5, row_ptr, col, val)
+    with pytest.raises(MissingDiagonalError, match=r"row 4$"):
+        peel_diag(A)
+    # zero diagonal in row 2
+    col2 = np.arange(n, dtype=np.int32)
+    val2 = np.array([1.0, 1.0, 0.0, 1.0, 1.0])
+    B = MatrixCSR(n, n, 5, row_ptr, col2, val2)
+    with pytest.raises(ZeroDiagonalError, match=r"row 2$"):
+        peel_diag(B)

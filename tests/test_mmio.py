@@ -95,3 +95,22 @@ def test_reference_fixture_matches_generator():
     assert A.n_rows == B.n_rows == 256
     assert A.nnz == B.nnz == 1216  # 736 stored, symmetric-expanded
     np.testing.assert_allclose(A.to_dense(), B.to_dense())
+
+
+def test_surplus_entries_rejected():
+    """Both parser paths (native strtol and NumPy fallback) must reject a
+    file with MORE data lines than the header declares (ADVICE r1: the
+    native path used to silently ignore the surplus)."""
+    surplus = GENERAL.replace("3 3 4", "3 3 3")  # header claims 3, file has 4
+    with pytest.raises(MatrixMarketError, match="expected 3 entries"):
+        read_mtx(io.StringIO(surplus))
+    os.environ["BIS_TPU_NO_NATIVE"] = "1"
+    try:
+        import basic_iterative_solvers_tpu._native as _native
+        lib, tried = _native._LIB, _native._TRIED
+        _native._LIB, _native._TRIED = None, True
+        with pytest.raises(MatrixMarketError, match="expected 3 entries"):
+            read_mtx(io.StringIO(surplus))
+        _native._LIB, _native._TRIED = lib, tried
+    finally:
+        del os.environ["BIS_TPU_NO_NATIVE"]
