@@ -87,16 +87,20 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
     config = SolverConfig(method=method, preconditioner=preconditioner,
                           **config_kwargs)
 
-    from .precond import DEVICE_NATIVE_PRECONDS
+    from .precond import (COLORED_PRECONDS, DEVICE_NATIVE_PRECONDS,
+                          resolve_gs_mode)
     A = matrix_source
     if isinstance(A, (DeviceDIA, DeviceStencil)):
         return solve(preprocessing_device(A, config, b=b, x0=x0))
     if isinstance(A, str):
         from .dia import _GEN_RE, from_source_device
+        colored = resolve_gs_mode(config, device_native=True) == "colored"
         device_ok = (_GEN_RE.match(A) is not None
-                     and preconditioner in DEVICE_NATIVE_PRECONDS
-                     and method not in (_ST.GAUSS_SEIDEL,
-                                        _ST.SYMMETRIC_GAUSS_SEIDEL)
+                     and (preconditioner in DEVICE_NATIVE_PRECONDS
+                          or (preconditioner in COLORED_PRECONDS and colored))
+                     and (method not in (_ST.GAUSS_SEIDEL,
+                                         _ST.SYMMETRIC_GAUSS_SEIDEL)
+                          or colored)
                      and config.perm_mode == "none"
                      and not (config.num_scale
                               and config.matrix_format == "stencil")

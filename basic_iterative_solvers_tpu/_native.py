@@ -84,6 +84,9 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_spmv_csr.restype = None
     lib.bis_spmv_csr.argtypes = [ctypes.c_int32, _i64p, _i32p, _f64p,
                                  _f64p, _f64p]
+    lib.bis_greedy_color.restype = ctypes.c_longlong
+    lib.bis_greedy_color.argtypes = [ctypes.c_int32, _i64p, _i32p,
+                                     ctypes.c_int, _i32p]
     lib.bis_bfs_perm.restype = None
     lib.bis_bfs_perm.argtypes = [ctypes.c_int32, _i64p, _i32p, ctypes.c_int,
                                  ctypes.c_int, _i32p]
@@ -219,6 +222,17 @@ def level_sets(T_strict, upper: bool = False):
 
 def level_sets_upper(T_strict):
     return level_sets(T_strict, upper=True)
+
+
+def greedy_color(A, balanced: bool):
+    """Greedy (first-fit / balanced) coloring of the CSR graph, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    colors = np.empty(A.n_rows, dtype=np.int32)
+    lib.bis_greedy_color(A.n_rows, _as(A.row_ptr, np.int64),
+                         _as(A.col, np.int32), 1 if balanced else 0, colors)
+    return colors
 
 
 def bfs_perm(A, reverse: bool, sort_by_degree: bool):

@@ -11,7 +11,9 @@ and main.cpp:17-100):
     -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0
     -rl <int>       GMRES restart length (default 10)
     -scale <0|1>    symmetric diagonal equilibration
-    -perm <mode>    matrix reordering: none|bfs|rcm (SMAX PERM_MODE analog)
+    -perm <mode>    matrix reordering: none|bfs|rcm|color|color_bal
+                    (SMAX PERM_MODE analog; color* = greedy coloring)
+    --gs-mode m     exact GS sweeps: auto|levels|colored (coloring.py)
 
 TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --dtype float32|float64   (default: f32 on TPU, f64 on CPU)
@@ -84,6 +86,8 @@ def parse_cli(argv) -> tuple:
             opts["num_scale"] = bool(int(need_value()))
         elif arg == "-perm":
             opts["perm_mode"] = need_value()
+        elif arg == "--gs-mode":
+            extras["gs_mode"] = need_value()
         elif arg == "--dtype":
             extras["dtype"] = np.dtype(need_value())
         elif arg == "--matrix-dtype":
@@ -144,12 +148,16 @@ def run(argv=None) -> int:
     # method/preconditioner don't need the host CSR (exact triangular
     # solves, reordering); file sources and those cases use the host path.
     from .dia import _GEN_RE, from_source_device
-    from .precond import DEVICE_NATIVE_PRECONDS
+    from .precond import (COLORED_PRECONDS, DEVICE_NATIVE_PRECONDS,
+                          resolve_gs_mode)
     from .types import SolverType as _ST
+    colored = resolve_gs_mode(config, device_native=True) == "colored"
     device_path = (
         _GEN_RE.match(matrix_source) is not None
-        and config.preconditioner in DEVICE_NATIVE_PRECONDS
-        and config.method not in (_ST.GAUSS_SEIDEL, _ST.SYMMETRIC_GAUSS_SEIDEL)
+        and (config.preconditioner in DEVICE_NATIVE_PRECONDS
+             or (config.preconditioner in COLORED_PRECONDS and colored))
+        and (config.method not in (_ST.GAUSS_SEIDEL,
+                                   _ST.SYMMETRIC_GAUSS_SEIDEL) or colored)
         and config.perm_mode == "none"
         and not (config.num_scale and config.matrix_format == "stencil")
         and config.matrix_format in ("auto", "dia", "stencil"))

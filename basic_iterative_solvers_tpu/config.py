@@ -42,10 +42,22 @@ class SolverConfig:
     # Runtime options (reference '-scale')
     num_scale: bool = False
     # Matrix reordering before the solve (SMAX permute_mat analog,
-    # smax_helpers.hpp:44-80): "none", "bfs", or "rcm".  Shrinks the
-    # level count of exact triangular solves; x_star is mapped back to the
-    # original ordering on output.
+    # smax_helpers.hpp:44-80): "none", "bfs", "rcm", "color", "color_bal".
+    # Shrinks the level count of exact triangular solves; x_star is mapped
+    # back to the original ordering on output.
     perm_mode: str = "none"
+    # How exact Gauss-Seidel sweeps / triangular preconditioner solves run:
+    #   "levels"  — level-scheduled scan in the natural ordering (exact
+    #               reference-order arithmetic; host CSR setup required);
+    #   "colored" — multicolor masked sweeps (coloring.py): exact GS for the
+    #               color-sorted ordering, #colors parallel SpMV+update
+    #               steps, no permutation materialized.  The TPU-parallel
+    #               form of the SMAX coloring modes; changes the sweep order
+    #               (different but equally valid iteration).
+    #   "auto"    — "levels" on the host-CSR setup path (reference parity),
+    #               "colored" on the device-native path (where it unlocks
+    #               GS/SGS at scale).
+    gs_mode: str = "auto"
 
     # TPU-native additions (no reference analog)
     dtype: np.dtype = np.float64      # fp64 = reference parity; fp32 = TPU perf mode

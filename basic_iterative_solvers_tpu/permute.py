@@ -12,6 +12,12 @@ scan.  Modes here:
 * ``bfs`` — breadth-first ordering; levels become BFS frontiers.
 * ``rcm`` — reverse Cuthill-McKee (BFS with degree-sorted frontiers,
   reversed): the classic bandwidth/level reducer.
+* ``color`` / ``color_bal`` — greedy / balanced-greedy graph coloring
+  (the SMAX C / PC_BAL modes, smax_helpers.hpp:25-28): rows sorted by
+  color.  After this permutation the strict-triangular level count equals
+  the COLOR COUNT (2-8 for grid stencils), so exact GS/SGS/ILU(0)
+  triangular scans become a handful of full-width parallel steps.  See
+  also coloring.py for the implicit (permutation-free) colored sweeps.
 
 `perm[new_index] = old_index`.  The solve runs entirely in the permuted
 ordering; `x_star` is mapped back before it reaches the user
@@ -26,7 +32,7 @@ import numpy as np
 
 from .matrix import MatrixCSR
 
-PERM_MODES = ("none", "bfs", "rcm")
+PERM_MODES = ("none", "bfs", "rcm", "color", "color_bal")
 
 
 def _bfs_order(A: MatrixCSR, sort_by_degree: bool) -> np.ndarray:
@@ -67,6 +73,10 @@ def compute_permutation(A: MatrixCSR, mode: str) -> Tuple[np.ndarray, np.ndarray
     if mode == "none":
         perm = np.arange(n, dtype=np.int32)
         return perm, perm.copy()
+    if mode in ("color", "color_bal"):
+        from .coloring import colors_to_perm, greedy_coloring
+        colors = greedy_coloring(A, balanced=(mode == "color_bal"))
+        return colors_to_perm(colors)
     from . import _native
     if _native.available():
         perm = _native.bfs_perm(A, reverse=(mode == "rcm"),

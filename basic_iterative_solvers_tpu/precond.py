@@ -38,8 +38,10 @@ from .ops.trisolve import TriSolveLevels, build_trisolve, trisolve, two_stage_so
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A_D", "A_D_inv", "L_solve", "U_solve",
-                      "L_strict_dev", "U_strict_dev"],
-         meta_fields=["ptype", "outer_iters", "inner_iters", "use_pallas"])
+                      "L_strict_dev", "U_strict_dev", "A_full_dev",
+                      "color_arr"],
+         meta_fields=["ptype", "outer_iters", "inner_iters", "use_pallas",
+                      "color_spec", "n_colors"])
 @dataclasses.dataclass
 class Preconditioner:
     ptype: PrecondType
@@ -52,12 +54,35 @@ class Preconditioner:
     U_solve: Optional[TriSolveLevels] = None   # backward solve data
     L_strict_dev: Any = None                   # device matrix for Richardson
     U_strict_dev: Any = None
+    # Multicolor exact-GS path (coloring.py): gs/bgs/sgs applied as masked
+    # sweeps with the FULL operator — no splits, no level packing.
+    A_full_dev: Any = None
+    color_arr: Optional[jax.Array] = None      # greedy ids (grid/mod use spec)
+    color_spec: Any = None                     # ColorSpec (static, hashable)
+    n_colors: int = 0
+
+
+#: preconditioner types a multicolor ordering can serve (exact sweeps in
+#: the color-sorted ordering; coloring.py)
+COLORED_PRECONDS = (PrecondType.GAUSS_SEIDEL,
+                    PrecondType.BACKWARDS_GAUSS_SEIDEL,
+                    PrecondType.SYMMETRIC_GAUSS_SEIDEL)
+
+
+def resolve_gs_mode(config: SolverConfig, device_native: bool) -> str:
+    """"auto" → "levels" on the host-CSR path (reference-order parity),
+    "colored" on the device-native path (see SolverConfig.gs_mode)."""
+    if config.gs_mode != "auto":
+        return config.gs_mode
+    return "colored" if device_native else "levels"
 
 
 def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
-                         factors: Optional[LUFactors] = None) -> Preconditioner:
+                         factors: Optional[LUFactors] = None,
+                         A_dev=None) -> Preconditioner:
     """Build device-side preconditioner data. `factors` may be shared with
-    the solver setup to avoid re-factorizing."""
+    the solver setup to avoid re-factorizing; `A_dev` (the already-built
+    device matrix) is reused by the colored-GS path."""
     pt = config.preconditioner
     dtype = config.spec_dtype()
     mat_dtype = config.mat_dtype()
@@ -74,6 +99,19 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
     A_D_inv = jnp.asarray(factors.A_D_inv.astype(dtype))
     if pt == PrecondType.JACOBI:
         return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
+    if (pt in COLORED_PRECONDS
+            and resolve_gs_mode(config, device_native=False) == "colored"):
+        # host-CSR colored setup: greedy-color the graph once, sweep with
+        # the full device operator (coloring.py)
+        from .coloring import greedy_coloring
+        colors = greedy_coloring(A)
+        if A_dev is None:
+            A_dev = from_csr(A, mat_dtype, config.matrix_format,
+                             config.dia_max_diags, config.dia_min_fill)
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv, A_full_dev=A_dev,
+            color_arr=jnp.asarray(colors),
+            n_colors=int(colors.max()) + 1, **kw)
     if pt == PrecondType.GAUSS_SEIDEL:
         return Preconditioner(
             A_D=A_D, A_D_inv=A_D_inv,
@@ -134,8 +172,8 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
     ilu0) need level scheduling over the CSR pattern — use the host path
     (setup_preconditioner) for those.
     """
-    from .dia import dia_split
-    from .stencil_op import DeviceStencil, stencil_split
+    from .dia import dia_diag, dia_split
+    from .stencil_op import DeviceStencil, stencil_diag_vec, stencil_split
     pt = config.preconditioner
     dtype = config.spec_dtype()
     kw = dict(ptype=pt, outer_iters=config.precond_outer_iters,
@@ -143,10 +181,27 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
               use_pallas=config.use_pallas)
     if pt == PrecondType.NONE:
         return Preconditioner(**kw)
-    if pt not in DEVICE_NATIVE_PRECONDS:
+    if pt not in DEVICE_NATIVE_PRECONDS and not (
+            pt in COLORED_PRECONDS
+            and resolve_gs_mode(config, device_native=True) == "colored"):
         raise ValueError(
-            f"preconditioner {pt} needs exact triangular solves; build "
-            "through the host CSR path (preprocessing) instead")
+            f"preconditioner {pt} needs exact triangular solves in the "
+            "natural ordering (gs_mode='levels'); build through the host "
+            "CSR path (preprocessing) instead")
+    if pt in COLORED_PRECONDS:
+        # exact GS family as multicolor masked sweeps with the FULL
+        # operator: only the diagonal is needed, and the structural
+        # coloring (grid/mod) is trace-time index arithmetic
+        from .coloring import spec_for_device
+        spec = spec_for_device(A_dev)
+        D = (stencil_diag_vec(A_dev) if isinstance(A_dev, DeviceStencil)
+             else dia_diag(A_dev))
+        if bool(jnp.any(D == 0)):
+            raise ValueError("zero on the matrix diagonal")
+        D = D.astype(dtype)
+        return Preconditioner(A_D=D, A_D_inv=(1.0 / D).astype(dtype),
+                              A_full_dev=A_dev, color_spec=spec,
+                              n_colors=spec.n_colors, **kw)
     split = stencil_split if isinstance(A_dev, DeviceStencil) else dia_split
     L_strict, U_strict, A_D, A_D_inv = split(A_dev)
     # Diagonal arrays participate in vector arithmetic — keep them at the
@@ -170,11 +225,20 @@ def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
     if pt == PrecondType.JACOBI:
         # reference: elemwise_div_vectors(output, input, A_D)  kernels.hpp:357
         return y / M.A_D
+    colored = M.n_colors > 0
     if pt == PrecondType.GAUSS_SEIDEL:
+        if colored:
+            return _colored_solve(M, y, reverse=False)
         return trisolve(M.L_solve, y)
     if pt == PrecondType.BACKWARDS_GAUSS_SEIDEL:
+        if colored:
+            return _colored_solve(M, y, reverse=True)
         return trisolve(M.U_solve, y)
     if pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL:
+        if colored:
+            tmp = _colored_solve(M, y, reverse=False)   # (L_c+D)⁻¹ y
+            tmp = tmp * M.A_D                           # D (L_c+D)⁻¹ y
+            return _colored_solve(M, tmp, reverse=True)  # (U_c+D)⁻¹ …
         tmp = trisolve(M.L_solve, y)          # (L+D)⁻¹ y
         tmp = tmp * M.A_D                     # D (L+D)⁻¹ y
         return trisolve(M.U_solve, tmp)       # (U+D)⁻¹ …
@@ -193,6 +257,16 @@ def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
     raise ValueError(f"unsupported preconditioner: {pt}")
 
 
+def _colored_solve(M: Preconditioner, y: jax.Array,
+                   reverse: bool) -> jax.Array:
+    """(L_c+D)⁻¹y / (U_c+D)⁻¹y as a multicolor sweep from zero — the exact
+    triangular solve for the color-sorted ordering (coloring.py)."""
+    from .coloring import colored_sweep
+    return colored_sweep(M.A_full_dev, M.A_D_inv, y, None, M.color_spec,
+                         M.color_arr, M.n_colors, reverse=reverse,
+                         use_pallas=M.use_pallas)
+
+
 def apply_preconditioner(M: Preconditioner, y: jax.Array) -> jax.Array:
     """z ← M⁻¹ y, applied `outer_iters` times (kernels.hpp:355-404)."""
     out = y
@@ -205,6 +279,13 @@ def estimated_precond_passes(M: Preconditioner) -> float:
     """Estimated HBM cost of one apply in units of one full vector stream
     (for the roofline report; static estimate from the apply structure)."""
     k = M.inner_iters
+    if M.n_colors > 0:
+        # colored sweeps: ~(SpMV + masked update) ≈ 5 passes per color
+        per_sweep = 5.0 * M.n_colors
+        per = {PrecondType.GAUSS_SEIDEL: per_sweep,
+               PrecondType.BACKWARDS_GAUSS_SEIDEL: per_sweep,
+               PrecondType.SYMMETRIC_GAUSS_SEIDEL: 2 * per_sweep + 1}[M.ptype]
+        return per * max(1, M.outer_iters)
     per = {
         PrecondType.NONE: 0.0,
         PrecondType.JACOBI: 3.0,                   # read y, read D, write z

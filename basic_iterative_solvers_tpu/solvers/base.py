@@ -57,6 +57,12 @@ class SolverSetup:
     scale_vec: Optional[np.ndarray] = None   # num_scale diag (D^{-1/2})
     inv_perm: Optional[np.ndarray] = None    # perm_mode inverse mapping
     x_decode: Optional[Callable] = None      # vector-layout decode (planar)
+    # Multicolor GS-family solver data (coloring.py): when n_colors > 0 the
+    # GS/SGS methods run masked sweeps with the full operator instead of
+    # level-scheduled trisolves.
+    color_spec: Any = None                   # ColorSpec (grid/mod, static)
+    color_arr: Optional[jax.Array] = None    # greedy color ids
+    n_colors: int = 0
 
     @property
     def dtype(self):
@@ -119,7 +125,7 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
     with timers.time("preprocessing_device"):
         A_dev = from_csr(A, config.mat_dtype(), config.matrix_format,
                          config.dia_max_diags, config.dia_min_fill)
-        M = setup_preconditioner(A, config, factors)
+        M = setup_preconditioner(A, config, factors, A_dev=A_dev)
         setup = SolverSetup(
             config=config, A=A_dev, M=M,
             b=jnp.asarray(b_host.astype(dtype)),
@@ -130,9 +136,19 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
                  if factors is not None else None))
 
     # GS-family solvers need their own triangular-solve data + strict parts
-    # (reference GaussSeidelSolver::iterate, methods/gauss_seidel.hpp:26-52).
+    # (reference GaussSeidelSolver::iterate, methods/gauss_seidel.hpp:26-52)
+    # — unless gs_mode resolves to "colored", where the masked sweeps use
+    # the full operator and only need a greedy coloring (coloring.py).
     if config.method in (SolverType.GAUSS_SEIDEL,
                          SolverType.SYMMETRIC_GAUSS_SEIDEL):
+        from ..precond import resolve_gs_mode
+        if resolve_gs_mode(config, device_native=False) == "colored":
+            from ..coloring import greedy_coloring
+            with timers.time("preprocessing_coloring"):
+                colors = greedy_coloring(A)
+                setup.color_arr = jnp.asarray(colors)
+                setup.n_colors = int(colors.max()) + 1
+            return setup
         from ..ops.trisolve import build_trisolve
         with timers.time("preprocessing_levels"):
             setup.L_solve = build_trisolve(factors.L_strict, factors.A_D,
@@ -175,20 +191,24 @@ def preprocessing_device(A_dev, config: SolverConfig,
                               from_planar_vec)
     is_stencil = isinstance(A_dev, DeviceStencil)
 
+    from ..precond import COLORED_PRECONDS, resolve_gs_mode
+
     timers = timers or Timers()
     dtype = config.spec_dtype()
     n = A_dev.n_rows
     if A_dev.n_rows != A_dev.n_cols:
         raise ValueError("Matrix must be square.")
-    if config.preconditioner not in DEVICE_NATIVE_PRECONDS:
+    colored = resolve_gs_mode(config, device_native=True) == "colored"
+    if config.preconditioner not in DEVICE_NATIVE_PRECONDS and not (
+            config.preconditioner in COLORED_PRECONDS and colored):
         raise ValueError(
             f"preconditioner {config.preconditioner} requires the host CSR "
             "path (exact triangular solves): use preprocessing()")
     if config.method in (SolverType.GAUSS_SEIDEL,
-                         SolverType.SYMMETRIC_GAUSS_SEIDEL):
+                         SolverType.SYMMETRIC_GAUSS_SEIDEL) and not colored:
         raise ValueError(
-            f"method {config.method} requires exact triangular solves: "
-            "use preprocessing()")
+            f"method {config.method} requires exact triangular solves "
+            "(gs_mode='levels'): use preprocessing()")
     md = config.mat_dtype()
     if A_dev.dtype != md:
         import dataclasses as _dc
@@ -240,9 +260,15 @@ def preprocessing_device(A_dev, config: SolverConfig,
         diag_of = stencil_diag_vec if is_stencil else dia_diag
         A_D = (M.A_D if M.A_D is not None
                else diag_of(A_dev).astype(dtype))
-        return SolverSetup(config=config, A=A_dev, M=M, b=b_dev, x0=x0_dev,
-                           n=n, A_host=None, scale_vec=scale_vec, A_D=A_D,
-                           x_decode=x_decode)
+        setup = SolverSetup(config=config, A=A_dev, M=M, b=b_dev, x0=x0_dev,
+                            n=n, A_host=None, scale_vec=scale_vec, A_D=A_D,
+                            x_decode=x_decode)
+        if config.method in (SolverType.GAUSS_SEIDEL,
+                             SolverType.SYMMETRIC_GAUSS_SEIDEL):
+            from ..coloring import spec_for_device
+            setup.color_spec = spec_for_device(A_dev)
+            setup.n_colors = setup.color_spec.n_colors
+        return setup
 
 
 def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:

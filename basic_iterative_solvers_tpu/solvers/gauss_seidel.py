@@ -6,14 +6,21 @@ Re-design of GaussSeidelSolver / SymmetricGaussSeidelSolver
     forward sweep:  t = U_strict·x;  x ← (L_strict + D)⁻¹ (b − t)
     backward sweep: t = L_strict·x;  x ← (U_strict + D)⁻¹ (b − t)
 
-The triangular solves are exact, level-scheduled scans (ops/trisolve.py) —
-the TPU replacement for the reference's serial sptrsv/bsptrsv
-(kernels.hpp:54-117).  Residual sampling recomputes ||b − A·x|| explicitly
+Two exact execution modes (SolverConfig.gs_mode):
+
+* "levels"  — level-scheduled scans (ops/trisolve.py) in the natural
+  ordering: the TPU replacement for the reference's serial sptrsv/bsptrsv
+  (kernels.hpp:54-117), arithmetic-order-matched to the reference.
+* "colored" — multicolor masked sweeps (coloring.py): exact GS for the
+  color-sorted ordering, evaluated as #colors (SpMV + masked update) steps
+  with the FULL operator — the TPU-parallel form of the reference's SMAX
+  coloring modes (smax_helpers.hpp:25-28).  Works at any scale (the level
+  count of a natural-order 3-D stencil sweep is n; colors are 2-8).
+
+Residual sampling recomputes ||b − A·x|| explicitly
 (gauss_seidel.hpp:99-104).
 """
 from __future__ import annotations
-
-import jax.numpy as jnp
 
 from ..ops.blas1 import euclidean_vec_norm, subtract_vectors
 from ..ops.spmv import spmv
@@ -27,7 +34,12 @@ class GaussSeidelMethod:
     symmetric = False
 
     def __init__(self, setup: SolverSetup):
-        if setup.L_solve is None or setup.U_strict_dev is None:
+        self.colored = setup.n_colors > 0
+        if self.colored:
+            if setup.A_D is None:
+                raise ValueError("colored Gauss-Seidel requires the diagonal")
+            self.D_inv = 1.0 / setup.A_D
+        elif setup.L_solve is None or setup.U_strict_dev is None:
             raise ValueError("Gauss-Seidel requires L/U solver data")
         self.setup = setup
         self.A = setup.A
@@ -42,8 +54,21 @@ class GaussSeidelMethod:
     def initial_residual_norm(self, state):
         return state["residual_norm"]
 
+    def _sweep(self, x, reverse: bool):
+        from ..coloring import colored_sweep
+        s = self.setup
+        return colored_sweep(self.A, self.D_inv, self.b, x, s.color_spec,
+                             s.color_arr, s.n_colors, reverse=reverse,
+                             use_pallas=self.use_pallas)
+
     def iterate(self, state):
         x = state["x"]
+        if self.colored:
+            # exact GS in the colored ordering, residual form (coloring.py)
+            x = self._sweep(x, reverse=False)
+            if self.symmetric:
+                x = self._sweep(x, reverse=True)
+            return dict(state, x=x)
         t = spmv(self.setup.U_strict_dev, x, self.use_pallas)
         x = trisolve(self.setup.L_solve, self.b - t)
         if self.symmetric:
@@ -73,5 +98,6 @@ class SymmetricGaussSeidelMethod(GaussSeidelMethod):
 
     def __init__(self, setup: SolverSetup):
         super().__init__(setup)
-        if setup.U_solve is None or setup.L_strict_dev is None:
+        if not self.colored and (setup.U_solve is None
+                                 or setup.L_strict_dev is None):
             raise ValueError("Symmetric GS requires backward-solve data")

@@ -15,9 +15,10 @@ import numpy as np
 from ..types import PrecondType, SolverType, to_string
 
 
-def print_residuals(result, out=sys.stdout) -> None:
+def print_residuals(result, out=None) -> None:
     """Residual Norms / Time for iteration table
     (reference print_residuals, postprocessing.hpp:8-30)."""
+    out = sys.stdout if out is None else out  # resolve at call time
     norms = result.residual_norms
     times = result.time_per_iteration
     k = result.res_check_len
@@ -30,9 +31,10 @@ def print_residuals(result, out=sys.stdout) -> None:
         print(line, file=out)
 
 
-def summary_output(result, out=sys.stdout) -> None:
+def summary_output(result, out=None) -> None:
     """Convergence summary (reference summary_output,
     postprocessing.hpp:33-68)."""
+    out = sys.stdout if out is None else out  # resolve at call time
     print_residuals(result, out)
     iter_count = result.iter_count
     if result.method == SolverType.GMRES:
@@ -90,6 +92,12 @@ def iteration_traffic_bytes(setup) -> int:
         SolverType.GMRES: (1, 4, 1),           # + basis streaming below
     }
     n_spmv, n_vec, n_prec = shapes[config.method]
+    if setup.n_colors > 0 and config.method in (
+            SolverType.GAUSS_SEIDEL, SolverType.SYMMETRIC_GAUSS_SEIDEL):
+        # colored sweeps: one SpMV + one masked update per color per sweep
+        sweeps = 2 if config.method == SolverType.SYMMETRIC_GAUSS_SEIDEL else 1
+        n_spmv = sweeps * setup.n_colors + 1          # +1 explicit sample
+        n_vec = 3 * sweeps * setup.n_colors + 2
     total = n_spmv * spmv + n_vec * vec
     if config.method == SolverType.GMRES:
         # CGS2 streams the active basis (~j+1 rows) four times per iteration
@@ -101,12 +109,13 @@ def iteration_traffic_bytes(setup) -> int:
 
 
 def roofline_report(setup, result, hbm_gbps: float = MEASURED_HBM_GBPS,
-                    out=sys.stderr) -> None:
+                    out=None) -> None:
     """Per-solve achieved-bandwidth estimate vs the practical HBM roofline —
     the TPU analog of the reference's LIKWID counters (SURVEY.md §5).
     Counts TOTAL per-iteration traffic (SpMV + every vector pass) against the
     measured streaming bandwidth, and prints the achieved fraction so perf
     regressions are visible."""
+    out = sys.stderr if out is None else out  # resolve at call time
     iters = max(1, result.iter_count)
     secs = result.solve_seconds / iters
     traffic = iteration_traffic_bytes(setup)

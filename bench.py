@@ -1,15 +1,23 @@
 """Headline benchmark.
 
 Replicates the reference's published benchmark setup (BASELINE.md): solve
-with the HPCG 27-point stencil matrix, b = 2.0, x0 = 1.0, and report **CG
-time per iteration** — the reference measures 11.8 ms/iter for
-unpreconditioned CG on HPCG-128-128-128 (~2.1M rows) on a Sapphire Rapids
-socket.  We run the same matrix shape on one TPU chip, fp32, fused harness.
+with the HPCG 27-point stencil matrix (~2.1M rows), b = 2.0, x0 = 1.0, and
+report **time per iteration** for every method row the reference publishes
+(README.md:3-6 figures, single Sapphire Rapids socket):
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "ms_per_iter", "vs_baseline": N}
-vs_baseline = reference_ms / our_ms  (>1 means faster than the reference).
-Extra diagnostics go to stderr.
+    jacobi 22.3 | gs 46.5 | sgs 46.5 | cg 11.8 | gmres(50) 23.8 |
+    bicgstab 24.0 | pcg 105.3 | pgmres 118.9 | pbicgstab 247.9   [ms/iter]
+
+Default run = the FULL table (one JSON line per row, flushed as computed)
+plus an hpcg:256x256x256 capacity row; the headline CG line prints LAST.
+`--method X` runs a single row.  The preconditioned rows use the exact
+symmetric Gauss-Seidel preconditioner via multicolor sweeps (coloring.py) —
+the apples-to-apples analog of the reference's sequential-SpTRSV GS-type
+M⁻¹; `--precond s2st` selects the two-stage (Richardson) family instead.
+
+Each line: {"metric": "...", "value": N, "unit": "ms_per_iter",
+"vs_baseline": N} with vs_baseline = reference_ms / our_ms (>1 = faster).
+Diagnostics go to stderr.
 """
 from __future__ import annotations
 
@@ -45,16 +53,125 @@ METHOD_MAP = {
     "pbicgstab": ("BICGSTAB", "SYMMETRIC_GAUSS_SEIDEL"),
 }
 
+PRECOND_CHOICES = {
+    "sgs": "SYMMETRIC_GAUSS_SEIDEL",   # exact, multicolor sweeps
+    "gs": "GAUSS_SEIDEL",
+    "2st": "TWO_STAGE_GS",
+    "s2st": "SYMMETRIC_TWO_STAGE_GS",  # Richardson (pure SpMV chains)
+    "j": "JACOBI",
+    "ilu0": "ILU0",
+}
+
+#: default measured iterations per method (the slow ms-scale rows need fewer
+#: iterations to amortize the single-dispatch overhead)
+DEFAULT_ITERS = {
+    "cg": 200, "jacobi": 200, "bicgstab": 200, "gmres": 150,
+    "gs": 100, "sgs": 100, "pcg": 100, "pgmres": 100, "pbicgstab": 100,
+}
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def build_matrix(bis, source: str, fmt: str, mat_dt):
+    """Build the benchmark operator on device (no O(nnz) host passes)."""
+    import jax
+    is_gen = bis.dia._GEN_RE.match(source) is not None
+    t0 = time.perf_counter()
+    if is_gen:
+        if fmt == "auto":
+            fmt = ("stencil"
+                   if bis.stencil_op._GEN_RE.match(source) else "dia")
+        if fmt == "stencil":
+            A = bis.stencil_op.from_source_operator(source, dtype=mat_dt)
+            jax.block_until_ready(A.coeffs)
+            nnz = "(matrix-free)"
+        else:
+            A = bis.dia.from_source_device(source, dtype=mat_dt)
+            jax.block_until_ready(A.data)
+            nnz = int(jax.jit(lambda d: (d != 0).sum())(A.data))
+    else:
+        A = bis.generators.from_source(source)
+        nnz = A.nnz
+    log(f"matrix {source}: {A.n_rows} rows, {nnz} nnz "
+        f"({time.perf_counter() - t0:.1f}s to build)")
+    return A, is_gen
+
+
+def run_one(bis, method_key: str, args, A, is_gen) -> dict:
+    """Measure one method row; returns the JSON record."""
+    import jax
+    import jax.numpy as jnp
+
+    method_name, precond_name = METHOD_MAP[method_key]
+    if args.precond and precond_name != "NONE":
+        precond_name = PRECOND_CHOICES[args.precond]
+    dtype = np.dtype(args.dtype)
+    iters = args.iters or DEFAULT_ITERS[method_key]
+
+    cfg = bis.SolverConfig(
+        method=getattr(bis.SolverType, method_name),
+        preconditioner=getattr(bis.PrecondType, precond_name),
+        dtype=dtype, matrix_dtype=args.matrix_dtype, harness="fused",
+        max_iters=iters, tolerance=0.0,   # run exactly `iters` iterations
+        restart_length=args.restart_length,
+        orthog_mode=args.orthog,
+        precond_inner_iters=args.precond_inner_iters)
+
+    t0 = time.perf_counter()
+    # Reference figure setup: b = 2.0, x0 = 1.0 (BASELINE.md).
+    n_rows = A.n_rows
+    if is_gen:
+        setup = bis.preprocessing_device(
+            A, cfg, b=jnp.full(n_rows, 2.0, dtype=dtype),
+            x0=jnp.full(n_rows, 1.0, dtype=dtype))
+    else:
+        setup = bis.preprocessing(A, cfg,
+                                  b=np.full(n_rows, 2.0),
+                                  x0=np.full(n_rows, 1.0))
+    log(f"[{method_key}] preprocessing: {time.perf_counter() - t0:.1f}s "
+        f"(device format: {type(setup.A).__name__}, "
+        f"precond: {precond_name}, n_colors: {setup.M.n_colors})")
+
+    # Run twice with the same method instance: the first call compiles the
+    # fused while-loop; later calls reuse the cached executable.
+    from basic_iterative_solvers_tpu.solvers import make_method
+    method = make_method(setup)
+    t0 = time.perf_counter()
+    res = bis.solve(setup, method=method)
+    log(f"[{method_key}] warmup solve: {time.perf_counter() - t0:.1f}s "
+        f"({res.iter_count} iters, incl. compile)")
+    best = float("inf")
+    for rep in range(args.repeats):
+        res = bis.solve(setup, method=method)
+        ms = 1e3 * res.solve_seconds / max(1, res.iter_count)
+        log(f"[{method_key}] measured[{rep}]: {res.solve_seconds:.3f}s, "
+            f"{res.iter_count} iters, {ms:.3f} ms/iter")
+        best = min(best, ms)
+    log(f"[{method_key}] best: {best:.3f} ms/iter, final ||r|| = "
+        f"{res.final_residual_norm:.3e}")
+
+    from basic_iterative_solvers_tpu.utils.report import roofline_report
+    roofline_report(setup, res, hbm_gbps=args.hbm_gbps)
+
+    base = BASELINES_MS[method_key]
+    matrix_tag = args.matrix.replace(":", "_")
+    return {
+        "metric": f"{method_key}_ms_per_iter_{matrix_tag}",
+        "value": round(best, 4),
+        "unit": "ms_per_iter",
+        "vs_baseline": round(base / best, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--matrix", default="hpcg:128x128x128")
-    ap.add_argument("--method", default="cg", choices=sorted(METHOD_MAP))
-    ap.add_argument("--iters", type=int, default=200)
+    ap.add_argument("--method", default="all",
+                    choices=["all"] + sorted(METHOD_MAP))
+    ap.add_argument("--iters", type=int, default=0,
+                    help="measured iterations (0 = per-method default)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--dtype", default="float32")
     ap.add_argument("--matrix-dtype", default=None,
@@ -65,125 +182,68 @@ def main():
                     help="device operator format for generator sources: "
                          "'stencil' = matrix-free constant-stencil kernel "
                          "(fastest for the generated benchmark matrices), "
-                         "'dia' = explicit diagonal storage; auto picks "
-                         "stencil when the source supports it")
+                         "'dia' = explicit diagonal storage")
+    ap.add_argument("--precond", default=None,
+                    choices=sorted(PRECOND_CHOICES),
+                    help="override the preconditioner for p* rows "
+                         "(default: exact multicolor SGS)")
     ap.add_argument("--restart-length", type=int, default=50)
     ap.add_argument("--precond-inner-iters", type=int, default=1)
     ap.add_argument("--orthog", default="cgs2", choices=("mgs", "cgs2"),
                     help="GMRES orthogonalization (cgs2 = batched MXU form)")
+    ap.add_argument("--hbm-gbps", type=float, default=450.0,
+                    help="practical HBM bandwidth for the roofline report")
+    ap.add_argument("--no-capacity-row", action="store_true",
+                    help="skip the hpcg:256x256x256 capacity CG row")
     args = ap.parse_args()
 
     import jax
     import basic_iterative_solvers_tpu as bis
 
     log(f"backend: {jax.default_backend()} devices: {jax.devices()}")
-
-    method_name, precond_name = METHOD_MAP[args.method]
-    dtype = np.dtype(args.dtype)
-
-    if method_name in ("GAUSS_SEIDEL", "SYMMETRIC_GAUSS_SEIDEL"):
-        # Exact GS sweeps on a 3-D stencil are inherently sequential (the
-        # -1 offset makes every row depend on the previous: level count = n),
-        # so there is no parallel exact form on ANY hardware — the reference
-        # runs them serially (46.5 ms/iter and DNC).  Benchmark them on a
-        # smaller system or via the two-stage (Richardson) smoother instead.
-        log("ERROR: exact Gauss-Seidel sweeps are serial by construction on "
-            "stencil matrices (level count == n rows); the reference runs "
-            "them single-threaded.  Use a smaller matrix (e.g. "
-            "--matrix hpcg:32x32x32 via the CLI) or the two-stage smoother "
-            "(-p 2st/s2st).")
-        sys.exit(2)
-
-    # Generator specs build the matrix *on device* (dia.from_source_device):
-    # construction and all of setup are diagonal-row slices on the TPU, no
-    # O(nnz) host passes.  File sources go through the host CSR pipeline.
-    is_gen = bis.dia._GEN_RE.match(args.matrix) is not None
     mat_dt = bis.SolverConfig(matrix_dtype=args.matrix_dtype,
-                              dtype=dtype).mat_dtype()
-    t0 = time.perf_counter()
-    if is_gen:
-        fmt = args.format
-        if fmt == "auto":
-            fmt = ("stencil"
-                   if bis.stencil_op._GEN_RE.match(args.matrix) else "dia")
-        if fmt == "stencil":
-            A = bis.stencil_op.from_source_operator(args.matrix, dtype=mat_dt)
-            jax.block_until_ready(A.coeffs)
-            n_rows = A.n_rows
-            nnz = "(matrix-free)"
-        else:
-            A = bis.dia.from_source_device(args.matrix, dtype=mat_dt)
-            jax.block_until_ready(A.data)
-            n_rows = A.n_rows
-            nnz = int(jax.jit(lambda d: (d != 0).sum())(A.data))
-    else:
-        A = bis.generators.from_source(args.matrix)
-        n_rows, nnz = A.n_rows, A.nnz
-    log(f"matrix {args.matrix}: {n_rows} rows, {nnz} nnz "
-        f"({time.perf_counter() - t0:.1f}s to build)")
+                              dtype=np.dtype(args.dtype)).mat_dtype()
 
-    # Preconditioned variants: on TPU the sharded-friendly symmetric
-    # two-stage (Richardson) form replaces exact triangular sweeps when the
-    # matrix is large; exact level-scheduled solves remain available.
-    if precond_name == "SYMMETRIC_GAUSS_SEIDEL" and (is_gen
-                                                     or A.n_rows > 500_000):
-        precond_name = "SYMMETRIC_TWO_STAGE_GS"
-    cfg = bis.SolverConfig(
-        method=getattr(bis.SolverType, method_name),
-        preconditioner=getattr(bis.PrecondType, precond_name),
-        dtype=dtype, matrix_dtype=args.matrix_dtype, harness="fused",
-        max_iters=args.iters, tolerance=0.0,   # run exactly `iters` iterations
-        restart_length=args.restart_length,
-        orthog_mode=args.orthog,
-        precond_inner_iters=args.precond_inner_iters)
+    if args.method != "all":
+        A, is_gen = build_matrix(bis, args.matrix, args.format, mat_dt)
+        print(json.dumps(run_one(bis, args.method, args, A, is_gen)),
+              flush=True)
+        return
 
-    t0 = time.perf_counter()
-    # Reference figure setup: b = 2.0, x0 = 1.0 (BASELINE.md).
-    if is_gen:
-        import jax.numpy as jnp
-        setup = bis.preprocessing_device(
-            A, cfg, b=jnp.full(n_rows, 2.0, dtype=dtype),
-            x0=jnp.full(n_rows, 1.0, dtype=dtype))
-    else:
-        setup = bis.preprocessing(A, cfg,
-                                  b=np.full(A.n_rows, 2.0),
-                                  x0=np.full(A.n_rows, 1.0))
-    log(f"preprocessing: {time.perf_counter() - t0:.1f}s "
-        f"(device format: {type(setup.A).__name__})")
+    # Full table: every reference README row on the same matrix, one JSON
+    # line each; the headline CG row prints LAST (driver parses the tail).
+    A, is_gen = build_matrix(bis, args.matrix, args.format, mat_dt)
+    order = ["jacobi", "gs", "sgs", "gmres", "bicgstab",
+             "pcg", "pgmres", "pbicgstab"]
+    records = []
+    for key in order:
+        try:
+            records.append(run_one(bis, key, args, A, is_gen))
+        except Exception as e:  # keep the table going; record the failure
+            log(f"[{key}] FAILED: {e}")
+            records.append({"metric": f"{key}_FAILED", "value": None,
+                            "unit": "ms_per_iter", "vs_baseline": None})
+    for rec in records:
+        print(json.dumps(rec), flush=True)
 
-    # Run twice with the same method instance: the first call compiles the
-    # fused while-loop; the second reuses the cached executable.
-    from basic_iterative_solvers_tpu.solvers import make_method
-    method = make_method(setup)
-    t0 = time.perf_counter()
-    res = bis.solve(setup, method=method)
-    log(f"warmup solve: {time.perf_counter() - t0:.1f}s "
-        f"({res.iter_count} iters, incl. compile)")
-    best = float("inf")
-    for rep in range(args.repeats):
-        res = bis.solve(setup, method=method)
-        ms = 1e3 * res.solve_seconds / max(1, res.iter_count)
-        log(f"measured solve[{rep}]: {res.solve_seconds:.3f}s, "
-            f"{res.iter_count} iters, {ms:.3f} ms/iter")
-        best = min(best, ms)
-    ms_per_iter = best
-    log(f"best: {ms_per_iter:.3f} ms/iter, final ||r|| = "
-        f"{res.final_residual_norm:.3e}")
+    # capacity row: 16.8M-row CG on one chip (the reference never showed
+    # anything beyond 2.1M rows)
+    if not args.no_capacity_row and args.matrix == "hpcg:128x128x128":
+        saved = args.matrix
+        try:
+            A256, _ = build_matrix(bis, "hpcg:256x256x256", args.format,
+                                   mat_dt)
+            args.matrix = "hpcg:256x256x256"
+            rec = run_one(bis, "cg", args, A256, True)
+            print(json.dumps(rec), flush=True)
+            del A256
+        except Exception as e:
+            log(f"[cg@256] FAILED: {e}")
+        finally:
+            args.matrix = saved
 
-    # roofline accounting (stderr only)
-    from basic_iterative_solvers_tpu.device_matrix import device_matrix_nnz_bytes
-    itemsize = np.dtype(args.dtype).itemsize
-    spmv_bytes = device_matrix_nnz_bytes(setup.A) + 2 * n_rows * itemsize
-    log(f"spmv traffic ≥ {spmv_bytes / 1e6:.0f} MB; at 819 GB/s (v5e) "
-        f"floor = {spmv_bytes / 819e9 * 1e3:.3f} ms")
-
-    base = BASELINES_MS[args.method]
-    print(json.dumps({
-        "metric": f"{args.method}_ms_per_iter_{args.matrix.replace(':', '_')}",
-        "value": round(ms_per_iter, 4),
-        "unit": "ms_per_iter",
-        "vs_baseline": round(base / ms_per_iter, 3),
-    }))
+    # headline last
+    print(json.dumps(run_one(bis, "cg", args, A, is_gen)), flush=True)
 
 
 if __name__ == "__main__":

@@ -337,6 +337,52 @@ void bis_bfs_perm(int32_t n_rows, const int64_t* row_ptr, const int32_t* col,
 }
 
 // ---------------------------------------------------------------------------
+// Greedy graph coloring (the SMAX C/PC/PC_BAL permutation-mode analog,
+// /root/reference/utilities/smax_helpers.hpp:25-28, CMakeLists.txt:128-136).
+// Sequential first-fit over the CSR row pattern (assumed structurally
+// symmetric, like bis_bfs_perm); balanced=1 picks the least-loaded
+// admissible color (PC_BAL).  Returns the number of colors used.
+// A proper coloring makes rows of one color mutually independent, so exact
+// GS sweeps/triangular solves become #colors parallel steps.
+// ---------------------------------------------------------------------------
+long long bis_greedy_color(int32_t n_rows, const int64_t* row_ptr,
+                           const int32_t* col, int balanced,
+                           int32_t* colors) {
+    for (int32_t i = 0; i < n_rows; ++i) colors[i] = -1;
+    std::vector<int32_t> mark;   // mark[c] == i  <=>  color c used by a nbr
+    std::vector<int64_t> load;   // rows per color (balanced mode)
+    for (int32_t i = 0; i < n_rows; ++i) {
+        for (int64_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
+            int32_t j = col[k];
+            if (j == i || j < 0 || j >= n_rows) continue;
+            int32_t cj = colors[j];
+            if (cj >= 0) mark[(size_t)cj] = i;
+        }
+        int32_t c = -1;
+        if (balanced) {
+            int64_t best_load = -1;
+            for (size_t cc = 0; cc < load.size(); ++cc) {
+                if (mark[cc] != i && (best_load < 0 || load[cc] < best_load)) {
+                    c = (int32_t)cc;
+                    best_load = load[cc];
+                }
+            }
+        } else {
+            for (size_t cc = 0; cc < load.size(); ++cc)
+                if (mark[cc] != i) { c = (int32_t)cc; break; }
+        }
+        if (c < 0) {
+            c = (int32_t)load.size();
+            mark.push_back(-1);
+            load.push_back(0);
+        }
+        colors[i] = c;
+        ++load[(size_t)c];
+    }
+    return (long long)load.size();
+}
+
+// ---------------------------------------------------------------------------
 // Symmetric permutation A' = P A P^T with column-sorted rows:
 // A'[new_i, inv[j]] = A[perm[new_i], j].
 // ---------------------------------------------------------------------------

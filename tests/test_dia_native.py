@@ -140,9 +140,17 @@ def test_preprocessing_device_num_scale():
 
 def test_preprocessing_device_rejects_exact_trisolve_types():
     A_dev = dia.fdm_2d_device(6, dtype=np.float64)
+    # GS-family methods/preconds are device-native via coloring (auto →
+    # colored); forcing gs_mode='levels' still requires the host CSR path.
     with pytest.raises(ValueError):
         bis.preprocessing_device(A_dev, bis.SolverConfig(
-            method=SolverType.GAUSS_SEIDEL, dtype=np.float64))
+            method=SolverType.GAUSS_SEIDEL, gs_mode="levels",
+            dtype=np.float64))
+    with pytest.raises(ValueError):
+        bis.preprocessing_device(A_dev, bis.SolverConfig(
+            preconditioner=PrecondType.GAUSS_SEIDEL, gs_mode="levels",
+            dtype=np.float64))
+    # ILU(0) always needs the host factorization
     with pytest.raises(ValueError):
         bis.preprocessing_device(A_dev, bis.SolverConfig(
             preconditioner=PrecondType.ILU0, dtype=np.float64))
