@@ -89,8 +89,21 @@ class SolverConfig:
     # "cgs2" = classical Gram-Schmidt with full re-orthogonalization — two
     # fixed-shape (m+1)×N matvec pairs on the MXU (zero basis rows contribute
     # nothing, so no masking), the latency-free TPU form with equivalent
-    # numerical stability.
+    # numerical stability; "lowsync" = CGS2 with the re-orthogonalization
+    # folded into an (m+1)² Gram-matrix correction (h2 = (I−G)h1, G = V·Vᵀ
+    # maintained incrementally) — streams the basis TWICE per iteration
+    # instead of four times, halving the cost of the basis-streaming-bound
+    # iteration at CGS2-grade stability.
     orthog_mode: str = "mgs"
+    # GMRES basis storage dtype (None = solve dtype).  The iteration is
+    # basis-streaming-bound; storing V narrower halves its HBM stream while
+    # all small quantities (H, G, Givens) stay in the solve dtype and the
+    # projections run as native mixed-precision MXU matmuls with f32
+    # accumulation.  "bfloat16" with a float32 solve is the perf mode
+    # (orthogonality floor ~bf16 eps — an inexact-Arnoldi trade measured to
+    # cost ~0-2 extra iterations on the benchmark matrices); "float32" with
+    # a float64 solve halves parity-mode traffic analogously.
+    gmres_basis_dtype: Optional[str] = None
     # Per-iteration invariant validation in the host harness (the reference's
     # Debug-build SanityChecker, common.hpp:428-530): GMRES V-orthonormality
     # and R=Q·H triangularity.  Host harness only.

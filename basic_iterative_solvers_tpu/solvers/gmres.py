@@ -46,8 +46,15 @@ class GMRESMethod:
         self.m = setup.config.restart_length
         self.use_pallas = setup.config.use_pallas
         self.orthog = setup.config.orthog_mode
-        if self.orthog not in ("mgs", "cgs2"):
+        if self.orthog not in ("mgs", "cgs2", "lowsync"):
             raise ValueError(f"unknown orthog_mode: {self.orthog}")
+        bd = setup.config.gmres_basis_dtype
+        if bd is None:
+            self.basis_dtype = None          # V in the solve dtype
+        elif str(bd) in ("bfloat16", "bf16"):
+            self.basis_dtype = jnp.bfloat16
+        else:
+            self.basis_dtype = jnp.dtype(bd)
         self._restart_jit = jax.jit(self._restart_state)
         self._explicit_x_jit = jax.jit(self.explicit_x)
 
@@ -57,12 +64,20 @@ class GMRESMethod:
         # vector length from b, not the logical n (planar-resident stencil
         # vectors are halo-padded)
         m, n = self.m, self.setup.b.shape[0]
-        V = jnp.zeros((m + 1, n), dtype=dtype).at[0].set(r_prec / beta)
+        vdt = self.basis_dtype or dtype
+        V = jnp.zeros((m + 1, n), dtype=vdt).at[0].set(
+            (r_prec / beta).astype(vdt))
         H = jnp.zeros((m + 1, m), dtype=dtype)
         Q = jnp.eye(m + 1, dtype=dtype)
         g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
-        return {"x_old": x, "V": V, "H": H, "Q": Q, "g": g,
-                "beta": beta, "j": jnp.int32(0)}
+        state = {"x_old": x, "V": V, "H": H, "Q": Q, "g": g,
+                 "beta": beta, "j": jnp.int32(0)}
+        if self.orthog == "lowsync":
+            # running Gram matrix G = V·Vᵀ of the computed basis (lowsync
+            # CGS2's reorthogonalization correction operand)
+            state["G"] = jnp.zeros((m + 1, m + 1), dtype=dtype).at[0, 0].set(
+                1.0)
+        return state
 
     def init_state(self):
         x = self.setup.x0
@@ -84,11 +99,67 @@ class GMRESMethod:
         j = state["j"]
         V, H, Q, g, beta = (state["V"], state["H"], state["Q"], state["g"],
                             state["beta"])
-        # w = M⁻¹ A v_j (gmres.hpp:168-176)
-        w = spmv(self.A, jnp.take(V, j, axis=0), self.use_pallas)
+        # w = M⁻¹ A v_j (gmres.hpp:168-176); the stored basis row is
+        # upcast to the solve dtype for the operator apply
+        vj = jnp.take(V, j, axis=0)
+        w = spmv(self.A, vj.astype(self.b.dtype), self.use_pallas)
         w = apply_preconditioner(self.M, w)
+        sdtype = w.dtype                     # solve dtype (small quantities)
 
-        if self.orthog == "cgs2":
+        if self.orthog == "lowsync":
+            # Low-synchronization CGS2 (Gram-corrected reorthogonalization,
+            # one-reduce style): classical CGS2's second projection is
+            # h2 = V·w1 = (I − G)·h1 with G = V·Vᵀ — an (m+1)² correction
+            # needing NO second read of the basis.  G's column for the most
+            # recent basis vector is computed EXACTLY inside the projection
+            # pass as a two-column matmul Vb @ [w, v_j] (same HBM traffic as
+            # the matvec; an analytic shortcut for the column was measured
+            # unstable — cancellation amplifies its error by ‖w‖/h_{j+1,j}).
+            # The basis is streamed TWICE per iteration (project+gram,
+            # correct-and-write) instead of CGS2's four times; GMRES here is
+            # basis-streaming-bound, so this halves the iteration cost at
+            # CGS2-grade orthogonality (pinned by debug-check tests).
+            G = state["G"]
+            BUCKET = 8   # BUCKET=4 measured slower (switch overhead beats
+                         # the ~2 saved zero rows per pass)
+            n_buckets = -(-(self.m + 1) // BUCKET)
+            mp1 = self.m + 1
+
+            def project_branch(k):
+                rows = min((k + 1) * BUCKET, mp1)
+
+                def branch(V, w, vj):
+                    Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
+                    # storage-dtype matmul, solve-dtype accumulation (MXU
+                    # native for a bf16 basis)
+                    rhs = jnp.stack([w.astype(V.dtype), vj], axis=1)
+                    P = jnp.matmul(Vb, rhs, preferred_element_type=sdtype)
+                    pad = jnp.zeros((mp1, 2), sdtype).at[:rows].set(P)
+                    return pad[:, 0], pad[:, 1]
+
+                return branch
+
+            def correct_branch(k):
+                rows = min((k + 1) * BUCKET, mp1)
+
+                def branch(V, w, h):
+                    Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
+                    corr = jnp.matmul(h[:rows].astype(V.dtype), Vb,
+                                      preferred_element_type=sdtype)
+                    return w - corr
+
+                return branch
+
+            idx = jnp.minimum(j // BUCKET, n_buckets - 1)
+            h1, gc = jax.lax.switch(
+                idx, [project_branch(k) for k in range(n_buckets)], V, w, vj)
+            G = G.at[:, j].set(gc).at[j, :].set(gc)      # exact V·v_j column
+            h2 = h1 - G @ h1                      # = V·(w − h1ᵀV), G-corrected
+            h = h1 + h2
+            w = jax.lax.switch(
+                idx, [correct_branch(k) for k in range(n_buckets)], V, w, h)
+            H = H.at[:, j].set(h)
+        elif self.orthog == "cgs2":
             # Classical Gram-Schmidt with re-orthogonalization: two matvec
             # pairs on the MXU replace the j-deep dependent MGS chain (CGS2
             # has MGS-equivalent stability).  The basis is streamed in
@@ -97,22 +168,24 @@ class GMRESMethod:
             # instead of the full (m+1)-row array.
             BUCKET = 8
             n_buckets = -(-(self.m + 1) // BUCKET)
-            dtype = V.dtype
             mp1 = self.m + 1
 
             def make_branch(k):
                 rows = min((k + 1) * BUCKET, mp1)
+
+                def mm(a, b):
+                    return jnp.matmul(a, b, preferred_element_type=sdtype)
 
                 def branch(V, w):
                     # unconditional re-orthogonalization: a DGKS-style
                     # selective scheme was measured SLOWER here (the
                     # criterion's norm reductions serialize the pipeline)
                     Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
-                    h1 = Vb @ w
-                    w1 = w - h1 @ Vb
-                    h2 = Vb @ w1
-                    w2 = w1 - h2 @ Vb
-                    h = jnp.zeros((mp1,), dtype).at[:rows].set(h1 + h2)
+                    h1 = mm(Vb, w.astype(V.dtype))
+                    w1 = w - mm(h1.astype(V.dtype), Vb)
+                    h2 = mm(Vb, w1.astype(V.dtype))
+                    w2 = w1 - mm(h2.astype(V.dtype), Vb)
+                    h = jnp.zeros((mp1,), sdtype).at[:rows].set(h1 + h2)
                     return w2, h
 
                 return branch
@@ -126,7 +199,7 @@ class GMRESMethod:
             # Modified Gram-Schmidt against v_0..v_j (gmres.hpp:6-30)
             def mgs_body(i, carry):
                 w, H = carry
-                vi = jnp.take(V, i, axis=0)
+                vi = jnp.take(V, i, axis=0).astype(w.dtype)
                 h = dot(w, vi)
                 H = H.at[i, j].set(h)
                 return w - h * vi, H
@@ -140,7 +213,11 @@ class GMRESMethod:
         # before the row is ever used as a direction).
         v_next = jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1.0),
                            0.0)
-        V = V.at[j + 1].set(v_next)                # gmres.hpp:43-46
+        V = V.at[j + 1].set(v_next.astype(V.dtype))   # gmres.hpp:43-46
+
+        extra = {}
+        if self.orthog == "lowsync":
+            extra["G"] = G   # v_{j+1}'s exact column lands next iteration
 
         # Givens least squares (gmres.hpp:55-121): rotate column j of H by the
         # accumulated Q, derive the new rotation, fold it into Q.
@@ -159,7 +236,8 @@ class GMRESMethod:
         g = beta * Q[:, 0]
         rn = jnp.abs(jnp.take(g, j + 1))
 
-        return dict(state, V=V, H=H, Q=Q, g=g, j=j + 1, residual_norm=rn)
+        return dict(state, V=V, H=H, Q=Q, g=g, j=j + 1, residual_norm=rn,
+                    **extra)
 
     def sample_norm(self, state):
         return state["residual_norm"]
@@ -185,10 +263,11 @@ class GMRESMethod:
             return jnp.where(row >= 0, y.at[rowc].set(val), y)
 
         y = jax.lax.fori_loop(0, m, back_body,
-                              jnp.zeros(m, dtype=V.dtype))
+                              jnp.zeros(m, dtype=g.dtype))
         # y entries at indices ≥ n_it are zero, so the full contraction equals
         # the reference's Σ_{k≤n_it} y_k V_k (gmres.hpp:358).
-        return state["x_old"] + y @ V[:m]
+        return state["x_old"] + jnp.matmul(y.astype(V.dtype), V[:m],
+                                           preferred_element_type=y.dtype)
 
     def _restart_state(self, state):
         """Reference restart: recover x, recompute + re-precondition residual,

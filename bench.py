@@ -117,6 +117,8 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
         max_iters=iters, tolerance=0.0,   # run exactly `iters` iterations
         restart_length=args.restart_length,
         orthog_mode=args.orthog,
+        gmres_basis_dtype=(None if args.gmres_basis == "none"
+                           else args.gmres_basis),
         precond_inner_iters=args.precond_inner_iters)
 
     t0 = time.perf_counter()
@@ -189,8 +191,15 @@ def main():
                          "(default: exact multicolor SGS)")
     ap.add_argument("--restart-length", type=int, default=50)
     ap.add_argument("--precond-inner-iters", type=int, default=1)
-    ap.add_argument("--orthog", default="cgs2", choices=("mgs", "cgs2"),
-                    help="GMRES orthogonalization (cgs2 = batched MXU form)")
+    ap.add_argument("--orthog", default="lowsync",
+                    choices=("mgs", "cgs2", "lowsync"),
+                    help="GMRES orthogonalization (lowsync = Gram-corrected "
+                         "CGS2, two basis passes/iter; cgs2 = four)")
+    ap.add_argument("--gmres-basis", default="bfloat16",
+                    choices=("none", "bfloat16", "float32"),
+                    help="GMRES basis storage dtype (bfloat16 halves the "
+                         "basis stream; measured convergence-equivalent on "
+                         "the benchmark matrices; 'none' = solve dtype)")
     ap.add_argument("--hbm-gbps", type=float, default=450.0,
                     help="practical HBM bandwidth for the roofline report")
     ap.add_argument("--no-capacity-row", action="store_true",

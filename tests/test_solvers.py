@@ -363,3 +363,50 @@ def test_final_residual_is_float64_on_device_path():
     # the f64 evaluation differs from the f32 one below f32 resolution;
     # just pin that it is finite, small, and was computed without a host CSR
     assert res.final_residual_norm < 1e-4
+
+
+def test_gmres_lowsync_matches_mgs():
+    """Low-synchronization CGS2 (Gram-corrected reorthogonalization) must
+    converge like MGS, including across restarts."""
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+    A = bis.generators.fdm_2d(12)
+    kw = dict(method=SolverType.GMRES, preconditioner=PrecondType.JACOBI,
+              restart_length=12, dtype=np.float64, tolerance=1e-10,
+              harness="fused")
+    r_mgs = bis.solve(bis.preprocessing(A, bis.SolverConfig(
+        orthog_mode="mgs", **kw)))
+    r_ls = bis.solve(bis.preprocessing(A, bis.SolverConfig(
+        orthog_mode="lowsync", **kw)))
+    assert r_ls.converged
+    assert r_ls.gmres_restart_count >= 1   # exercises the G reset
+    assert abs(r_ls.iter_count - r_mgs.iter_count) <= 2
+    np.testing.assert_allclose(r_ls.x_star, r_mgs.x_star, rtol=1e-7,
+                               atol=1e-9)
+
+
+def test_gmres_lowsync_orthonormality():
+    """The Gram-corrected basis stays orthonormal to CGS2 grade (the
+    SanityChecker V-orthonormality assert runs every iteration)."""
+    import basic_iterative_solvers_tpu as bis
+    res = bis.solve_system("fdm:10", method="gm", dtype=np.float64,
+                           restart_length=40, orthog_mode="lowsync",
+                           tolerance=1e-11, harness="host",
+                           debug_checks=True)
+    assert res.converged
+
+
+def test_gmres_bf16_basis_convergence_equivalent():
+    """bfloat16 basis storage (gmres_basis_dtype) must not change the
+    iteration count materially on a benchmark-class matrix."""
+    import basic_iterative_solvers_tpu as bis
+    kw = dict(method="gm", restart_length=30, orthog_mode="lowsync",
+              dtype=np.float32, harness="fused", tolerance=1e-4,
+              max_iters=300)
+    r32 = bis.solve_system("hpcg:12x12x12", gmres_basis_dtype=None, **kw)
+    rbf = bis.solve_system("hpcg:12x12x12", gmres_basis_dtype="bfloat16",
+                           **kw)
+    assert r32.converged and rbf.converged
+    assert abs(rbf.iter_count - r32.iter_count) <= 3
+    # the recovered solutions agree to basis precision
+    np.testing.assert_allclose(rbf.x_star, r32.x_star, rtol=0, atol=2e-2)
