@@ -67,7 +67,9 @@ class SolverConfig:
     # perf mode; affects convergence like any inexact operator.
     matrix_dtype: Optional[str] = None
     # Device sparse format: "auto" picks DIA for matrices with few nonzero
-    # diagonals (stencils/banded), ELL otherwise.
+    # diagonals (stencils/banded), then windowed lane-ELL (ops/lane_ell.py)
+    # for general bounded-column-span sparsity, then XLA-gather ELL.
+    # Explicit: "dia" | "lane_ell" | "ell" | "stencil" (generators only).
     matrix_format: str = "auto"
     # Max distinct diagonals admitted to the DIA fast path.
     dia_max_diags: int = 96

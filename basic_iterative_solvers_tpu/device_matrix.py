@@ -131,28 +131,44 @@ def csr_to_ell(A: MatrixCSR, dtype=np.float32) -> DeviceELL:
                      n_rows=A.n_rows, n_cols=A.n_cols)
 
 
+#: lane-ELL eligibility: max |j//128 − i//128| span the windowed kernel
+#: accepts before falling back to the XLA-gather ELL (window = 3·TB rows of
+#: 128 lanes; TB grows to S, VMEM-bounded around ~2048)
+LANE_ELL_MAX_SPAN = 2048
+
+
 def from_csr(A: MatrixCSR, dtype=np.float32, matrix_format: str = "auto",
              dia_max_diags: int = 96, dia_min_fill: float = 0.25):
-    """Pick the device format for A (config.matrix_format overrides)."""
+    """Pick the device format for A (config.matrix_format overrides):
+    DIA for few-diagonal matrices, windowed lane-ELL (ops/lane_ell.py) for
+    general bounded-span sparsity (what RCM reordering produces), XLA-gather
+    ELL as the last resort."""
+    from .ops.lane_ell import csr_to_lane_ell, lane_ell_span
     if matrix_format == "dia":
         return csr_to_dia(A, dtype)
     if matrix_format == "ell":
         return csr_to_ell(A, dtype)
+    if matrix_format == "lane_ell":
+        return csr_to_lane_ell(A, dtype)
     if matrix_format != "auto":
         raise ValueError(f"unknown matrix_format: {matrix_format}")
     offsets, fill = analyze_diagonals(A)
     if (A.n_rows == A.n_cols and 0 < offsets.size <= dia_max_diags
             and fill >= dia_min_fill):
         return csr_to_dia(A, dtype)
+    if (A.n_rows == A.n_cols and A.nnz
+            and lane_ell_span(A) <= LANE_ELL_MAX_SPAN):
+        return csr_to_lane_ell(A, dtype)
     return csr_to_ell(A, dtype)
 
 
 def device_matrix_nnz_bytes(M) -> int:
     """Bytes of matrix data streamed per SpMV (roofline accounting)."""
+    from .ops.lane_ell import DeviceLaneELL
     itemsize = np.dtype(M.dtype).itemsize
     if isinstance(M, DeviceDIA):
         return M.nnz_stored * itemsize
-    if isinstance(M, DeviceELL):
-        return M.nnz_stored * (itemsize + 4)  # values + int32 col indices
+    if isinstance(M, (DeviceELL, DeviceLaneELL)):
+        return M.nnz_stored * (itemsize + 4)  # values + int32 indices
     # matrix-free stencil: only the dense diagonal (if any) is streamed
     return M.nnz_stored * itemsize

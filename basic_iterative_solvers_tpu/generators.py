@@ -161,7 +161,45 @@ def banded(n: int, bandwidth: int = 2, seed: int = 0,
     return convert_coo_to_csr(coo)
 
 
-_GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|anderson):(.*)$", re.IGNORECASE)
+def scattered_band(n: int, nnz_per_row: int = 8, spread: int = 400,
+                   seed: int = 0) -> MatrixCSR:
+    """Symmetric diagonally-dominant matrix with nonzeros SCATTERED at
+    random offsets within ±spread of the diagonal — a genuinely non-stencil,
+    non-banded general-sparsity test matrix: its distinct-diagonal count is
+    ~2·spread (far past the DIA format's limit at low fill), so it exercises
+    the general lane-ELL / gather SpMV paths the way an arbitrary reordered
+    .mtx file would."""
+    rng = np.random.default_rng(seed)
+    k = max(1, nnz_per_row - 1)
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    offs = rng.integers(1, spread + 1, size=rows.size) * \
+        rng.choice(np.array([-1, 1]), size=rows.size)
+    cols = rows + offs
+    out = (cols < 0) | (cols >= n)
+    cols = np.where(out, rows - offs, cols)  # reflect at the boundary
+    # (clipping instead would pile every boundary row's entries onto one
+    # column and explode the ELL row width)
+    vals = rng.uniform(-1.0, 1.0, size=rows.size)
+    # symmetrize (A + A^T pattern) and add a dominant diagonal
+    I = np.concatenate([rows, cols, np.arange(n, dtype=np.int64)])
+    J = np.concatenate([cols, rows, np.arange(n, dtype=np.int64)])
+    V = np.concatenate([vals, vals, np.full(n, 4.0 * nnz_per_row)])
+    # duplicate (i, j) pairs (clipping collisions, symmetric overlaps) are
+    # summed like Matrix Market duplicate handling
+    key = I * n + J
+    order = np.argsort(key, kind="stable")
+    key, I, J, V = key[order], I[order], J[order], V[order]
+    first = np.concatenate([[True], key[1:] != key[:-1]])
+    group = np.cumsum(first) - 1
+    Vsum = np.zeros(int(group[-1]) + 1 if group.size else 0)
+    np.add.at(Vsum, group, V)
+    coo = MatrixCOO.from_arrays(I[first], J[first], Vsum,
+                                n_rows=n, n_cols=n)
+    return convert_coo_to_csr(coo)
+
+
+_GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|sband|anderson):(.*)$",
+                     re.IGNORECASE)
 
 
 def _parse_anderson_kwargs(spec: str) -> dict:
@@ -210,6 +248,9 @@ def from_source(source: str) -> MatrixCSR:
     if kind == "hpcg":
         dims = [int(d) for d in re.split(r"[x,]", spec) if d]
         return stencil_27pt(*dims)
+    if kind == "sband":
+        dims = [int(d) for d in re.split(r"[x,]", spec) if d]
+        return scattered_band(*dims)
     if kind == "fdm":
         return fdm_2d(int(spec))
     if kind == "band":

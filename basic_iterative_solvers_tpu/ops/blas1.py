@@ -53,6 +53,9 @@ def infty_mat_norm(A):
     if isinstance(A, (DeviceDIA, DeviceELL)):
         return jnp.max(jnp.sum(jnp.abs(A.data), axis=0 if
                                isinstance(A, DeviceDIA) else 1))
+    from .lane_ell import DeviceLaneELL
+    if isinstance(A, DeviceLaneELL):
+        return jnp.max(jnp.sum(jnp.abs(A.vals), axis=0))
     from ..stencil_op import DeviceStencil, stencil_spmv
     if isinstance(A, DeviceStencil):
         # |A| row sums = |A| applied to ones; coefficients sign-folded

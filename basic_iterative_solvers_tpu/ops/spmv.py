@@ -52,6 +52,9 @@ def spmv(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
         return spmv_dia(A, x, use_pallas=use_pallas)
     if isinstance(A, DeviceELL):
         return spmv_ell(A, x)
+    from .lane_ell import DeviceLaneELL, lane_ell_spmv
+    if isinstance(A, DeviceLaneELL):
+        return lane_ell_spmv(A, x, use_pallas=use_pallas)
     from ..stencil_op import DeviceStencil, stencil_spmv
     if isinstance(A, DeviceStencil):
         return stencil_spmv(A, x, use_pallas=use_pallas)

@@ -100,10 +100,17 @@ def iteration_traffic_bytes(setup) -> int:
         n_vec = 3 * sweeps * setup.n_colors + 2
     total = n_spmv * spmv + n_vec * vec
     if config.method == SolverType.GMRES:
-        # CGS2 streams the active basis (~j+1 rows) four times per iteration
-        # (two project+correct pairs); average j over a restart cycle = m/2.
+        # basis streaming: passes over the ~(j+1)-row active basis per
+        # iteration — lowsync 2, cgs2 4, mgs 2 (dot + axpy per row);
+        # average j over a restart cycle = m/2.  Basis rows may be stored
+        # narrower than the solve dtype (gmres_basis_dtype).
         m = config.restart_length
-        total += 4 * (m / 2 + 1) * vec
+        passes = {"lowsync": 2, "cgs2": 4, "mgs": 2}[config.orthog_mode]
+        bd = config.gmres_basis_dtype
+        bvec = vec if bd is None else setup.b.shape[0] * 2 \
+            if str(bd) in ("bfloat16", "bf16") else \
+            setup.b.shape[0] * np.dtype(bd).itemsize
+        total += passes * (m / 2 + 1) * bvec
     total += n_prec * estimated_precond_passes(setup.M) * vec
     return int(total)
 

@@ -167,6 +167,42 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
     }
 
 
+def run_general_row(bis, args, source="sband:500000,8,400",
+                    iters=100) -> dict:
+    import time as _t
+    t0 = _t.perf_counter()
+    A = bis.generators.from_source(source)
+    log(f"[cg@sband] built {source}: {A.n_rows} rows, {A.nnz} nnz "
+        f"({_t.perf_counter() - t0:.1f}s, host generator)")
+    dtype = np.dtype(args.dtype)
+    times = {}
+    for fmt in ("lane_ell", "ell"):
+        cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                               dtype=dtype, harness="fused", max_iters=iters,
+                               tolerance=0.0, matrix_format=fmt)
+        setup = bis.preprocessing(A, cfg, b=np.full(A.n_rows, 2.0),
+                                  x0=np.full(A.n_rows, 1.0))
+        from basic_iterative_solvers_tpu.solvers import make_method
+        method = make_method(setup)
+        res = bis.solve(setup, method=method)   # warmup/compile
+        best = float("inf")
+        for _ in range(args.repeats):
+            res = bis.solve(setup, method=method)
+            best = min(best, 1e3 * res.solve_seconds / max(1, res.iter_count))
+        times[fmt] = best
+        log(f"[cg@sband] {fmt} ({type(setup.A).__name__}): "
+            f"{best:.3f} ms/iter, final ||r|| = {res.final_residual_norm:.3e}")
+    return {
+        "metric": "cg_ms_per_iter_"
+                  + source.replace(":", "_").replace(",", "x")
+                  + "_lane_ell",
+        "value": round(times["lane_ell"], 4),
+        "unit": "ms_per_iter",
+        # baseline = the naive XLA-gather ELL path on the same TPU
+        "vs_baseline": round(times["ell"] / times["lane_ell"], 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--matrix", default="hpcg:128x128x128")
@@ -204,6 +240,9 @@ def main():
                     help="practical HBM bandwidth for the roofline report")
     ap.add_argument("--no-capacity-row", action="store_true",
                     help="skip the hpcg:256x256x256 capacity CG row")
+    ap.add_argument("--no-general-row", action="store_true",
+                    help="skip the general-sparsity (scattered-band, "
+                         "lane-ELL kernel) CG row")
     args = ap.parse_args()
 
     import jax
@@ -250,6 +289,18 @@ def main():
             log(f"[cg@256] FAILED: {e}")
         finally:
             args.matrix = saved
+
+    # general-sparsity row: CG on a scattered-band matrix (~800 distinct
+    # diagonals at 1.9% fill — DIA-ineligible, the reference's arbitrary-CSR
+    # native_spmv case) through the windowed lane-ELL Pallas kernel
+    # (ops/lane_ell.py); vs_baseline compares against the SAME solve through
+    # the XLA-gather ELL format (the naive TPU fallback).
+    if not args.no_general_row:
+        try:
+            rec = run_general_row(bis, args)
+            print(json.dumps(rec), flush=True)
+        except Exception as e:
+            log(f"[cg@sband] FAILED: {e}")
 
     # headline last
     print(json.dumps(run_one(bis, "cg", args, A, is_gen)), flush=True)

@@ -53,14 +53,18 @@ def test_format_autoselection():
     # stencil → DIA
     assert isinstance(from_csr(stencil_27pt(4), np.float32), DeviceDIA)
     assert isinstance(from_csr(fdm_2d(8), np.float32), DeviceDIA)
-    # random scatter → ELL
+    # random scatter with bounded column span → windowed lane-ELL (the
+    # general-sparsity Pallas kernel, ops/lane_ell.py)
+    from basic_iterative_solvers_tpu.ops.lane_ell import DeviceLaneELL
     rng = np.random.default_rng(0)
     n = 64
     dense = (rng.uniform(0, 1, (n, n)) > 0.93) * rng.uniform(-1, 1, (n, n))
     dense += np.eye(n)  # ensure diagonal
     A = MatrixCSR.from_dense(dense)
     offs, fill = analyze_diagonals(A)
-    assert isinstance(from_csr(A, np.float32), DeviceELL)
+    assert isinstance(from_csr(A, np.float32), DeviceLaneELL)
+    # forcing plain gather ELL still works
+    assert isinstance(from_csr(A, np.float32, "ell"), DeviceELL)
 
 
 def test_dia_offsets():
