@@ -14,6 +14,8 @@ and main.cpp:17-100):
     -perm <mode>    matrix reordering: none|bfs|rcm|color|color_bal
                     (SMAX PERM_MODE analog; color* = greedy coloring)
     --gs-mode m     exact GS sweeps: auto|levels|colored (coloring.py)
+    --kernel-timers per-kernel TIME attribution + hierarchical timer table
+                    (reference TIME(timers->spmv, ...); forces host harness)
 
 TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --dtype float32|float64   (default: f32 on TPU, f64 on CPU)
@@ -110,6 +112,10 @@ def parse_cli(argv) -> tuple:
             extras["profile_dir"] = need_value()
         elif arg == "--debug-checks":
             extras["debug_checks"] = True
+        elif arg == "--kernel-timers":
+            extras["kernel_timers"] = True
+            extras["harness"] = "host"   # per-kernel attribution needs the
+                                         # eager host harness
         else:
             # reference behavior: warn, continue (utilities.hpp:103-106)
             print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
@@ -202,15 +208,19 @@ def run(argv=None) -> int:
                 # analog of the reference's LIKWID markers (SURVEY.md §5);
                 # inspect with tensorboard/xprof.
                 with jax.profiler.trace(profile_dir):
-                    result = solve(setup, progress=milestone)
+                    result = solve(setup, timers=timers, progress=milestone)
                 print(f"[profile] trace written to {profile_dir}",
                       file=sys.stderr)
             else:
-                result = solve(setup, progress=milestone)
+                result = solve(setup, timers=timers, progress=milestone)
         with timers.time("postprocessing"):
             summary_output(result)
             roofline_report(setup, result)
-    print(timers.report(), file=sys.stderr)
+    if config.kernel_timers:
+        from .utils.report import print_kernel_report
+        print_kernel_report(timers, result)
+    else:
+        print(timers.report(), file=sys.stderr)
     return 0
 
 

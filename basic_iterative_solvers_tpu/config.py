@@ -106,6 +106,13 @@ class SolverConfig:
     # cost ~0-2 extra iterations on the benchmark matrices); "float32" with
     # a float64 solve halves parity-mode traffic analogously.
     gmres_basis_dtype: Optional[str] = None
+    # Per-kernel TIME attribution (the reference's TIME(timers->spmv, ...)
+    # layer, methods/cg.hpp:16-52): host harness only — iterate runs eagerly
+    # (one dispatch per kernel, synchronized) so spmv/precond/dot/sum/
+    # sptrsv and the GMRES orthog/least_sq/update_g sections each get wall
+    # time; prints the reference's hierarchical table.  Changes performance;
+    # analysis mode.
+    kernel_timers: bool = False
     # Per-iteration invariant validation in the host harness (the reference's
     # Debug-build SanityChecker, common.hpp:428-530): GMRES V-orthonormality
     # and R=Q·H triangularity.  Host harness only.

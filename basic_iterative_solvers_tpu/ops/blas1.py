@@ -14,12 +14,14 @@ import jax.numpy as jnp
 
 def subtract_vectors(v1, v2, scale_=1.0):
     """r = v1 - scale*v2  (kernels.hpp:119-126)."""
-    return v1 - scale_ * v2
+    from ..utils.ktimers import ktime
+    return ktime("sum", lambda a, b: a - scale_ * b, v1, v2)
 
 
 def sum_vectors(v1, v2, scale_=1.0):
     """r = v1 + scale*v2  (kernels.hpp:128-135)."""
-    return v1 + scale_ * v2
+    from ..utils.ktimers import ktime
+    return ktime("sum", lambda a, b: a + scale_ * b, v1, v2)
 
 
 def elemwise_mult_vectors(v1, v2, scale_=1.0):
@@ -34,12 +36,16 @@ def elemwise_div_vectors(v1, v2, scale_=1.0):
 
 def dot(v1, v2):
     """(v1, v2)  (kernels.hpp:205-212)."""
-    return jnp.dot(v1, v2, preferred_element_type=v1.dtype)
+    from ..utils.ktimers import ktime
+    return ktime("dot", lambda a, b: jnp.dot(
+        a, b, preferred_element_type=a.dtype), v1, v2)
 
 
 def euclidean_vec_norm(v):
     """||v||_2  (kernels.hpp:194-203)."""
-    return jnp.sqrt(jnp.dot(v, v, preferred_element_type=v.dtype))
+    from ..utils.ktimers import ktime
+    return ktime("norm", lambda a: jnp.sqrt(jnp.dot(
+        a, a, preferred_element_type=a.dtype)), v)
 
 
 def infty_vec_norm(v):

@@ -47,7 +47,13 @@ def spmv_ell(A: DeviceELL, x: jax.Array) -> jax.Array:
 
 
 def spmv(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
-    """y = A @ x (dispatch on device format)."""
+    """y = A @ x (dispatch on device format).  TIME'd as "spmv" in the
+    host harness's kernel-timing mode (reference kernels.hpp:25)."""
+    from ..utils.ktimers import ktime
+    return ktime("spmv", _spmv_impl, A, x, use_pallas)
+
+
+def _spmv_impl(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
     if isinstance(A, DeviceDIA):
         return spmv_dia(A, x, use_pallas=use_pallas)
     if isinstance(A, DeviceELL):
@@ -71,10 +77,15 @@ def _fused_dots_capable(A, x, use_pallas):
 def spmv_dot(A, x: jax.Array, use_pallas: bool = False):
     """(A @ x, dot(A@x, x)) — fused in-kernel for planar-resident stencils
     (CG's α denominator costs no extra memory pass); generic elsewhere."""
+    from ..utils.ktimers import ktime
+    return ktime("spmv", _spmv_dot_impl, A, x, use_pallas)
+
+
+def _spmv_dot_impl(A, x: jax.Array, use_pallas: bool = False):
     if _fused_dots_capable(A, x, use_pallas):
         from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, with_dot=True)
-    y = spmv(A, x, use_pallas=use_pallas)
+    y = _spmv_impl(A, x, use_pallas=use_pallas)
     return y, jnp.dot(y, x)
 
 
@@ -83,17 +94,23 @@ def spmv_dots(A, x: jax.Array, aux: jax.Array = None,
     """y = A @ x plus fused reductions: returns (y[, dot(y,aux)][, dot(y,y)])
     — BiCGSTAB's α/ω dots with no extra memory passes on the resident
     stencil path; generic fallback elsewhere."""
+    from ..utils.ktimers import ktime
+    return ktime("spmv", _spmv_dots_impl, A, x, aux, with_self, use_pallas)
+
+
+def _spmv_dots_impl(A, x: jax.Array, aux: jax.Array = None,
+                    with_self: bool = False, use_pallas: bool = False):
     dots = ()
     if aux is not None:
         dots += ("aux",)
     if with_self:
         dots += ("self",)
     if not dots:
-        return (spmv(A, x, use_pallas=use_pallas),)
+        return (_spmv_impl(A, x, use_pallas=use_pallas),)
     if _fused_dots_capable(A, x, use_pallas):
         from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, dots=dots, aux=aux)
-    y = spmv(A, x, use_pallas=use_pallas)
+    y = _spmv_impl(A, x, use_pallas=use_pallas)
     out = (y,)
     if aux is not None:
         out += (jnp.dot(y, aux),)

@@ -104,7 +104,13 @@ def trisolve(ts: TriSolveLevels, b: jax.Array) -> jax.Array:
 
     Matches native_sptrsv/native_bsptrsv arithmetic
     (/root/reference/kernels.hpp:54-117): x[r] = (b[r] − Σ T[r,:]·x) / D[r].
+    TIME'd as "sptrsv" in kernel-timing mode (kernels.hpp:56).
     """
+    from ..utils.ktimers import ktime
+    return ktime("sptrsv", _trisolve_impl, ts, b)
+
+
+def _trisolve_impl(ts: TriSolveLevels, b: jax.Array) -> jax.Array:
     n = ts.n_rows
     bp = jnp.pad(b, (0, 1))  # sentinel row reads 0
 

@@ -268,7 +268,13 @@ def _colored_solve(M: Preconditioner, y: jax.Array,
 
 
 def apply_preconditioner(M: Preconditioner, y: jax.Array) -> jax.Array:
-    """z ← M⁻¹ y, applied `outer_iters` times (kernels.hpp:355-404)."""
+    """z ← M⁻¹ y, applied `outer_iters` times (kernels.hpp:355-404).
+    TIME'd as "precond" in kernel-timing mode (reference cg.hpp:37-41)."""
+    from .utils.ktimers import ktime
+    return ktime("precond", _apply_outer, M, y)
+
+
+def _apply_outer(M: Preconditioner, y: jax.Array) -> jax.Array:
     out = y
     for _ in range(max(1, M.outer_iters)):
         out = _apply_once(M, out)

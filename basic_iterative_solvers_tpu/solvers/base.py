@@ -363,8 +363,16 @@ def _solve_host(setup: SolverSetup, method, timers: Timers,
     norms[0] = r0_norm
     hist_count = 1
 
-    iterate = jax.jit(method.iterate)
-    sample_norm = jax.jit(method.sample_norm)
+    if config.kernel_timers:
+        # per-kernel TIME attribution: run eagerly, one synchronized
+        # dispatch per instrumented kernel (utils/ktimers.py)
+        from ..utils import ktimers
+        ktimers.activate(timers)
+        iterate = method.iterate
+        sample_norm = method.sample_norm
+    else:
+        iterate = jax.jit(method.iterate)
+        sample_norm = jax.jit(method.sample_norm)
 
     iter_count = 0
     restart_count = 0
@@ -407,6 +415,9 @@ def _solve_host(setup: SolverSetup, method, timers: Timers,
         if abs(residual_norm) < stopping or over_max or diverged:
             break
     solve_seconds = time.perf_counter() - t_solve0
+    if config.kernel_timers:
+        from ..utils import ktimers
+        ktimers.activate(None)
 
     converged = residual_norm < stopping
     x_star = np.asarray(jax.block_until_ready(method.final_x(state)))

@@ -151,13 +151,21 @@ class GMRESMethod:
                 return branch
 
             idx = jnp.minimum(j // BUCKET, n_buckets - 1)
-            h1, gc = jax.lax.switch(
-                idx, [project_branch(k) for k in range(n_buckets)], V, w, vj)
-            G = G.at[:, j].set(gc).at[j, :].set(gc)      # exact V·v_j column
-            h2 = h1 - G @ h1                      # = V·(w − h1ᵀV), G-corrected
-            h = h1 + h2
-            w = jax.lax.switch(
-                idx, [correct_branch(k) for k in range(n_buckets)], V, w, h)
+
+            def orthog(V, w, vj, G):
+                h1, gc = jax.lax.switch(
+                    idx, [project_branch(k) for k in range(n_buckets)],
+                    V, w, vj)
+                G = G.at[:, j].set(gc).at[j, :].set(gc)  # exact V·v_j column
+                h2 = h1 - G @ h1              # = V·(w − h1ᵀV), G-corrected
+                h = h1 + h2
+                w = jax.lax.switch(
+                    idx, [correct_branch(k) for k in range(n_buckets)],
+                    V, w, h)
+                return w, h, G
+
+            from ..utils.ktimers import ktime
+            w, h, G = ktime("orthog", orthog, V, w, vj, G)
             H = H.at[:, j].set(h)
         elif self.orthog == "cgs2":
             # Classical Gram-Schmidt with re-orthogonalization: two matvec
@@ -192,8 +200,9 @@ class GMRESMethod:
 
             # active rows = j+1 ≤ (k+1)·BUCKET for k = j // BUCKET
             idx = jnp.minimum(j // BUCKET, n_buckets - 1)
-            w, h = jax.lax.switch(
-                idx, [make_branch(k) for k in range(n_buckets)], V, w)
+            from ..utils.ktimers import ktime
+            w, h = ktime("orthog", lambda V, w: jax.lax.switch(
+                idx, [make_branch(k) for k in range(n_buckets)], V, w), V, w)
             H = H.at[:, j].set(h)
         else:
             # Modified Gram-Schmidt against v_0..v_j (gmres.hpp:6-30)
@@ -204,7 +213,9 @@ class GMRESMethod:
                 H = H.at[i, j].set(h)
                 return w - h * vi, H
 
-            w, H = jax.lax.fori_loop(0, j + 1, mgs_body, (w, H))
+            from ..utils.ktimers import ktime
+            w, H = ktime("orthog", lambda w, H: jax.lax.fori_loop(
+                0, j + 1, mgs_body, (w, H)), w, H)
         h_next = euclidean_vec_norm(w)            # H[j+1, j] (gmres.hpp:36-38)
         H = H.at[j + 1, j].set(h_next)
         # Happy breakdown (h_next == 0): the next basis vector is undefined;
@@ -221,20 +232,27 @@ class GMRESMethod:
 
         # Givens least squares (gmres.hpp:55-121): rotate column j of H by the
         # accumulated Q, derive the new rotation, fold it into Q.
-        h_col = Q @ jnp.take(H, j, axis=1)         # (m+1,)
-        hjj = jnp.take(h_col, j)
-        hj1j = jnp.take(h_col, j + 1)
-        denom = jnp.sqrt(hjj * hjj + hj1j * hj1j)
-        c = hjj / denom
-        s = hj1j / denom
-        Qj = jnp.take(Q, j, axis=0)
-        Qj1 = jnp.take(Q, j + 1, axis=0)
-        Q = Q.at[j].set(c * Qj + s * Qj1)
-        Q = Q.at[j + 1].set(-s * Qj + c * Qj1)
+        def least_squares(Q, H):
+            h_col = Q @ jnp.take(H, j, axis=1)     # (m+1,)
+            hjj = jnp.take(h_col, j)
+            hj1j = jnp.take(h_col, j + 1)
+            denom = jnp.sqrt(hjj * hjj + hj1j * hj1j)
+            c = hjj / denom
+            s = hj1j / denom
+            Qj = jnp.take(Q, j, axis=0)
+            Qj1 = jnp.take(Q, j + 1, axis=0)
+            Q = Q.at[j].set(c * Qj + s * Qj1)
+            return Q.at[j + 1].set(-s * Qj + c * Qj1)
+
+        from ..utils.ktimers import ktime
+        Q = ktime("least_sq", least_squares, Q, H)
 
         # g = Q (β e₁); implicit ‖r‖ = |g[j+1]| (update_g, gmres.hpp:123-148)
-        g = beta * Q[:, 0]
-        rn = jnp.abs(jnp.take(g, j + 1))
+        def update_g(Q, beta):
+            g = beta * Q[:, 0]
+            return g, jnp.abs(jnp.take(g, j + 1))
+
+        g, rn = ktime("update_g", update_g, Q, beta)
 
         return dict(state, V=V, H=H, Q=Q, g=g, j=j + 1, residual_norm=rn,
                     **extra)

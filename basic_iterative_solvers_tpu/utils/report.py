@@ -133,3 +133,35 @@ def roofline_report(setup, result, hbm_gbps: float = MEASURED_HBM_GBPS,
           f"traffic {traffic / 1e6:.1f} MB/iter -> {achieved_gbps:.0f} GB/s "
           f"achieved = {pct:.0f}% of {hbm_gbps:.0f} GB/s practical roofline "
           f"(floor {floor_ms:.3f} ms/iter)", file=out)
+
+
+def print_kernel_report(timers, result=None, out=None) -> None:
+    """Hierarchical per-kernel timer table — the reference's print_timers
+    (/root/reference/utilities/utilities.hpp:154-324): phase rows indented
+    with their kernel children (spmv/precond/sptrsv/dot/norm/sum and the
+    GMRES orthog/least_sq/update_g sections).  Kernel rows appear when the
+    host harness ran with kernel_timers (utils/ktimers.py)."""
+    out = sys.stderr if out is None else out
+    names = set(timers.names())
+
+    def g(n):
+        return timers[n].check() if n in names else None
+
+    rows = [(0, "total"), (1, "read_matrix"), (1, "preprocessing")]
+    rows += [(2, n) for n in timers.names()
+             if n.startswith("preprocessing_")]
+    rows += [(1, "solve"),
+             (2, "spmv"), (2, "precond"), (3, "sptrsv"),
+             (2, "orthog"), (2, "least_sq"), (2, "update_g"),
+             (2, "dot"), (2, "norm"), (2, "sum"),
+             (1, "postprocessing")]
+    width = 44
+    lines = ["+" + "-" * (width + 14) + "+"]
+    for depth, name in rows:
+        v = g(name)
+        if v is None:
+            continue
+        label = "| " * depth + name
+        lines.append(f"| {label:<{width}} {v:10.6f} s |")
+    lines.append("+" + "-" * (width + 14) + "+")
+    print("\n".join(lines), file=out)

@@ -70,6 +70,8 @@ class Timers:
                  "| phase                            |   seconds  |",
                  "+----------------------------------+------------+"]
         for name, sw in self._watches.items():
-            lines.append(f"| {name:<32} | {sw.get_wtime():10.6f} |")
+            # check() = running split, so mid-run dumps (milestones) show
+            # live phase totals like the reference (common.hpp:234-242)
+            lines.append(f"| {name:<32} | {sw.check():10.6f} |")
         lines.append("+----------------------------------+------------+")
         return "\n".join(lines)

@@ -116,3 +116,29 @@ def test_solve_system_convenience():
     res3 = bis.solve_system(A_csr, method="bi", preconditioner="ilu0",
                             dtype=np.float64, tolerance=1e-10)
     assert res3.converged
+
+
+def test_kernel_timers_cg(capsys):
+    """--kernel-timers: per-kernel TIME attribution (reference
+    TIME(timers->spmv, ...), methods/cg.hpp:16-52) + hierarchical table."""
+    from basic_iterative_solvers_tpu.cli import run
+    # ilu0 runs on the host-CSR path with level-scheduled trisolves, so
+    # the sptrsv row appears (colored sgs would use masked spmv sweeps)
+    rc = run(["fdm:10", "-cg", "-p", "ilu0", "--platform", "cpu",
+              "--dtype", "float64", "--kernel-timers", "--tol", "1e-8"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    for section in ("spmv", "precond", "sptrsv", "dot", "sum"):
+        assert section in err, f"missing kernel row: {section}"
+
+
+def test_kernel_timers_gmres_sections(capsys):
+    """GMRES gets the reference's orthog/least-sq/update-g breakdown
+    (utilities.hpp:154-324)."""
+    from basic_iterative_solvers_tpu.cli import run
+    rc = run(["fdm:10", "-gm", "-rl", "15", "--platform", "cpu",
+              "--dtype", "float64", "--kernel-timers", "--tol", "1e-8"])
+    assert rc == 0
+    err = capsys.readouterr().err
+    for section in ("orthog", "least_sq", "update_g", "spmv"):
+        assert section in err, f"missing kernel row: {section}"
