@@ -15,11 +15,13 @@ Requirement: the halo widths (max negative / positive diagonal offset) must
 not exceed the local shard length — satisfied by any banded/stencil matrix
 that is large enough to be worth sharding.
 
-Preconditioners supported in sharded mode: none, Jacobi (elementwise) and
-the two-stage Richardson family (pure SpMV chains; same halo exchange).
-Exact triangular sweeps are inherently cross-shard sequential; use the
-Richardson form when sharded (the reference makes the same trade through
-its `two_stage_gauss_seidel`, kernels.hpp:312-333).
+Preconditioners supported in sharded mode: none, Jacobi (elementwise), the
+two-stage Richardson family (pure SpMV chains; same halo exchange), and the
+EXACT multicolor GS family (coloring.py): a colored sweep is #colors
+(SpMV + masked elementwise update) steps, so it shards exactly like SpMV —
+unlike natural-order triangular sweeps, which are cross-shard sequential
+(the reference's only parallel options are the same two, via SMAX coloring
+or two_stage_gauss_seidel, kernels.hpp:312-333).
 """
 from __future__ import annotations
 
@@ -239,12 +241,15 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
         M, use_pallas=False,
         A_D=place_vec(M.A_D), A_D_inv=place_vec(M.A_D_inv),
         L_strict_dev=place_mat(M.L_strict_dev),
-        U_strict_dev=place_mat(M.U_strict_dev))
+        U_strict_dev=place_mat(M.U_strict_dev),
+        A_full_dev=place_mat(M.A_full_dev),
+        color_arr=place_vec(M.color_arr))
     cfg = _dc.replace(setup.config, use_pallas=False)
     return _dc.replace(
         setup, config=cfg, A=place_mat(A), M=M_sh,
         b=place_vec(setup.b), x0=place_vec(setup.x0),
-        A_D=place_vec(setup.A_D))
+        A_D=place_vec(setup.A_D),
+        color_arr=place_vec(setup.color_arr))
 
 
 def make_sharded_cg(A: DeviceDIA, b: jax.Array, mesh: Mesh,
