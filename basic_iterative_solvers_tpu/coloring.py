@@ -236,14 +236,29 @@ def colored_sweep(A_dev, D_inv: jax.Array, y: jax.Array,
     makes the parallel within-color update exact.
     """
     from .ops.spmv import spmv
+    from .stencil_op import DeviceStencil, _planar_ok, stencil_gs_color_step
 
-    ids = color_arr if color_arr is not None else color_ids(spec, A_dev)
+    # Fused path: planar-resident stencils fold the masked update into the
+    # SpMV kernel itself (A·x never round-trips through HBM) — color ids are
+    # iota arithmetic in-kernel, so the step reads x/y/D⁻¹ and writes x'.
+    fused = (spec is not None and spec.kind in ("grid", "parity")
+             and isinstance(A_dev, DeviceStencil) and A_dev.planar
+             and use_pallas and jax.default_backend() == "tpu"
+             and y.dtype.itemsize <= 4 and _planar_ok(A_dev))
+
+    ids = None
+    if not fused:
+        ids = color_arr if color_arr is not None else color_ids(spec, A_dev)
     order = range(n_colors - 1, -1, -1) if reverse else range(n_colors)
     for step, c in enumerate(order):
         if x is None and step == 0:
-            x = jnp.where(ids == jnp.int32(c), y * D_inv,
-                          jnp.zeros_like(y))
+            mask = ((color_ids(spec, A_dev) if fused else ids)
+                    == jnp.int32(c))
+            x = jnp.where(mask, y * D_inv, jnp.zeros_like(y))
             continue
-        Ax = spmv(A_dev, x, use_pallas=use_pallas)
-        x = jnp.where(ids == jnp.int32(c), x + (y - Ax) * D_inv, x)
+        if fused:
+            x = stencil_gs_color_step(A_dev, x, y, D_inv, spec, c)
+        else:
+            Ax = spmv(A_dev, x, use_pallas=use_pallas)
+            x = jnp.where(ids == jnp.int32(c), x + (y - Ax) * D_inv, x)
     return x

@@ -232,7 +232,8 @@ def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
 
 def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                      coeff_ref, w0_ref, w1_ref, w2_ref, y_ref,
-                     diag_ref=None, dot_refs=(), aux_ref=None):
+                     diag_ref=None, dot_refs=(), aux_ref=None,
+                     gs_refs=None, gs_color=None, gs_spec=None):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nx, ny, nz = A.dims
@@ -289,6 +290,34 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                 & (y_in_plane >= jnp.int32(1))
                 & (y_in_plane <= jnp.int32(ny)))
     real = real_row & (lanes < jnp.int32(nx))
+    if gs_refs is not None:
+        # Fused multicolor Gauss-Seidel color step (coloring.py): the
+        # masked update x' = x + 1_{color==c}(rhs - A·x)/D happens HERE, so
+        # A·x never round-trips through HBM.  Color ids come from grid
+        # coordinates reconstructed from the planar position — pure iota
+        # arithmetic, no color array is streamed.
+        rhs_ref, dinv_ref = gs_refs
+        gx = lanes                                   # (1, L) lane = x coord
+        gy = jax.lax.rem(r, jnp.int32(rows_plane)) - jnp.int32(1)
+        gz = jax.lax.div(r, jnp.int32(rows_plane)) - jnp.int32(1)
+        if gs_spec.kind == "parity":
+            color = jax.lax.rem(gx + gy + gz, jnp.int32(2))
+            # jnp/lax rem keeps the dividend's sign; halo coords (-1) are
+            # excluded by `real`, so the sign quirk never matters
+        else:
+            sx, sy, sz = (jnp.int32(gs_spec.params[3]),
+                          jnp.int32(gs_spec.params[4]),
+                          jnp.int32(gs_spec.params[5]))
+            color = (jax.lax.rem(gx, sx)
+                     + gs_spec.params[3] * (jax.lax.rem(gy, sy)
+                                            + gs_spec.params[4]
+                                            * jax.lax.rem(gz, sz)))
+        upd = real & (color == jnp.int32(gs_color))
+        x_mid = w1_ref[:]
+        y_ref[:] = jnp.where(upd,
+                             x_mid + (rhs_ref[:] - acc) * dinv_ref[:],
+                             x_mid)
+        return
     y = jnp.where(real, acc, 0.0)
     y_ref[:] = y
     # Fused per-tile dot partials (halo rows of y are zero, so whole-tile
@@ -393,6 +422,68 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
     if not dots:
         return y
     return (y,) + tuple(jnp.sum(p[:, 0, 0]) for p in outs[1:])
+
+
+def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
+                          rhs: jax.Array, dinv: jax.Array,
+                          spec, color: int) -> jax.Array:
+    """One fused multicolor-GS color step on planar-resident vectors:
+    x' = where(color==c, x + (rhs − A·x)·D⁻¹, x) in a single kernel pass
+    (the XLA route writes A·x to HBM and reads it back).  `spec` is a
+    grid/parity ColorSpec (coloring.py); color ids are iota arithmetic
+    inside the kernel."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    grid_n = rows_pad // TR
+    x2 = xp.reshape(rows_pad, L)
+    has_diag = A.diag is not None
+
+    def kernel(coeff_ref, w0, w1, w2, *rest):
+        ins = rest[:-1]
+        out = rest[-1]
+        diag_ref = ins[0] if has_diag else None
+        rhs_ref, dinv_ref = ins[-2], ins[-1]
+        _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
+                         coeff_ref, w0, w1, w2, out, diag_ref=diag_ref,
+                         gs_refs=(rhs_ref, dinv_ref), gs_color=color,
+                         gs_spec=spec)
+
+    last = grid_n - 1
+    tile = lambda i: (i, jnp.int32(0))  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), lambda i: (jnp.maximum(i - 1, 0),
+                                         jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), lambda i: (jnp.minimum(i + 1, jnp.int32(last)),
+                                         jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [A.coeffs, x2, x2, x2]
+    if has_diag:
+        in_specs.append(pl.BlockSpec((TR, L), tile,
+                                     memory_space=pltpu.VMEM))
+        args.append(A.diag.reshape(rows_pad, L))
+    in_specs += [pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
+                 pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM)]
+    args += [rhs.reshape(rows_pad, L), dinv.reshape(rows_pad, L)]
+    itemsize = xp.dtype.itemsize
+    out = pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, L), xp.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (len(A.legs) + 2) * rows_pad * L,
+            bytes_accessed=(4 + has_diag) * rows_pad * L * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*args)
+    return out.reshape(-1)
 
 
 def to_planar_matrix(A: "DeviceStencil") -> "DeviceStencil":
