@@ -121,6 +121,13 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
                 A, ilu0=(config.preconditioner == PrecondType.ILU0),
                 pivot_tolerance=config.ilu0_pivot_tolerance,
                 pivot_replacement=config.ilu0_pivot_replacement)
+        if config.debug_checks and config.preconditioner != PrecondType.ILU0:
+            # SanityChecker::check_copied_L_U_elems analog
+            # (common.hpp:532-542); ILU(0) factors have different counts
+            # (unit diagonal materialized in L) by construction
+            from ..utils.sanity import check_lu_split_counts
+            check_lu_split_counts(A, factors.L, factors.L_strict,
+                                  factors.U, factors.U_strict)
 
     with timers.time("preprocessing_device"):
         A_dev = from_csr(A, config.mat_dtype(), config.matrix_format,
@@ -331,6 +338,9 @@ class SolveResult:
     restart_length: int = 0
     res_check_len: int = 1
     solve_seconds: float = 0.0
+    #: fused-harness runs record the solve-average per iteration, not
+    #: measured per-iteration walls (the loop is one device dispatch)
+    uniform_iteration_times: bool = False
 
 
 def _stopping(config: SolverConfig, r0_norm: float) -> float:

@@ -113,6 +113,7 @@ class FusedRunner:
         times = np.full(hist + 1, solve_seconds / max(1, it))
 
         return SolveResult(
+            uniform_iteration_times=True,
             x_star=x_star, iter_count=it,
             converged=bool(residual_norm < float(stopping)),
             stopping_criteria=float(stopping),

@@ -29,6 +29,9 @@ def print_residuals(result, out=None) -> None:
         if i > 0 and i < len(times):
             line += f"{times[i]:>25.6f}[s]"
         print(line, file=out)
+    if getattr(result, "uniform_iteration_times", False):
+        print("(fused harness: per-iteration times are the solve-average — "
+              "the whole solve is one device dispatch)", file=out)
 
 
 def summary_output(result, out=None) -> None:

@@ -153,3 +153,29 @@ def test_peel_diag_error_rows_unambiguous():
     B = MatrixCSR(n, n, 5, row_ptr, col2, val2)
     with pytest.raises(ZeroDiagonalError, match=r"row 2$"):
         peel_diag(B)
+
+
+def test_lu_split_count_check():
+    """SanityChecker::check_copied_L_U_elems analog (common.hpp:532-542)."""
+    from basic_iterative_solvers_tpu.factor import split_LU
+    from basic_iterative_solvers_tpu.utils.sanity import (LUSplitError,
+                                                          check_lu_split_counts)
+    A = fdm_2d(6)
+    L, Ls, U, Us = split_LU(A)
+    check_lu_split_counts(A, L, Ls, U, Us)   # passes
+    with pytest.raises(LUSplitError):
+        check_lu_split_counts(A, L, Ls, U, U)  # wrong strict part
+
+
+def test_sanity_dumps(capsys):
+    from basic_iterative_solvers_tpu.utils.sanity import (print_matrix,
+                                                          print_vector)
+    import sys
+    A = fdm_2d(3)
+    print_vector(np.arange(4.0), "v", out=sys.stdout)
+    print_matrix(A, "A", out=sys.stdout)
+    print_matrix(fdm_2d(10), "big", out=sys.stdout)
+    out = capsys.readouterr().out
+    assert "v = [0 1 2 3]" in out
+    assert "A (9x9" in out
+    assert "big: 100x100 CSR" in out
