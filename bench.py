@@ -177,8 +177,11 @@ def run_general_row(bis, args, source="sband:500000,8,400",
     dtype = np.dtype(args.dtype)
     times = {}
     for fmt in ("lane_ell", "ell"):
+        # the gather baseline runs ~140 ms/iter; a few iterations suffice
+        fmt_iters = iters if fmt == "lane_ell" else max(5, iters // 10)
         cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
-                               dtype=dtype, harness="fused", max_iters=iters,
+                               dtype=dtype, harness="fused",
+                               max_iters=fmt_iters,
                                tolerance=0.0, matrix_format=fmt)
         setup = bis.preprocessing(A, cfg, b=np.full(A.n_rows, 2.0),
                                   x0=np.full(A.n_rows, 1.0))
