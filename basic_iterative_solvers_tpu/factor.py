@@ -136,54 +136,8 @@ def factor_ilu0(A: MatrixCSR, pivot_tolerance: float = 1e-8,
     diagonal explicitly, U contains its diagonal, and U_D is the peeled
     diagonal of U (reference factor_LU, LU_factors.hpp:915-918).
     """
-    from . import _native
-    lu_val = _native.ilu0(A, pivot_tolerance, pivot_replacement)
-    if lu_val is not None:
-        return _assemble_ilu0(A, lu_val)
-
-    n = A.n_rows
-    row_ptr, col = A.row_ptr, A.col
-    lu_val = A.val.astype(np.float64).copy()
-    # Position of the diagonal in each row (column-sorted rows).
-    diag_pos = np.full(n, -1, dtype=np.int64)
-    rows = np.repeat(np.arange(n, dtype=np.int64), A.row_nnz())
-    is_diag = col == rows
-    diag_pos[rows[is_diag]] = np.nonzero(is_diag)[0]
-    if np.any(diag_pos < 0):
-        missing = int(np.nonzero(diag_pos < 0)[0][0])
-        raise MissingDiagonalError(
-            f"ERROR: ILU(0) requires a full diagonal; missing in row {missing}")
-
-    # Column→position lookup per row via a dense scratch (scatter/gather),
-    # the same dense-workspace trick as the reference (LU_factors.hpp:332-347).
-    w_pos = np.full(A.n_cols, -1, dtype=np.int64)
-    for i in range(n):
-        s, e = row_ptr[i], row_ptr[i + 1]
-        cols_i = col[s:e]
-        w_pos[cols_i] = np.arange(s, e)
-        # Eliminate using prior rows k < i present in this row's pattern.
-        for p in range(s, e):
-            k = col[p]
-            if k >= i:
-                break
-            pivot = lu_val[diag_pos[k]]
-            if abs(pivot) < 1e-16:
-                continue
-            factor = lu_val[p] / pivot
-            lu_val[p] = factor
-            # w(j) -= factor * U(k, j) for j > k in both patterns.
-            ks, ke = diag_pos[k] + 1, row_ptr[k + 1]
-            for q in range(ks, ke):
-                j = col[q]
-                tgt = w_pos[j]
-                if tgt >= 0:
-                    lu_val[tgt] -= factor * lu_val[q]
-        # Diagonal pivot guard.
-        d = lu_val[diag_pos[i]]
-        if abs(d) < pivot_tolerance:
-            lu_val[diag_pos[i]] = (1.0 if d >= 0 else -1.0) * pivot_replacement
-        w_pos[cols_i] = -1
-    return _assemble_ilu0(A, lu_val)
+    return _assemble_ilu0(A, _ilu0_values(A, pivot_tolerance,
+                                          pivot_replacement))
 
 
 def _assemble_ilu0(A: MatrixCSR, lu_val: np.ndarray):
@@ -262,6 +216,102 @@ def factor_LU(A: MatrixCSR, ilu0: bool = False,
         L, L_strict, L_D, U, U_strict, U_D = factor_ilu0(
             A, pivot_tolerance, pivot_replacement)
     return LUFactors(L, L_strict, U, U_strict, A_D, A_D_inv, L_D, U_D)
+
+
+def factor_ilu0_colored(A: MatrixCSR, colors: np.ndarray,
+                        pivot_tolerance: float = 1e-8,
+                        pivot_replacement: float = 1e-4):
+    """ILU(0) with respect to the COLOR-SORTED ordering, returned in the
+    ORIGINAL ordering — the multicolor-parallel exact ILU(0).
+
+    Factor in the permuted space (where the elimination order is
+    color-major), then map the factor values back to original row/column
+    indices.  The "lower"/"upper" split is by COLOR comparison, not index
+    comparison: L = entries with color(j) < color(i) (unit diagonal
+    implicit), U = color(j) > color(i) plus the diagonal.  Both strict
+    parts keep A's sparsity pattern (positions), so for stencil/banded
+    matrices they remain DIA-able in the original ordering, and the
+    triangular solves apply as multicolor masked sweeps (coloring.py) —
+    #colors parallel SpMV steps each, no level scan.
+
+    Like any reordered ILU(0), the factor VALUES differ from the
+    natural-order factorization (a different, equally valid
+    preconditioner).
+
+    Returns (L_strict, U_strict, U_D) in the original ordering.
+    """
+    from .coloring import colors_to_perm
+    from .permute import permute_csr
+
+    perm, inv = colors_to_perm(colors)
+    Ap = permute_csr(A, perm, inv)
+    lu_val_p = _ilu0_values(Ap, pivot_tolerance, pivot_replacement)
+
+    # Map factored values back to original coordinates.
+    n = A.n_rows
+    rows_p = np.repeat(np.arange(n, dtype=np.int64), Ap.row_nnz())
+    rows_o = perm[rows_p].astype(np.int64)
+    cols_o = perm[Ap.col].astype(np.int64)
+    ci, cj = colors[rows_o], colors[cols_o]
+
+    def build(mask):
+        from .matrix import MatrixCOO, convert_coo_to_csr
+        coo = MatrixCOO.from_arrays(rows_o[mask], cols_o[mask],
+                                    lu_val_p[mask], n_rows=n, n_cols=n)
+        return convert_coo_to_csr(coo)
+
+    L_strict = build(cj < ci)
+    U_strict = build(cj > ci)
+    diag_mask = rows_o == cols_o
+    U_D = np.zeros(n, dtype=np.float64)
+    U_D[rows_o[diag_mask]] = lu_val_p[diag_mask]
+    return L_strict, U_strict, U_D
+
+
+def _ilu0_values(A: MatrixCSR, pivot_tolerance: float,
+                 pivot_replacement: float) -> np.ndarray:
+    """In-pattern ILU(0) values for A: row-wise IKJ elimination with the
+    reference's pivot guards (LU_factors.hpp:337-430,602,639-642) — the raw
+    value array before any L/U assembly.  C++ fast path, NumPy fallback
+    (the dense-workspace trick of LU_factors.hpp:332-347)."""
+    from . import _native
+    lu_val = _native.ilu0(A, pivot_tolerance, pivot_replacement)
+    if lu_val is not None:
+        return lu_val
+    n = A.n_rows
+    row_ptr, col = A.row_ptr, A.col
+    lu_val = A.val.astype(np.float64).copy()
+    diag_pos = np.full(n, -1, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), A.row_nnz())
+    is_diag = col == rows
+    diag_pos[rows[is_diag]] = np.nonzero(is_diag)[0]
+    if np.any(diag_pos < 0):
+        missing = int(np.nonzero(diag_pos < 0)[0][0])
+        raise MissingDiagonalError(
+            f"ERROR: ILU(0) requires a full diagonal; missing in row {missing}")
+    w_pos = np.full(A.n_cols, -1, dtype=np.int64)
+    for i in range(n):
+        s, e = row_ptr[i], row_ptr[i + 1]
+        cols_i = col[s:e]
+        w_pos[cols_i] = np.arange(s, e)
+        for p_ in range(s, e):
+            k = col[p_]
+            if k >= i:
+                break
+            pivot = lu_val[diag_pos[k]]
+            if abs(pivot) < 1e-16:
+                continue
+            factor = lu_val[p_] / pivot
+            lu_val[p_] = factor
+            for q in range(diag_pos[k] + 1, row_ptr[k + 1]):
+                tgt = w_pos[col[q]]
+                if tgt >= 0:
+                    lu_val[tgt] -= factor * lu_val[q]
+        d = lu_val[diag_pos[i]]
+        if abs(d) < pivot_tolerance:
+            lu_val[diag_pos[i]] = (1.0 if d >= 0 else -1.0) * pivot_replacement
+        w_pos[cols_i] = -1
+    return lu_val
 
 
 # ---------------------------------------------------------------------------

@@ -91,6 +91,28 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
               use_pallas=config.use_pallas)
     if pt == PrecondType.NONE:
         return Preconditioner(**kw)
+    if (pt == PrecondType.ILU0
+            and resolve_gs_mode(config, device_native=False) == "colored"):
+        # Multicolor exact ILU(0): factor w.r.t. the color-sorted ordering,
+        # apply the strict factors as masked sweeps — #colors parallel SpMV
+        # steps per triangular solve, no level scan (factor.py docstring).
+        from .coloring import greedy_coloring
+        from .factor import factor_ilu0_colored
+        colors = greedy_coloring(A)
+        L_s, U_s, U_D = factor_ilu0_colored(
+            A, colors, pivot_tolerance=config.ilu0_pivot_tolerance,
+            pivot_replacement=config.ilu0_pivot_replacement)
+        fmt_args = (mat_dtype, config.matrix_format, config.dia_max_diags,
+                    config.dia_min_fill)
+        return Preconditioner(
+            # A_D/A_D_inv carry U's diagonal here (L has an implicit unit
+            # diagonal; the forward sweep divides by 1)
+            A_D=jnp.asarray(U_D.astype(dtype)),
+            A_D_inv=jnp.asarray((1.0 / U_D).astype(dtype)),
+            L_strict_dev=from_csr(L_s, *fmt_args),
+            U_strict_dev=from_csr(U_s, *fmt_args),
+            color_arr=jnp.asarray(colors),
+            n_colors=int(colors.max()) + 1, **kw)
     if factors is None:
         factors = factor_LU(A, ilu0=(pt == PrecondType.ILU0),
                             pivot_tolerance=config.ilu0_pivot_tolerance,
@@ -252,6 +274,16 @@ def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
         return two_stage_solve(M.U_strict_dev, M.A_D_inv, out, M.inner_iters,
                                M.use_pallas)
     if pt == PrecondType.ILU0:
+        if colored:
+            # forward: unit-diag L solve over ascending colors (D⁻¹ = 1);
+            # backward: U solve over descending colors with U_D⁻¹
+            from .coloring import colored_sweep
+            tmp = colored_sweep(M.L_strict_dev, 1.0, y, None, None,
+                                M.color_arr, M.n_colors, reverse=False,
+                                use_pallas=M.use_pallas)
+            return colored_sweep(M.U_strict_dev, M.A_D_inv, tmp, None, None,
+                                 M.color_arr, M.n_colors, reverse=True,
+                                 use_pallas=M.use_pallas)
         tmp = trisolve(M.L_solve, y)          # unit-diag L solve (L_D = 1)
         return trisolve(M.U_solve, tmp)
     raise ValueError(f"unsupported preconditioner: {pt}")
@@ -290,7 +322,8 @@ def estimated_precond_passes(M: Preconditioner) -> float:
         per_sweep = 5.0 * M.n_colors
         per = {PrecondType.GAUSS_SEIDEL: per_sweep,
                PrecondType.BACKWARDS_GAUSS_SEIDEL: per_sweep,
-               PrecondType.SYMMETRIC_GAUSS_SEIDEL: 2 * per_sweep + 1}[M.ptype]
+               PrecondType.SYMMETRIC_GAUSS_SEIDEL: 2 * per_sweep + 1,
+               PrecondType.ILU0: 2 * per_sweep}[M.ptype]
         return per * max(1, M.outer_iters)
     per = {
         PrecondType.NONE: 0.0,

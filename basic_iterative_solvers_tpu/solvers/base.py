@@ -116,9 +116,16 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
                                           SolverType.SYMMETRIC_GAUSS_SEIDEL))
     factors = None
     if needs_factors:
+        from ..precond import resolve_gs_mode
+        ilu0_colored = (config.preconditioner == PrecondType.ILU0
+                        and resolve_gs_mode(config, device_native=False)
+                        == "colored")
         with timers.time("preprocessing_factor"):
+            # colored ILU0 factors inside setup_preconditioner (w.r.t. the
+            # colored ordering); don't compute the natural-order one too
             factors = factor_LU(
-                A, ilu0=(config.preconditioner == PrecondType.ILU0),
+                A, ilu0=(config.preconditioner == PrecondType.ILU0
+                         and not ilu0_colored),
                 pivot_tolerance=config.ilu0_pivot_tolerance,
                 pivot_replacement=config.ilu0_pivot_replacement)
         if config.debug_checks and config.preconditioner != PrecondType.ILU0:

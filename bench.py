@@ -121,6 +121,18 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
                            else args.gmres_basis),
         precond_inner_iters=args.precond_inner_iters)
 
+    if precond_name == "ILU0":
+        # ILU(0) factorization needs the host CSR; multicolor mode keeps
+        # the triangular applies parallel at scale (factor.py)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, gs_mode="colored")
+        if is_gen:
+            t0 = time.perf_counter()
+            A = bis.generators.from_source(args.matrix)
+            is_gen = False
+            log(f"[{method_key}] host CSR for ILU(0): "
+                f"{time.perf_counter() - t0:.1f}s")
+
     t0 = time.perf_counter()
     # Reference figure setup: b = 2.0, x0 = 1.0 (BASELINE.md).
     n_rows = A.n_rows
