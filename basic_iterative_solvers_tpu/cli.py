@@ -21,7 +21,9 @@ TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --dtype float32|float64   (default: f32 on TPU, f64 on CPU)
     --matrix-dtype bfloat16   matrix-data storage dtype (default: --dtype)
     --harness host|fused      (default fused on TPU, host on CPU)
-    --format auto|dia|ell
+    --format auto|dia|lane_ell|ell|stencil
+    --orthog mgs|cgs2|lowsync   GMRES orthogonalization scheme
+    --gmres-basis DT            GMRES basis storage dtype (e.g. bfloat16)
     --max-iters N --tol T --inner K --outer K
 """
 from __future__ import annotations
@@ -90,6 +92,10 @@ def parse_cli(argv) -> tuple:
             opts["perm_mode"] = need_value()
         elif arg == "--gs-mode":
             extras["gs_mode"] = need_value()
+        elif arg == "--orthog":
+            extras["orthog_mode"] = need_value()
+        elif arg == "--gmres-basis":
+            extras["gmres_basis_dtype"] = need_value()
         elif arg == "--dtype":
             extras["dtype"] = np.dtype(need_value())
         elif arg == "--matrix-dtype":

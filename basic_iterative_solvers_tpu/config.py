@@ -146,11 +146,14 @@ class Args:
     restart_length: int = 10
     num_scale: bool = False
     perm_mode: str = "none"
+    gs_mode: str = "auto"
     # TPU-native extras
     dtype: str = "auto"               # auto → f32 on TPU, f64 on CPU
     matrix_dtype: Optional[str] = None
     harness: str = "auto"             # auto → fused on TPU, host on CPU
     matrix_format: str = "auto"
+    orthog_mode: str = "mgs"
+    gmres_basis_dtype: Optional[str] = None
 
     def to_config(self, dtype: Optional[np.dtype] = None) -> SolverConfig:
         import jax
@@ -170,8 +173,11 @@ class Args:
             restart_length=self.restart_length,
             num_scale=self.num_scale,
             perm_mode=self.perm_mode,
+            gs_mode=self.gs_mode,
             dtype=dtype,
             matrix_dtype=self.matrix_dtype,
             harness=harness,
             matrix_format=self.matrix_format,
+            orthog_mode=self.orthog_mode,
+            gmres_basis_dtype=self.gmres_basis_dtype,
         )

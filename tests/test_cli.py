@@ -142,3 +142,22 @@ def test_kernel_timers_gmres_sections(capsys):
     err = capsys.readouterr().err
     for section in ("orthog", "least_sq", "update_g", "spmv"):
         assert section in err, f"missing kernel row: {section}"
+
+
+def test_cli_new_gmres_flags(capsys):
+    from basic_iterative_solvers_tpu.cli import run
+    rc = run(["fdm:8", "-gm", "-rl", "20", "--orthog", "lowsync",
+              "--platform", "cpu", "--dtype", "float64",
+              "--harness", "fused", "--tol", "1e-9"])
+    assert rc == 0
+    assert "converged" in capsys.readouterr().out
+
+
+def test_args_dataclass_new_knobs():
+    from basic_iterative_solvers_tpu import Args
+    a = Args(gs_mode="colored", orthog_mode="lowsync",
+             gmres_basis_dtype="bfloat16")
+    cfg = a.to_config()
+    assert cfg.gs_mode == "colored"
+    assert cfg.orthog_mode == "lowsync"
+    assert cfg.gmres_basis_dtype == "bfloat16"
