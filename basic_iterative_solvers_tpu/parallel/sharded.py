@@ -116,10 +116,30 @@ def _pdot(a, b, axis):
     return jax.lax.psum(jnp.dot(a, b), axis)
 
 
+def sharded_two_stage(T_data_local, offsets: Tuple[int, ...],
+                      D_inv_local: jax.Array, y_local: jax.Array,
+                      inner_iters: int, axis: str = AXIS) -> jax.Array:
+    """Jacobi-Richardson triangular-solve approximation inside shard_map
+    (reference two_stage_gauss_seidel, kernels.hpp:312-333): pure SpMV
+    chains, so each inner sweep is one halo exchange + local work."""
+    work = D_inv_local * y_local
+    out = work
+    for _ in range(inner_iters):
+        work = -D_inv_local * sharded_spmv_dia(T_data_local, offsets, work,
+                                               axis)
+        out = out + work
+    return out
+
+
 @dataclasses.dataclass
 class ShardedCG:
     """Distributed PCG: same recurrence as solvers/cg.py (reference
-    cg.hpp:6-54), with psum dots and halo-exchanged SpMV."""
+    cg.hpp:6-54), with psum dots and halo-exchanged SpMV.
+
+    Preconditioners: None = identity; D_inv alone = Jacobi; adding
+    L_strict/U_strict = the symmetric two-stage (Richardson) form — each
+    inner sweep is one more halo exchange, the reference's own
+    parallel-friendly SpTRSV substitute (kernels.hpp:312-333)."""
 
     mesh: Mesh
     A: DeviceDIA                 # sharded
@@ -127,40 +147,69 @@ class ShardedCG:
     D_inv: Optional[jax.Array]   # sharded, padded (Jacobi M⁻¹); None = identity
     npad: int
     axis: str = AXIS
+    L_strict: Optional[DeviceDIA] = None    # sharded strict parts (s2st M⁻¹)
+    U_strict: Optional[DeviceDIA] = None
+    D: Optional[jax.Array] = None           # sharded diagonal (s2st)
+    inner_iters: int = 1
+
+    def _apply_M(self, y, dinv, lsd, usd, dloc):
+        """z = M⁻¹ y on local shards (inside shard_map)."""
+        if lsd is not None:
+            z = sharded_two_stage(lsd, self.L_strict.offsets, dinv, y,
+                                  self.inner_iters, self.axis)
+            z = z * dloc
+            return sharded_two_stage(usd, self.U_strict.offsets, dinv, z,
+                                     self.inner_iters, self.axis)
+        if dinv is not None:
+            return y * dinv
+        return y
+
+    def _mat_specs_args(self):
+        """(in_specs tail, args tail) for the optional preconditioner
+        operands: D_inv, L_strict data, U_strict data, D."""
+        spec_v = P(self.axis)
+        specs = (spec_v if self.D_inv is not None else None,
+                 P(None, self.axis) if self.L_strict is not None else None,
+                 P(None, self.axis) if self.U_strict is not None else None,
+                 spec_v if self.D is not None else None)
+        args = (self.D_inv,
+                self.L_strict.data if self.L_strict is not None else None,
+                self.U_strict.data if self.U_strict is not None else None,
+                self.D)
+        return specs, args
 
     def init_state(self, x0: jax.Array):
         offs = self.A.offsets
         axis = self.axis
 
-        def init(data, b, dinv, x):
+        def init(data, dinv, lsd, usd, dloc, b, x):
             r = b - sharded_spmv_dia(data, offs, x, axis)
-            z = r * dinv if dinv is not None else r
+            z = self._apply_M(r, dinv, lsd, usd, dloc)
             rn = jnp.sqrt(_pdot(r, r, axis))
             return {"x": x, "r": r, "z": z, "p": z, "residual_norm": rn}
 
         spec_v = P(self.axis)
-        in_specs = (P(None, self.axis), spec_v,
-                    spec_v if self.D_inv is not None else None, spec_v)
+        m_specs, m_args = self._mat_specs_args()
+        in_specs = (P(None, self.axis),) + m_specs + (spec_v, spec_v)
         out_specs = {"x": spec_v, "r": spec_v, "z": spec_v, "p": spec_v,
                      "residual_norm": P()}
         f = jax.shard_map(init, mesh=self.mesh, in_specs=in_specs,
                           out_specs=out_specs)
-        return f(self.A.data, self.b, self.D_inv, x0)
+        return f(self.A.data, *m_args, self.b, x0)
 
     def step_fn(self):
         """One CG iteration as a jittable state→state function (shard_map)."""
         offs = self.A.offsets
         axis = self.axis
-        dinv_present = self.D_inv is not None
 
-        def step(data, dinv, state):
+        def step(data, dinv, lsd, usd, dloc, state):
             x, r, z, p = state["x"], state["r"], state["z"], state["p"]
             t = sharded_spmv_dia(data, offs, p, axis)
             rz = _pdot(r, z, axis)
             alpha = rz / _pdot(t, p, axis)
             x = x + alpha * p
             r_new = r - alpha * t
-            z_new = r_new * dinv if dinv_present else r_new
+            z_new = self._apply_M(r_new, dinv, lsd, usd, dloc)
             beta = _pdot(r_new, z_new, axis) / rz
             p_new = z_new + beta * p
             rn = jnp.sqrt(_pdot(r_new, r_new, axis))
@@ -170,11 +219,11 @@ class ShardedCG:
         spec_v = P(self.axis)
         state_spec = {"x": spec_v, "r": spec_v, "z": spec_v, "p": spec_v,
                       "residual_norm": P()}
-        in_specs = (P(None, self.axis),
-                    spec_v if dinv_present else None, state_spec)
+        m_specs, m_args = self._mat_specs_args()
+        in_specs = (P(None, self.axis),) + m_specs + (state_spec,)
         sharded = jax.shard_map(step, mesh=self.mesh, in_specs=in_specs,
                                 out_specs=state_spec)
-        return jax.jit(lambda s: sharded(self.A.data, self.D_inv, s))
+        return jax.jit(lambda s: sharded(self.A.data, *m_args, s))
 
 
 def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
@@ -254,11 +303,27 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
 
 def make_sharded_cg(A: DeviceDIA, b: jax.Array, mesh: Mesh,
                     D_inv: Optional[jax.Array] = None,
+                    two_stage: bool = False, inner_iters: int = 1,
                     axis: str = AXIS) -> ShardedCG:
+    """two_stage=True builds the symmetric two-stage (Richardson)
+    preconditioner from on-device L/U splits (dia.dia_split) — D_inv must
+    be given; both strict parts are halo-exchanged like A."""
+    from ..dia import dia_split
     npad = A.data.shape[1]
     A_sh = shard_dia(A, mesh, axis)
     b_sh = shard_vector(b, npad, mesh, axis)
     dinv_sh = (shard_vector(D_inv, npad, mesh, axis)
                if D_inv is not None else None)
+    L_sh = U_sh = D_sh = None
+    if two_stage:
+        if D_inv is None:
+            raise ValueError("two_stage needs D_inv")
+        L, U, D, _ = dia_split(A)
+        L_sh = shard_dia(L, mesh, axis)
+        U_sh = shard_dia(U, mesh, axis)
+        D_sh = jax.device_put(
+            jnp.zeros(npad, dtype=D.dtype).at[:A.n_rows].set(D),
+            NamedSharding(mesh, P(axis)))
     return ShardedCG(mesh=mesh, A=A_sh, b=b_sh, D_inv=dinv_sh, npad=npad,
-                     axis=axis)
+                     axis=axis, L_strict=L_sh, U_strict=U_sh, D=D_sh,
+                     inner_iters=inner_iters)

@@ -70,7 +70,9 @@ def test_random_sparse_formats_match_oracle(seed):
     v = rng.standard_normal(n)
     expect = dense @ v
     np.testing.assert_allclose(A.spmv(v), expect, rtol=1e-12, atol=1e-12)
-    for M in (csr_to_dia(A, np.float64), csr_to_ell(A, np.float64)):
+    from basic_iterative_solvers_tpu.ops.lane_ell import csr_to_lane_ell
+    for M in (csr_to_dia(A, np.float64), csr_to_ell(A, np.float64),
+              csr_to_lane_ell(A, np.float64)):
         np.testing.assert_allclose(np.asarray(spmv(M, jnp.asarray(v))),
                                    expect, rtol=1e-12, atol=1e-12)
 
