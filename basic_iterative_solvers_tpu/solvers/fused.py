@@ -23,6 +23,48 @@ import numpy as np
 from .base import SolveResult, SolverSetup
 
 
+def _lift_consts(fn, *example):
+    """jit(fn) with every closure-captured array passed as a runtime
+    argument instead of an embedded module literal.
+
+    jax.jit bakes concrete captured arrays into the lowered HLO as
+    constants; the remote-compile path serializes those literals with the
+    program, so multi-hundred-MB operands (matrix data, preconditioner
+    factors, b/x0 at 10⁸ rows) overflow the request (HTTP 413).  Tracing
+    to a jaxpr and evaluating it under jit with `closed.consts` as leading
+    arguments keeps the compiled module literal-free; XLA still sees the
+    same program."""
+    flat_ex, in_tree = jax.tree.flatten(example)
+    out_store = []
+
+    def flat_fn(*flat):
+        out = fn(*jax.tree.unflatten(in_tree, flat))
+        flat_out, out_tree = jax.tree.flatten(out)
+        out_store.append(out_tree)
+        return flat_out
+
+    closed = jax.make_jaxpr(flat_fn)(*flat_ex)   # the ONE trace
+    out_tree = out_store[0]
+    import jax.core as _core
+
+    @jax.jit
+    def call(consts, flat_args):
+        out_flat = _core.eval_jaxpr(closed.jaxpr, consts, *flat_args)
+        return jax.tree.unflatten(out_tree, out_flat)
+
+    consts = closed.consts
+
+    def runner(*args):
+        flat, _ = jax.tree.flatten(args)
+        return call(consts, flat)
+
+    # let callers chain lifts without re-tracing (e.g. run's example state)
+    runner.out_shape = jax.tree.unflatten(
+        out_tree, [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                   for a in closed.out_avals])
+    return runner
+
+
 class FusedRunner:
     """Builds and caches the jitted init + while-loop executables.
 
@@ -89,8 +131,15 @@ class FusedRunner:
             state = dict(state, residual_norm=last)
             return state, it, norms, hist, restarts, stopping
 
-        self._init_jit = jax.jit(init_state)
-        self._run_jit = jax.jit(run)
+        # Constant lifting: init_state/run close over the matrix,
+        # preconditioner and b/x0 DEVICE arrays; a plain jit would embed
+        # them as literal constants in the lowered module, which the
+        # remote-compile tunnel rejects for large problems (HTTP 413: the
+        # serialized request carries every literal).  _lift_consts traces
+        # once and re-runs the jaxpr with its constants passed as runtime
+        # ARGUMENTS instead.
+        self._init_jit = _lift_consts(init_state)
+        self._run_jit = _lift_consts(run, self._init_jit.out_shape)
 
     def run(self) -> SolveResult:
         setup, config = self.setup, self.setup.config
