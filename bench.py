@@ -289,21 +289,22 @@ def main():
     for rec in records:
         print(json.dumps(rec), flush=True)
 
-    # capacity row: 16.8M-row CG on one chip (the reference never showed
-    # anything beyond 2.1M rows)
+    # capacity row: 56.6M-row CG on one chip — 27x the reference's
+    # benchmark size (the reference never showed anything beyond 2.1M rows)
     if not args.no_capacity_row and args.matrix == "hpcg:128x128x128":
-        saved = args.matrix
+        saved_m, saved_i = args.matrix, args.iters
         try:
-            A256, _ = build_matrix(bis, "hpcg:256x256x256", args.format,
+            A384, _ = build_matrix(bis, "hpcg:384x384x384", args.format,
                                    mat_dt)
-            args.matrix = "hpcg:256x256x256"
-            rec = run_one(bis, "cg", args, A256, True)
+            args.matrix = "hpcg:384x384x384"
+            args.iters = 50
+            rec = run_one(bis, "cg", args, A384, True)
             print(json.dumps(rec), flush=True)
-            del A256
+            del A384
         except Exception as e:
-            log(f"[cg@256] FAILED: {e}")
+            log(f"[cg@384] FAILED: {e}")
         finally:
-            args.matrix = saved
+            args.matrix, args.iters = saved_m, saved_i
 
     # general-sparsity row: CG on a scattered-band matrix (~800 distinct
     # diagonals at 1.9% fill — DIA-ineligible, the reference's arbitrary-CSR
