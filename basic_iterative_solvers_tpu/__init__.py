@@ -94,6 +94,8 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
         return solve(preprocessing_device(A, config, b=b, x0=x0))
     if isinstance(A, str):
         from .dia import _GEN_RE, from_source_device
+        if config.color_spec is None:
+            config.color_spec = generators.color_spec_for_source(A)
         colored = resolve_gs_mode(config, device_native=True) == "colored"
         device_ok = (_GEN_RE.match(A) is not None
                      and (preconditioner in DEVICE_NATIVE_PRECONDS

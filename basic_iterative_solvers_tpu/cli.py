@@ -151,6 +151,11 @@ def run(argv=None) -> int:
         extras["harness"] = "fused" if on_tpu else "host"
     profile_dir = extras.pop("profile_dir", None)
     config = SolverConfig(**opts, **extras)
+    if config.color_spec is None:
+        # structural coloring for generator sources → blocked multicolor
+        # trisolves where eligible (ops/block_trisolve.py)
+        from .generators import color_spec_for_source
+        config.color_spec = color_spec_for_source(matrix_source)
 
     from . import generators
     from .solvers import preprocessing, preprocessing_device, solve

@@ -58,6 +58,15 @@ class SolverConfig:
     #               "colored" on the device-native path (where it unlocks
     #               GS/SGS at scale).
     gs_mode: str = "auto"
+    # Structural coloring of the matrix (a coloring.ColorSpec), when known
+    # from the matrix source (the CLI/bench derive it for generator specs;
+    # generators.color_spec_for_source).  A separable grid/mod spec lets the
+    # colored exact triangular solves run in BLOCKED form
+    # (ops/block_trisolve.py): the color-sorted permutation is a pure
+    # reshape/transpose and the factors stream once per solve instead of
+    # once per color.  Ignored when perm_mode != "none" (reordering
+    # invalidates the structural coloring).
+    color_spec: Optional[object] = None
 
     # TPU-native additions (no reference analog)
     dtype: np.dtype = np.float64      # fp64 = reference parity; fp32 = TPU perf mode

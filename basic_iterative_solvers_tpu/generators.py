@@ -224,6 +224,69 @@ def _parse_anderson_kwargs(spec: str) -> dict:
     return kwargs
 
 
+def _grid_spec_separable(dims, max_leg: int = 1, max_colors: int = 32):
+    """Separable grid ColorSpec: per-axis strides ≥ max_leg+1 that DIVIDE
+    the dims (so the color-sorted permutation is a pure reshape/transpose —
+    the blocked-trisolve eligibility condition).  None when the smallest
+    admissible divisors give too many colors."""
+    from .coloring import ColorSpec
+
+    def stride(n):
+        if n == 1:
+            return 1
+        for s in range(max_leg + 1, n):
+            if n % s == 0:
+                return s
+        return n
+
+    strides = tuple(stride(int(d)) for d in dims)
+    n_colors = strides[0] * strides[1] * strides[2]
+    if n_colors > max_colors:
+        return None
+    nx, ny, nz = (int(d) for d in dims)
+    return ColorSpec("grid", n_colors, (nx, ny, nz) + strides)
+
+
+def color_spec_for_source(source: str):
+    """Structural ColorSpec for a generator source (None when unknown).
+
+    Threaded into SolverConfig.color_spec by the CLI/bench: a separable
+    grid/mod spec lets exact colored triangular solves run in blocked form
+    (ops/block_trisolve.py).  Only sources whose row numbering this module
+    controls (x-fastest grids / plain bands) get a spec; .mtx files and
+    scattered patterns return None (greedy coloring applies there).
+    """
+    from .coloring import mod_color_spec
+    m = _GEN_RE.match(source)
+    if not m:
+        return None
+    kind, spec = m.group(1).lower(), m.group(2)
+    try:
+        if kind == "hpcg":
+            dims = [int(d) for d in re.split(r"[x,]", spec) if d]
+            nx = dims[0]
+            ny = dims[1] if len(dims) > 1 else nx
+            nz = dims[2] if len(dims) > 2 else nx
+            return _grid_spec_separable((nx, ny, nz))
+        if kind in ("scamac", "anderson"):
+            kw = _parse_anderson_kwargs(spec)
+            Lx = kw["Lx"]
+            Ly = kw.get("Ly", Lx)
+            Lz = kw.get("Lz", Lx)
+            return _grid_spec_separable((Lx, Ly, Lz))
+        if kind == "fdm":
+            n = int(spec)
+            return _grid_spec_separable((n, n, 1))
+        if kind == "band":
+            dims = [int(d) for d in re.split(r"[x,]", spec) if d]
+            n = dims[0]
+            bw = dims[1] if len(dims) > 1 else 2
+            return mod_color_spec(list(range(1, bw + 1)), n)
+    except (KeyError, ValueError):
+        return None
+    return None
+
+
 def from_source(source: str) -> MatrixCSR:
     """Resolve a CLI matrix source: generator spec or .mtx path.
 

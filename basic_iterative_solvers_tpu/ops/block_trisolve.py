@@ -1,0 +1,393 @@
+"""Blocked multicolor triangular solves: factors stream ONCE per solve.
+
+The colored-sweep form of an exact triangular solve (coloring.py) applies
+the FULL operator once per color — #colors SpMV-sized streams per solve.
+This module is the traffic-optimal form for SPEC colorings (grid / mod,
+where the color-sorted permutation is a pure reshape/transpose): solve in
+rank space, where every factor nonzero is read exactly once.
+
+Key structural fact (the reason this is possible without gathers): for a
+separable coloring, the color-sorted permutation maps "row j is a pattern
+neighbor of row i" to "rank(j) = rank(i) + Δ" with Δ CONSTANT per
+(target-color, source-color, pattern-leg) triple.  E.g. HPCG's 27-point
+stencil under the 2×2×2 grid coloring: rank = rx + mx·ry + mx·my·rz and a
+leg (dx,dy,dz) from color (cx,cy,cz) lands at a fixed rank offset.  So the
+strict factor decomposes into a small set of GROUPS (src color, Δ), each a
+dense plane of values aligned to target rank slots, and the solve step for
+color c is
+
+    x_c = (y_c − Σ_groups vals_g ⊙ shift(x_src(g), Δ_g)) · D_c⁻¹
+
+— pure shifted reads (static row offset + lane rotation), no index arrays,
+no gathers.  Per triangular solve the HBM traffic is |T| values + a few
+vector passes, vs #colors·|T| for masked sweeps.  The reference can only
+run these solves serially (native_sptrsv, /root/reference/kernels.hpp:54-117)
+or via SMAX level scheduling (smax_helpers.hpp:25-28).
+
+Eligibility (else callers fall back to masked sweeps / level scans):
+* spec coloring of kind "grid" (strides dividing the dims) or "mod" —
+  the block permutation is then a reshape/transpose, never a gather;
+* the distinct (tc, sc, Δ) group count is small (pattern-structured);
+* max |Δ| fits the kernel's 3-tile window.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..matrix import MatrixCSR
+from .pallas_spmv import _VMEM_LIMIT
+
+LANES = 128
+
+#: default row tile (x2 rows per kernel grid step)
+_TB = 256
+
+#: refuse patterns whose (tc, sc, Δ) group count explodes (irregular
+#: sparsity — the dense planes would be mostly padding)
+_MAX_GROUPS = 512
+
+
+class BlockIneligibleError(ValueError):
+    """Raised when a matrix/coloring cannot use the blocked form."""
+
+
+def spec_colors_np(spec, n: int) -> np.ndarray:
+    """NumPy twin of coloring.color_ids for flat row indices."""
+    i = np.arange(n, dtype=np.int64)
+    if spec.kind == "mod":
+        return (i % spec.params[0]).astype(np.int32)
+    nx, ny = spec.params[0], spec.params[1]
+    x = i % nx
+    y = (i // nx) % ny
+    z = i // (nx * ny)
+    if spec.kind == "parity":
+        return ((x + y + z) % 2).astype(np.int32)
+    if spec.kind == "grid":
+        sx, sy, sz = spec.params[3], spec.params[4], spec.params[5]
+        return ((x % sx) + sx * ((y % sy) + sy * (z % sz))).astype(np.int32)
+    raise ValueError(f"unknown color spec kind: {spec.kind}")
+
+
+def _check_spec(spec, n: int) -> int:
+    """Validate separability; return the (padded) per-block slot count m."""
+    if spec.kind == "mod":
+        return -(-n // spec.params[0])
+    if spec.kind == "grid":
+        nx, ny, nz, sx, sy, sz = spec.params
+        if nx * ny * nz != n:
+            raise BlockIneligibleError("grid spec dims do not match n_rows")
+        if nx % sx or ny % sy or nz % sz:
+            raise BlockIneligibleError("grid strides must divide the dims")
+        return n // (sx * sy * sz)
+    raise BlockIneligibleError(
+        f"blocked trisolve needs a grid/mod coloring, got {spec.kind!r}")
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vals", "dinv", "d"],
+         meta_fields=["n_rows", "n_colors", "m", "R_b", "TB", "levels",
+                      "spec_kind", "spec_params"])
+@dataclasses.dataclass
+class BlockedTriSolve:
+    """One triangular solve's packed data (see module docstring).
+
+    vals:   tuple of (R_b, 128) planes, one per (tc, sc, Δ) group
+    dinv:   tuple of C (R_b, 128) blocks — 1/D at real slots, 0 at pads
+    d:      optional tuple of C blocks with D itself (SGS middle multiply)
+    levels: ordered tuple of (color, groups) where groups is a tuple of
+            (src_color, delta, group_index); solve order is the tuple order.
+    """
+
+    vals: Tuple[jax.Array, ...]
+    dinv: Tuple[jax.Array, ...]
+    d: Optional[Tuple[jax.Array, ...]]
+    n_rows: int
+    n_colors: int
+    m: int          # real slots per block
+    R_b: int        # padded x2-rows per block (multiple of TB)
+    TB: int
+    levels: Tuple[Tuple[int, Tuple[Tuple[int, int, int], ...]], ...]
+    spec_kind: str
+    spec_params: Tuple[int, ...]
+
+    @property
+    def dtype(self):
+        return self.dinv[0].dtype
+
+
+def build_blocked_trisolve(T: MatrixCSR, D: Optional[np.ndarray],
+                           colors: np.ndarray, spec, *, upper: bool,
+                           dtype=np.float32, need_d: bool = False,
+                           tile_rows: int = _TB) -> BlockedTriSolve:
+    """Pack the color-{lower,upper} part of T (entries with
+    color(j) {<,>} color(i)) for the blocked solve.
+
+    `T` may be the full matrix (entries filtered by color comparison) or an
+    already-split strict part (e.g. factor_ilu0_colored outputs — the filter
+    then keeps everything).  `D` is the diagonal to divide by (None = unit).
+    Raises BlockIneligibleError when the structure does not qualify.
+    """
+    n = T.n_rows
+    C = spec.n_colors
+    m = _check_spec(spec, n)
+    if C != int(colors.max()) + 1 and n:
+        # colors must come from this spec
+        raise BlockIneligibleError("colors/spec mismatch")
+
+    # rank = position within the color class, natural order (stable sort) —
+    # identical to colors_to_perm ranks and to the reshape/transpose layout.
+    order = np.argsort(colors, kind="stable")
+    counts = np.bincount(colors, minlength=C)
+    starts = np.concatenate([[0], np.cumsum(counts)])
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n, dtype=np.int64) - starts[colors[order]]
+    if spec.kind == "mod":
+        # pad ranks are i//k even for the ragged tail — matches the
+        # reshape(m, k) fast path
+        rank = np.arange(n, dtype=np.int64) // spec.params[0]
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), T.row_nnz())
+    cols = T.col.astype(np.int64)
+    ci = colors[rows].astype(np.int64)
+    cj = colors[cols].astype(np.int64)
+    keep = (cj > ci) if upper else (cj < ci)
+    if np.any((ci == cj) & (rows != cols)):
+        raise BlockIneligibleError("coloring is not proper for this pattern")
+    rows, cols, ci, cj = rows[keep], cols[keep], ci[keep], cj[keep]
+    v = T.val[keep]
+    delta = rank[cols] - rank[rows]
+
+    # group by (target color, source color, Δ)
+    span = 2 * m + 1
+    key = (ci * C + cj) * span + (delta + m)
+    ukey, ginv = np.unique(key, return_inverse=True)
+    G = ukey.size
+    if G > _MAX_GROUPS:
+        raise BlockIneligibleError(
+            f"{G} (color,color,Δ) groups — pattern too irregular")
+    g_tc = (ukey // span) // C
+    g_sc = (ukey // span) % C
+    g_dl = (ukey % span) - m
+
+    # tile size: the 3-tile window must cover every Δ's row reach; small
+    # blocks shrink the tile to the block so padding never dominates
+    qmax = int(np.abs(g_dl).max()) // LANES + 1 if G else 0
+    R_rows = -(-m // LANES)
+    TB = max(8 * -(-(qmax + 1) // 8),
+             min(tile_rows, 8 * -(-R_rows // 8)), 8)
+    R_b = -(-R_rows // TB) * TB
+    if TB > R_b:
+        R_b = TB
+
+    vals_np = np.zeros((G, R_b * LANES), dtype=dtype)
+    vals_np[ginv, rank[rows]] = v.astype(dtype)
+
+    dinv_np = np.zeros((C, R_b * LANES), dtype=dtype)
+    dv = np.ones(n) if D is None else np.asarray(D, dtype=np.float64)
+    if np.any(dv == 0):
+        raise ValueError("zero diagonal in blocked trisolve")
+    dinv_np[colors, rank] = (1.0 / dv).astype(dtype)
+    d_np = None
+    if need_d:
+        d_np = np.zeros((C, R_b * LANES), dtype=dtype)
+        d_np[colors, rank] = dv.astype(dtype)
+
+    # per-level group lists, solve order ascending (lower) / descending
+    level_order = range(C - 1, -1, -1) if upper else range(C)
+    levels = []
+    for c in level_order:
+        sel = np.nonzero(g_tc == c)[0]
+        groups = sorted((int(g_sc[g]), int(g_dl[g]), int(g))
+                        for g in sel)
+        levels.append((int(c), tuple(groups)))
+
+    as_blocks = lambda a: tuple(jnp.asarray(x.reshape(R_b, LANES))
+                                for x in a)
+    return BlockedTriSolve(
+        vals=as_blocks(vals_np), dinv=as_blocks(dinv_np),
+        d=(as_blocks(d_np) if d_np is not None else None),
+        n_rows=n, n_colors=C, m=m, R_b=R_b, TB=TB,
+        levels=tuple(levels), spec_kind=spec.kind,
+        spec_params=tuple(int(p) for p in spec.params))
+
+
+# ---------------------------------------------------------------------------
+# Block layout <-> flat vectors (pure reshape/transpose — never a gather)
+# ---------------------------------------------------------------------------
+
+def permute_blocks(B: BlockedTriSolve, y: jax.Array) -> Tuple[jax.Array, ...]:
+    """Flat (n,) → C color blocks of shape (R_b, 128), rank-ordered."""
+    n, C, m = B.n_rows, B.n_colors, B.m
+    if B.spec_kind == "mod":
+        k = B.spec_params[0]
+        yp = jnp.pad(y, (0, k * m - n))
+        arr = yp.reshape(m, k).T                      # (C, m)
+    else:
+        nx, ny, nz, sx, sy, sz = B.spec_params
+        mx, my, mz = nx // sx, ny // sy, nz // sz
+        arr = (y.reshape(mz, sz, my, sy, mx, sx)
+               .transpose(1, 3, 5, 0, 2, 4)
+               .reshape(C, m))
+    arr = jnp.pad(arr, ((0, 0), (0, B.R_b * LANES - m)))
+    return tuple(arr[c].reshape(B.R_b, LANES) for c in range(C))
+
+
+def unpermute_blocks(B: BlockedTriSolve, xb) -> jax.Array:
+    """C color blocks → flat (n,)."""
+    n, C, m = B.n_rows, B.n_colors, B.m
+    arr = jnp.stack([x.reshape(-1)[:m] for x in xb])  # (C, m)
+    if B.spec_kind == "mod":
+        k = B.spec_params[0]
+        return arr.T.reshape(k * m)[:n]
+    nx, ny, nz, sx, sy, sz = B.spec_params
+    mx, my, mz = nx // sx, ny // sy, nz // sz
+    return (arr.reshape(sz, sy, sx, mz, my, mx)
+            .transpose(3, 0, 4, 1, 5, 2)
+            .reshape(n))
+
+
+# ---------------------------------------------------------------------------
+# The level step
+# ---------------------------------------------------------------------------
+
+def _shifted_read_xla(x_blk: jax.Array, delta: int) -> jax.Array:
+    """shift(x, Δ)[t] = x[t + Δ] in flat rank order (XLA fallback path).
+    jnp.roll wraps, but wrapped positions always multiply a zero value
+    (real entries satisfy 0 ≤ rank+Δ < m; pads hold val 0)."""
+    return jnp.roll(x_blk.reshape(-1), -delta).reshape(x_blk.shape)
+
+
+def _level_xla(B, groups, y_blk, dinv_blk, xb):
+    acc = y_blk
+    for sc, delta, g in groups:
+        acc = acc - B.vals[g] * _shifted_read_xla(xb[sc], delta)
+    return acc * dinv_blk
+
+
+def _level_pallas(B, groups, y_blk, dinv_blk, xb):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TB, R_b = B.TB, B.R_b
+    grid_n = R_b // TB
+    last = grid_n - 1
+    srcs = tuple(sorted({sc for sc, _, _ in groups}))
+    src_pos = {sc: i for i, sc in enumerate(srcs)}
+    per_src = {sc: [(delta, g) for s2, delta, g in groups if s2 == sc]
+               for sc in srcs}
+
+    def kernel(y_ref, dinv_ref, *refs):
+        out_ref = refs[-1]
+        win_refs = refs[:3 * len(srcs)]
+        val_refs = refs[3 * len(srcs):-1]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+        acc = y_ref[:]
+        vi = 0
+        for sc in srcs:
+            w0, w1, w2 = win_refs[3 * src_pos[sc]:3 * src_pos[sc] + 3]
+            window = jnp.concatenate([w0[:], w1[:], w2[:]], axis=0)
+            for delta, _g in per_src[sc]:
+                q, mm = divmod(delta, LANES)   # floor semantics
+                W1 = jax.lax.slice(window, (TB + q, 0),
+                                   (2 * TB + q, LANES))
+                if mm == 0:
+                    shifted = W1
+                else:
+                    W2 = jax.lax.slice(window, (TB + q + 1, 0),
+                                       (2 * TB + q + 1, LANES))
+                    R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+                    R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+                    shifted = jnp.where(lanes < jnp.int32(LANES - mm),
+                                        R1, R2)
+                acc = acc - val_refs[vi][:] * shifted
+                vi += 1
+        out_ref[:] = acc * dinv_ref[:]
+
+    tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
+    in_specs = [tile(), tile()]
+    operands = [y_blk, dinv_blk]
+    for sc in srcs:
+        in_specs += [
+            pl.BlockSpec((TB, LANES),
+                         lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0))),
+            pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0))),
+            pl.BlockSpec((TB, LANES),
+                         lambda i: (jnp.minimum(i + 1, jnp.int32(last)),
+                                    jnp.int32(0))),
+        ]
+        operands += [xb[sc], xb[sc], xb[sc]]
+    n_vals = 0
+    for sc in srcs:
+        for _delta, g in per_src[sc]:
+            in_specs.append(tile())
+            operands.append(B.vals[g])
+            n_vals += 1
+    itemsize = y_blk.dtype.itemsize
+    return pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=tile(),
+        out_shape=jax.ShapeDtypeStruct((R_b, LANES), y_blk.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_vals * R_b * LANES,
+            bytes_accessed=(n_vals + 3 + 3 * len(srcs)) * R_b * LANES
+            * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*operands)
+
+
+def solve_blocks(B: BlockedTriSolve, yb, use_pallas: bool = True):
+    """Level loop on block-layout rhs; returns x blocks (list, color order
+    indices — element c is color c's block)."""
+    pallas_ok = (use_pallas and jax.default_backend() == "tpu"
+                 and yb[0].dtype.itemsize <= 4)
+    xb = [None] * B.n_colors
+    for c, groups in B.levels:
+        if not groups:
+            xb[c] = yb[c] * B.dinv[c]
+        elif pallas_ok:
+            xb[c] = _level_pallas(B, groups, yb[c], B.dinv[c], xb)
+        else:
+            xb[c] = _level_xla(B, groups, yb[c], B.dinv[c], xb)
+    return xb
+
+
+def blocked_trisolve(B: BlockedTriSolve, y: jax.Array,
+                     use_pallas: bool = True) -> jax.Array:
+    """x = (T_color + D)⁻¹ y — same action as the colored_sweep solve with
+    the same coloring (exact GS solve in the color-sorted ordering)."""
+    from ..utils.ktimers import ktime
+    return ktime("sptrsv", _blocked_trisolve_impl, B, y, use_pallas)
+
+
+def _blocked_trisolve_impl(B, y, use_pallas):
+    yb = permute_blocks(B, y)
+    xb = solve_blocks(B, yb, use_pallas)
+    return unpermute_blocks(B, xb)
+
+
+def blocked_sgs(L: BlockedTriSolve, U: BlockedTriSolve, y: jax.Array,
+                use_pallas: bool = True) -> jax.Array:
+    """(U_c+D)⁻¹ D (L_c+D)⁻¹ y — the exact colored symmetric GS apply,
+    permuting in/out of block layout once (L must be built need_d=True)."""
+    yb = permute_blocks(L, y)
+    tb = solve_blocks(L, yb, use_pallas)
+    tb = [t * d for t, d in zip(tb, L.d)]
+    xb = solve_blocks(U, tb, use_pallas)
+    return unpermute_blocks(U, xb)
+
+
+def blocked_ilu0(L: BlockedTriSolve, U: BlockedTriSolve, y: jax.Array,
+                 use_pallas: bool = True) -> jax.Array:
+    """U⁻¹ L⁻¹ y with unit-diagonal L (colored ILU(0) apply)."""
+    yb = permute_blocks(L, y)
+    tb = solve_blocks(L, yb, use_pallas)
+    xb = solve_blocks(U, tb, use_pallas)
+    return unpermute_blocks(U, xb)

@@ -39,7 +39,7 @@ from .ops.trisolve import TriSolveLevels, build_trisolve, trisolve, two_stage_so
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A_D", "A_D_inv", "L_solve", "U_solve",
                       "L_strict_dev", "U_strict_dev", "A_full_dev",
-                      "color_arr"],
+                      "color_arr", "L_block", "U_block"],
          meta_fields=["ptype", "outer_iters", "inner_iters", "use_pallas",
                       "color_spec", "n_colors"])
 @dataclasses.dataclass
@@ -58,6 +58,11 @@ class Preconditioner:
     # sweeps with the FULL operator — no splits, no level packing.
     A_full_dev: Any = None
     color_arr: Optional[jax.Array] = None      # greedy ids (grid/mod use spec)
+    # Blocked multicolor trisolves (ops/block_trisolve.py): the same colored
+    # solves with the factors streamed ONCE per solve instead of once per
+    # color — used when a separable spec coloring is available.
+    L_block: Any = None                        # BlockedTriSolve
+    U_block: Any = None
     color_spec: Any = None                     # ColorSpec (static, hashable)
     n_colors: int = 0
 
@@ -77,6 +82,29 @@ def resolve_gs_mode(config: SolverConfig, device_native: bool) -> str:
     return "colored" if device_native else "levels"
 
 
+def _colors_for_setup(A: MatrixCSR, config: SolverConfig):
+    """(colors, spec) for the colored preconditioner paths.
+
+    When the config carries a separable ColorSpec (grid/mod — derived by
+    the CLI/bench from generator sources) and no reordering was applied,
+    the spec's structural coloring is used and the blocked trisolve
+    (ops/block_trisolve.py) becomes available; otherwise greedy colors →
+    masked sweeps."""
+    spec = config.color_spec
+    if (spec is not None and config.perm_mode == "none"
+            and spec.kind in ("grid", "mod")):
+        from .coloring import check_coloring
+        from .ops.block_trisolve import spec_colors_np
+        try:
+            colors = spec_colors_np(spec, A.n_rows)
+            if check_coloring(A, colors):
+                return colors, spec
+        except ValueError:
+            pass
+    from .coloring import greedy_coloring
+    return greedy_coloring(A), None
+
+
 def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
                          factors: Optional[LUFactors] = None,
                          A_dev=None) -> Preconditioner:
@@ -94,14 +122,26 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
     if (pt == PrecondType.ILU0
             and resolve_gs_mode(config, device_native=False) == "colored"):
         # Multicolor exact ILU(0): factor w.r.t. the color-sorted ordering,
-        # apply the strict factors as masked sweeps — #colors parallel SpMV
-        # steps per triangular solve, no level scan (factor.py docstring).
-        from .coloring import greedy_coloring
+        # apply the strict factors as blocked trisolves (spec colorings —
+        # factors stream once per solve) or masked sweeps (greedy colors —
+        # #colors full-operator SpMV steps per solve).
         from .factor import factor_ilu0_colored
-        colors = greedy_coloring(A)
+        colors, spec = _colors_for_setup(A, config)
         L_s, U_s, U_D = factor_ilu0_colored(
             A, colors, pivot_tolerance=config.ilu0_pivot_tolerance,
             pivot_replacement=config.ilu0_pivot_replacement)
+        if spec is not None:
+            from .ops.block_trisolve import (BlockIneligibleError,
+                                             build_blocked_trisolve)
+            try:
+                return Preconditioner(
+                    L_block=build_blocked_trisolve(
+                        L_s, None, colors, spec, upper=False, dtype=dtype),
+                    U_block=build_blocked_trisolve(
+                        U_s, U_D, colors, spec, upper=True, dtype=dtype),
+                    color_spec=spec, n_colors=spec.n_colors, **kw)
+            except BlockIneligibleError:
+                pass
         fmt_args = (mat_dtype, config.matrix_format, config.dia_max_diags,
                     config.dia_min_fill)
         return Preconditioner(
@@ -123,10 +163,30 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
     if (pt in COLORED_PRECONDS
             and resolve_gs_mode(config, device_native=False) == "colored"):
-        # host-CSR colored setup: greedy-color the graph once, sweep with
-        # the full device operator (coloring.py)
-        from .coloring import greedy_coloring
-        colors = greedy_coloring(A)
+        # host-CSR colored setup: spec coloring → blocked trisolves (the
+        # color-split strict parts of A, streamed once per solve); greedy
+        # colors → masked sweeps with the full device operator (coloring.py)
+        colors, spec = _colors_for_setup(A, config)
+        if spec is not None:
+            from .ops.block_trisolve import (BlockIneligibleError,
+                                             build_blocked_trisolve)
+            try:
+                need_l = pt != PrecondType.BACKWARDS_GAUSS_SEIDEL
+                need_u = pt != PrecondType.GAUSS_SEIDEL
+                sym = pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL
+                return Preconditioner(
+                    A_D=A_D, A_D_inv=A_D_inv,
+                    L_block=(build_blocked_trisolve(
+                        A, factors.A_D, colors, spec, upper=False,
+                        dtype=dtype, need_d=sym) if need_l else None),
+                    U_block=(build_blocked_trisolve(
+                        A, factors.A_D, colors, spec, upper=True,
+                        dtype=dtype) if need_u else None),
+                    color_spec=spec, n_colors=spec.n_colors, **kw)
+            except BlockIneligibleError:
+                # the spec may not properly color this matrix — re-color
+                from .coloring import greedy_coloring
+                colors = greedy_coloring(A)
         if A_dev is None:
             A_dev = from_csr(A, mat_dtype, config.matrix_format,
                              config.dia_max_diags, config.dia_min_fill)
@@ -248,6 +308,19 @@ def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
         # reference: elemwise_div_vectors(output, input, A_D)  kernels.hpp:357
         return y / M.A_D
     colored = M.n_colors > 0
+    blocked = M.L_block is not None or M.U_block is not None
+    if blocked:
+        from .ops.block_trisolve import (blocked_ilu0, blocked_sgs,
+                                         blocked_trisolve)
+        if pt == PrecondType.GAUSS_SEIDEL:
+            return blocked_trisolve(M.L_block, y, M.use_pallas)
+        if pt == PrecondType.BACKWARDS_GAUSS_SEIDEL:
+            return blocked_trisolve(M.U_block, y, M.use_pallas)
+        if pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL:
+            return blocked_sgs(M.L_block, M.U_block, y, M.use_pallas)
+        if pt == PrecondType.ILU0:
+            return blocked_ilu0(M.L_block, M.U_block, y, M.use_pallas)
+        raise ValueError(f"blocked data for unsupported type: {pt}")
     if pt == PrecondType.GAUSS_SEIDEL:
         if colored:
             return _colored_solve(M, y, reverse=False)
@@ -317,6 +390,18 @@ def estimated_precond_passes(M: Preconditioner) -> float:
     """Estimated HBM cost of one apply in units of one full vector stream
     (for the roofline report; static estimate from the apply structure)."""
     k = M.inner_iters
+    if M.L_block is not None or M.U_block is not None:
+        # blocked trisolves: each factor plane streams once + window reads
+        # (~3 per (level, source) pair) + permute/vector passes
+        per = 0.0
+        for B in (M.L_block, M.U_block):
+            if B is None:
+                continue
+            n_pairs = sum(len({s for s, _, _ in g}) for _, g in B.levels)
+            per += (len(B.vals) + 3.0 * n_pairs) / B.n_colors + 5.0
+        if M.ptype == PrecondType.SYMMETRIC_GAUSS_SEIDEL:
+            per += 1.0
+        return per * max(1, M.outer_iters)
     if M.n_colors > 0:
         # colored sweeps: ~(SpMV + masked update) ≈ 5 passes per color
         per_sweep = 5.0 * M.n_colors

@@ -119,7 +119,8 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
         orthog_mode=args.orthog,
         gmres_basis_dtype=(None if args.gmres_basis == "none"
                            else args.gmres_basis),
-        precond_inner_iters=args.precond_inner_iters)
+        precond_inner_iters=args.precond_inner_iters,
+        color_spec=bis.generators.color_spec_for_source(args.matrix))
 
     if precond_name == "ILU0":
         # ILU(0) factorization needs the host CSR; multicolor mode keeps

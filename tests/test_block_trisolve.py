@@ -1,0 +1,164 @@
+"""Blocked multicolor trisolve (ops/block_trisolve.py).
+
+Oracle: dense color-order triangular solves — the blocked form must equal
+the sequential solve in the color-sorted ordering exactly (same math as the
+masked colored sweeps, reference sptrsv/bsptrsv semantics in the colored
+ordering, /root/reference/kernels.hpp:54-117).
+"""
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import basic_iterative_solvers_tpu as bis
+from basic_iterative_solvers_tpu.coloring import (ColorSpec, colors_to_perm,
+                                                  mod_color_spec)
+from basic_iterative_solvers_tpu.ops.block_trisolve import (
+    BlockIneligibleError, blocked_ilu0, blocked_sgs, blocked_trisolve,
+    build_blocked_trisolve, permute_blocks, spec_colors_np, unpermute_blocks)
+from basic_iterative_solvers_tpu.precond import (apply_preconditioner,
+                                                 setup_preconditioner)
+
+
+def _dense(A):
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    Ad = np.zeros((A.n_rows, A.n_cols))
+    Ad[rows, A.col] = A.val
+    return Ad
+
+
+def _diag(A):
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    D = np.zeros(A.n_rows)
+    sel = A.col == rows
+    D[rows[sel]] = A.val[sel]
+    return D
+
+
+CASES = [
+    ("hpcg:6x4x8", ColorSpec("grid", 8, (6, 4, 8, 2, 2, 2))),
+    ("fdm:6", ColorSpec("grid", 4, (6, 6, 1, 2, 2, 1))),
+    ("band:61,2", mod_color_spec([1, 2], 61)),   # ragged mod blocks
+]
+
+
+@pytest.mark.parametrize("src,spec", CASES, ids=[c[0] for c in CASES])
+def test_blocked_solves_match_dense_oracle(src, spec, rng):
+    A = bis.generators.from_source(src)
+    n = A.n_rows
+    colors = spec_colors_np(spec, n)
+    D = _diag(A)
+    perm, _ = colors_to_perm(colors)
+    Ap = _dense(A)[np.ix_(perm, perm)]
+    Dp = np.diag(np.diag(Ap))
+    y = rng.standard_normal(n)
+
+    L = build_blocked_trisolve(A, D, colors, spec, upper=False,
+                               dtype=np.float64, need_d=True)
+    U = build_blocked_trisolve(A, D, colors, spec, upper=True,
+                               dtype=np.float64)
+
+    # round trip of the block permutation
+    rt = np.asarray(unpermute_blocks(L, permute_blocks(L, jnp.asarray(y))))
+    np.testing.assert_array_equal(rt, y)
+
+    x_ref_p = np.linalg.solve(np.tril(Ap, -1) + Dp, y[perm])
+    x_ref = np.empty(n)
+    x_ref[perm] = x_ref_p
+    x = np.asarray(blocked_trisolve(L, jnp.asarray(y), use_pallas=False))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-12, atol=1e-12)
+
+    u_ref_p = np.linalg.solve(np.triu(Ap, 1) + Dp, y[perm])
+    u_ref = np.empty(n)
+    u_ref[perm] = u_ref_p
+    u = np.asarray(blocked_trisolve(U, jnp.asarray(y), use_pallas=False))
+    np.testing.assert_allclose(u, u_ref, rtol=1e-12, atol=1e-12)
+
+    sgs_ref_p = np.linalg.solve(np.triu(Ap, 1) + Dp, Dp @ x_ref_p)
+    sgs_ref = np.empty(n)
+    sgs_ref[perm] = sgs_ref_p
+    z = np.asarray(blocked_sgs(L, U, jnp.asarray(y), use_pallas=False))
+    np.testing.assert_allclose(z, sgs_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_blocked_matches_masked_sweeps(rng):
+    """Blocked apply == masked-sweep apply with the SAME colors (the two
+    implementations of the identical colored solve)."""
+    src = "hpcg:6x4x8"
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    colors = spec_colors_np(spec, A.n_rows)
+    y = jnp.asarray(rng.standard_normal(A.n_rows))
+    for pt in (bis.PrecondType.GAUSS_SEIDEL,
+               bis.PrecondType.BACKWARDS_GAUSS_SEIDEL,
+               bis.PrecondType.SYMMETRIC_GAUSS_SEIDEL):
+        MB = setup_preconditioner(A, bis.SolverConfig(
+            preconditioner=pt, gs_mode="colored", dtype=np.float64,
+            color_spec=spec))
+        assert MB.L_block is not None or MB.U_block is not None
+        MS = setup_preconditioner(A, bis.SolverConfig(
+            preconditioner=pt, gs_mode="colored", dtype=np.float64))
+        MS = dataclasses.replace(MS, color_arr=jnp.asarray(colors),
+                                 n_colors=spec.n_colors)
+        np.testing.assert_allclose(
+            np.asarray(apply_preconditioner(MB, y)),
+            np.asarray(apply_preconditioner(MS, y)), rtol=1e-12, atol=1e-12)
+
+
+def test_ilu0_blocked_end_to_end():
+    """CG + colored ILU(0): blocked and masked-sweep paths give the same
+    preconditioner action, so the same convergence trajectory."""
+    src = "hpcg:8x8x8"
+    results = []
+    for spec in (bis.generators.color_spec_for_source(src), None):
+        cfg = bis.SolverConfig(
+            method=bis.SolverType.CONJUGATE_GRADIENT,
+            preconditioner=bis.PrecondType.ILU0, gs_mode="colored",
+            tolerance=1e-10, dtype=np.float64, color_spec=spec)
+        setup = bis.preprocessing(bis.generators.from_source(src), cfg)
+        assert (setup.M.L_block is not None) == (spec is not None)
+        results.append(bis.solve(setup))
+    blocked, sweeps = results
+    assert blocked.converged and sweeps.converged
+    # same coloring (the structural spec matches greedy on this grid) →
+    # same factors → near-identical histories
+    assert blocked.iter_count == sweeps.iter_count
+    np.testing.assert_allclose(blocked.residual_norms[:blocked.iter_count],
+                               sweeps.residual_norms[:sweeps.iter_count],
+                               rtol=1e-6)
+
+
+def test_color_spec_for_source():
+    g = bis.generators.color_spec_for_source
+    assert g("hpcg:8x8x8").params == (8, 8, 8, 2, 2, 2)
+    assert g("hpcg:8x8x8").n_colors == 8
+    assert g("fdm:16").params == (16, 16, 1, 2, 2, 1)
+    assert g("band:100,2").kind == "mod"
+    assert g("band:100,2").n_colors == 3
+    assert g("sband:100,4,20") is None          # scattered: greedy territory
+    assert g("some_file.mtx") is None
+    # anderson: 7-point stencil, even dims → 2x2x2
+    s = g("scamac:Anderson,Lx=6,Ly=4,Lz=4")
+    assert s.kind == "grid" and s.n_colors == 8
+    # odd dims with no small divisor → None (would explode the color count)
+    assert g("hpcg:29x29x29") is None
+
+
+def test_improper_spec_falls_back():
+    """A spec that does not properly color the matrix must not be used —
+    setup falls back to greedy colors + masked sweeps."""
+    A = bis.generators.from_source("band:60,2")
+    bad = ColorSpec("mod", 2, (2,))   # offset 2 couples same-colored rows
+    M = setup_preconditioner(A, bis.SolverConfig(
+        preconditioner=bis.PrecondType.GAUSS_SEIDEL, gs_mode="colored",
+        dtype=np.float64, color_spec=bad))
+    assert M.L_block is None and M.n_colors >= 3
+
+
+def test_ineligible_spec_kinds():
+    A = bis.generators.from_source("fdm:6")
+    colors = spec_colors_np(ColorSpec("parity", 2, (6, 6, 1)), A.n_rows)
+    with pytest.raises(BlockIneligibleError):
+        build_blocked_trisolve(A, _diag(A), colors,
+                               ColorSpec("parity", 2, (6, 6, 1)), upper=False)
