@@ -343,6 +343,394 @@ def _level_pallas(B, groups, y_blk, dinv_blk, xb):
     )(*operands)
 
 
+# ---------------------------------------------------------------------------
+# Superblock grid path: row-granular permutes + in-kernel x-parity sub-steps
+# ---------------------------------------------------------------------------
+#
+# The rank-space layout above interleaves the x (lane) axis across color
+# blocks, which makes the block permutation a lane-granular transpose —
+# measured ~1.5 ms per 2M-row pass on v5e, dwarfing the solve itself.  The
+# superblock layout removes the lane interleave: blocks are formed by the
+# (y, z) color components ONLY (slot = x + nx·(ry + my·rz), x contiguous in
+# lanes), so the permutation is a vreg-row-granular transpose (fast), and
+# the x-stride colorings become LANE PARITIES handled inside the kernel:
+# a super-level solves its sx parities as in-register masked sub-steps
+# (parity cx reads parity cx' through a lane roll — legal because proper
+# colorings put same-superblock couplings at dy = dz = 0).
+#
+# The second v5e reality this layout targets: a Pallas call costs ~11 µs
+# PER OPERAND (measured; grid-count independent), so the level kernel takes
+# its value planes as ONE stacked slab and its x-state as ONE HBM-resident
+# array (explicit windowed async copies), not dozens of separate operands.
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["vals_cross", "vals_self", "dinv", "d"],
+         meta_fields=["n_rows", "S", "m", "R_b", "TB", "sx", "levels",
+                      "upper", "spec_params"])
+@dataclasses.dataclass
+class SuperBlockTriSolve:
+    """Superblock form of a colored triangular solve (grid specs).
+
+    vals_cross[li]: (G_li, R_b, 128) plane slab for cross-superblock groups
+                    of level li (None when the level has none), rows aligned
+                    with levels[li][1]
+    vals_self[li]:  (Gs_li, R_b, 128) same-superblock (pure-dx) planes,
+                    rows aligned with levels[li][2]
+    dinv, d:        per-SUPERBLOCK (R_b, 128) blocks (d only when need_d)
+    levels:         ordered tuple (sb, cross, selfs); cross = ((src, Δ),…)
+                    sorted by (src, Δ); selfs = (dx, …) sorted
+    """
+
+    vals_cross: Tuple[Optional[jax.Array], ...]
+    vals_self: Tuple[Optional[jax.Array], ...]
+    dinv: Tuple[jax.Array, ...]
+    d: Optional[Tuple[jax.Array, ...]]
+    n_rows: int
+    S: int
+    m: int
+    R_b: int
+    TB: int
+    sx: int
+    levels: Tuple
+    upper: bool
+    spec_params: Tuple[int, ...]
+
+    @property
+    def dtype(self):
+        return self.dinv[0].dtype
+
+
+def build_superblock_trisolve(T: MatrixCSR, D: Optional[np.ndarray],
+                              colors: np.ndarray, spec, *, upper: bool,
+                              dtype=np.float32, need_d: bool = False,
+                              tile_rows: int = _TB) -> SuperBlockTriSolve:
+    """Pack the color-{lower,upper} part of T in superblock form.
+
+    Eligibility beyond the grid-spec checks: 128 % nx == 0 (lane rolls for
+    the in-register parity sub-steps never cross a vreg row at a position
+    holding a real entry) and same-superblock couplings at dy = dz = 0.
+    """
+    if spec.kind != "grid":
+        raise BlockIneligibleError("superblock path needs a grid coloring")
+    n = T.n_rows
+    nx, ny, nz, sx, sy, sz = spec.params
+    if nx * ny * nz != n:
+        raise BlockIneligibleError("grid spec dims do not match n_rows")
+    if ny % sy or nz % sz:
+        raise BlockIneligibleError("grid strides must divide the dims")
+    if nx > LANES or LANES % nx:
+        raise BlockIneligibleError(
+            f"nx={nx} does not divide the lane width (self-shift wrap)")
+    S = sy * sz
+    my, mz = ny // sy, nz // sz
+    m = nx * my * mz
+
+    idx = np.arange(n, dtype=np.int64)
+    X = idx % nx
+    Y = (idx // nx) % ny
+    Z = idx // (nx * ny)
+    SB = (Y % sy) + sy * (Z % sz)
+    SLOT = X + nx * ((Y // sy) + my * (Z // sz))
+
+    rows = np.repeat(idx, T.row_nnz())
+    cols = T.col.astype(np.int64)
+    ci = colors[rows].astype(np.int64)
+    cj = colors[cols].astype(np.int64)
+    keep = (cj > ci) if upper else (cj < ci)
+    if np.any((ci == cj) & (rows != cols)):
+        raise BlockIneligibleError("coloring is not proper for this pattern")
+    rows, cols = rows[keep], cols[keep]
+    v = T.val[keep]
+
+    sb_i, sb_j = SB[rows], SB[cols]
+    is_self = sb_i == sb_j
+    # same-superblock couplings must be pure-x (dy = dz = 0) for the
+    # in-register sub-steps
+    if np.any(is_self & ((Y[rows] != Y[cols]) | (Z[rows] != Z[cols]))):
+        raise BlockIneligibleError("same-superblock coupling beyond x axis")
+    dx_self = X[cols[is_self]] - X[rows[is_self]]
+    if is_self.any() and np.abs(dx_self).max() >= min(nx, LANES):
+        raise BlockIneligibleError("self coupling reach exceeds a lane row")
+
+    delta = SLOT[cols] - SLOT[rows]
+    span = 2 * m + 1
+    # cross groups keyed (sb_i, sb_j, Δ) — sb_i-major so each level's
+    # groups are contiguous after the sort inside np.unique
+    keyc = ((sb_i * S + sb_j) * span + (delta + m))[~is_self]
+    ukc, ginvc = np.unique(keyc, return_inverse=True)
+    # self groups keyed (sb_i, dx)
+    keys = sb_i[is_self] * (2 * LANES + 1) + (dx_self + LANES)
+    uks, ginvs = np.unique(keys, return_inverse=True)
+    Gc, Gs = ukc.size, uks.size
+    if Gc + Gs > _MAX_GROUPS:
+        raise BlockIneligibleError(
+            f"{Gc + Gs} superblock groups — pattern too irregular")
+    gc_tb = (ukc // span) // S
+    gc_sb = (ukc // span) % S
+    gc_dl = (ukc % span) - m
+    gs_tb = uks // (2 * LANES + 1)
+    gs_dx = (uks % (2 * LANES + 1)) - LANES
+
+    qmax = int(np.abs(gc_dl).max()) // LANES + 1 if Gc else 0
+    R_rows = -(-m // LANES)
+    TB = max(8 * -(-(qmax + 1) // 8),
+             min(tile_rows, 8 * -(-R_rows // 8)), 8)
+    R_b = -(-R_rows // TB) * TB
+    if TB > R_b:
+        R_b = TB
+
+    vc = np.zeros((Gc, R_b * LANES), dtype=dtype)
+    vc[ginvc, SLOT[rows[~is_self]]] = v[~is_self].astype(dtype)
+    vs = np.zeros((Gs, R_b * LANES), dtype=dtype)
+    vs[ginvs, SLOT[rows[is_self]]] = v[is_self].astype(dtype)
+
+    dinv_np = np.zeros((S, R_b * LANES), dtype=dtype)
+    dv = np.ones(n) if D is None else np.asarray(D, dtype=np.float64)
+    if np.any(dv == 0):
+        raise ValueError("zero diagonal in blocked trisolve")
+    dinv_np[SB, SLOT] = (1.0 / dv).astype(dtype)
+    d_np = None
+    if need_d:
+        d_np = np.zeros((S, R_b * LANES), dtype=dtype)
+        d_np[SB, SLOT] = dv.astype(dtype)
+
+    order = range(S - 1, -1, -1) if upper else range(S)
+    levels, vals_cross, vals_self = [], [], []
+    for sb in order:
+        selc = np.nonzero(gc_tb == sb)[0]
+        sels = np.nonzero(gs_tb == sb)[0]
+        cross = tuple(sorted((int(gc_sb[g]), int(gc_dl[g])) for g in selc))
+        # re-order the slab rows to match the sorted group order
+        cidx = sorted(selc, key=lambda g: (int(gc_sb[g]), int(gc_dl[g])))
+        sidx = sorted(sels, key=lambda g: int(gs_dx[g]))
+        selfs = tuple(int(gs_dx[g]) for g in sidx)
+        vals_cross.append(
+            jnp.asarray(vc[cidx].reshape(len(cidx), R_b, LANES))
+            if len(cidx) else None)
+        vals_self.append(
+            jnp.asarray(vs[sidx].reshape(len(sidx), R_b, LANES))
+            if len(sidx) else None)
+        levels.append((int(sb), cross, selfs))
+
+    as_blocks = lambda a: tuple(jnp.asarray(x.reshape(R_b, LANES))
+                                for x in a)
+    return SuperBlockTriSolve(
+        vals_cross=tuple(vals_cross), vals_self=tuple(vals_self),
+        dinv=as_blocks(dinv_np),
+        d=(as_blocks(d_np) if d_np is not None else None),
+        n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
+        levels=tuple(levels), upper=upper,
+        spec_params=tuple(int(p) for p in spec.params))
+
+
+def _permute_super(B: SuperBlockTriSolve, y: jax.Array):
+    nx, ny, nz, sx, sy, sz = B.spec_params
+    my, mz = ny // sy, nz // sz
+    arr = (y.reshape(mz, sz, my, sy, nx)
+           .transpose(1, 3, 0, 2, 4)
+           .reshape(B.S, B.m))
+    arr = jnp.pad(arr, ((0, 0), (0, B.R_b * LANES - B.m)))
+    return tuple(arr[s].reshape(B.R_b, LANES) for s in range(B.S))
+
+
+def _unpermute_super(B: SuperBlockTriSolve, xb) -> jax.Array:
+    nx, ny, nz, sx, sy, sz = B.spec_params
+    my, mz = ny // sy, nz // sz
+    arr = jnp.stack([x.reshape(-1)[:B.m] for x in xb])
+    return (arr.reshape(sz, sy, mz, my, nx)
+            .transpose(2, 0, 3, 1, 4)
+            .reshape(B.n_rows))
+
+
+def _parity_order(B: SuperBlockTriSolve):
+    return range(B.sx - 1, -1, -1) if B.upper else range(B.sx)
+
+
+def _super_level_xla(B, li, y_blk, xb):
+    sb, cross, selfs = B.levels[li]
+    nx = B.spec_params[0]
+    acc = y_blk
+    for gi, (src, delta) in enumerate(cross):
+        acc = acc - B.vals_cross[li][gi] * _shifted_read_xla(xb[src], delta)
+    slot = jnp.arange(B.R_b * LANES, dtype=jnp.int32).reshape(B.R_b, LANES)
+    parity = (slot % jnp.int32(nx)) % jnp.int32(B.sx)
+    xt = jnp.zeros_like(y_blk)
+    for cx in _parity_order(B):
+        a = acc
+        for gi, dx in enumerate(selfs):
+            a = a - B.vals_self[li][gi] * _shifted_read_xla(xt, dx)
+        xt = jnp.where(parity == jnp.int32(cx), a * B.dinv[sb], xt)
+    return xt
+
+
+def _super_level_pallas(B, li, y_blk, X):
+    """One super-level on TPU: X is the (S, R_b + 2·TB, 128) HBM-resident
+    state (zero halo rows top/bottom per superblock), updated in place via
+    input/output aliasing; windows arrive through explicit async copies so
+    the call carries O(1) operands."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sb, cross, selfs = B.levels[li]
+    TB, R_b, sx = B.TB, B.R_b, B.sx
+    nx = B.spec_params[0]
+    grid_n = R_b // TB
+    srcs = tuple(sorted({s for s, _ in cross}))
+    src_pos = {s: k for k, s in enumerate(srcs)}
+    n_src = len(srcs)
+    valsc, valss = B.vals_cross[li], B.vals_self[li]
+    Gc = 0 if valsc is None else valsc.shape[0]
+    Gs = 0 if valss is None else valss.shape[0]
+
+    def kernel(*refs):
+        it = iter(range(len(refs)))
+        y_ref = refs[next(it)]
+        dinv_ref = refs[next(it)]
+        valsc_ref = refs[next(it)] if Gc else None
+        valss_ref = refs[next(it)] if Gs else None
+        X_ref = refs[next(it)]
+        out_ref = refs[next(it)]
+        win = refs[next(it)] if n_src else None     # VMEM scratch
+        out_scr = refs[next(it)]
+        copy_sem = refs[next(it)] if n_src else None
+        out_sem = refs[next(it)]
+        i = pl.program_id(0)
+
+        cps = []
+        for k, s in enumerate(srcs):
+            cp = pltpu.make_async_copy(
+                X_ref.at[jnp.int32(s), pl.ds(i * jnp.int32(TB), 3 * TB)],
+                win.at[jnp.int32(k)], copy_sem.at[jnp.int32(k)])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+        acc = y_ref[:]
+        for gi, (src, delta) in enumerate(cross):
+            window = win[jnp.int32(src_pos[src])]
+            q, mm = divmod(delta, LANES)
+            W1 = jax.lax.slice(window, (TB + q, 0), (2 * TB + q, LANES))
+            if mm == 0:
+                shifted = W1
+            else:
+                W2 = jax.lax.slice(window, (TB + q + 1, 0),
+                                   (2 * TB + q + 1, LANES))
+                R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+                R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+                shifted = jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
+            acc = acc - valsc_ref[jnp.int32(gi)] * shifted
+
+        parity = jax.lax.rem(jax.lax.rem(lanes, jnp.int32(nx)),
+                             jnp.int32(sx))
+        xt = jnp.zeros((TB, LANES), dtype=acc.dtype)
+        for cx in _parity_order(B):
+            a = acc
+            for gi, dx in enumerate(selfs):
+                a = a - valss_ref[jnp.int32(gi)] * pltpu.roll(
+                    xt, jnp.int32((-dx) % LANES), 1)
+            xt = jnp.where(parity == jnp.int32(cx), a * dinv_ref[:], xt)
+
+        out_scr[:] = xt
+        ocp = pltpu.make_async_copy(
+            out_scr, out_ref.at[jnp.int32(sb),
+                                pl.ds(jnp.int32(TB) + i * jnp.int32(TB),
+                                      TB)], out_sem)
+        ocp.start()
+        ocp.wait()
+
+    tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
+    in_specs = [tile(), tile()]
+    operands = [y_blk, B.dinv[sb]]
+    if Gc:
+        in_specs.append(pl.BlockSpec((Gc, TB, LANES),
+                                     lambda i: (jnp.int32(0), i,
+                                                jnp.int32(0))))
+        operands.append(valsc)
+    if Gs:
+        in_specs.append(pl.BlockSpec((Gs, TB, LANES),
+                                     lambda i: (jnp.int32(0), i,
+                                                jnp.int32(0))))
+        operands.append(valss)
+    x_index = len(operands)
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    operands.append(X)
+
+    scratch = []
+    if n_src:
+        scratch.append(pltpu.VMEM((n_src, 3 * TB, LANES), y_blk.dtype))
+    scratch.append(pltpu.VMEM((TB, LANES), y_blk.dtype))
+    if n_src:
+        scratch.append(pltpu.SemaphoreType.DMA((n_src,)))
+    scratch.append(pltpu.SemaphoreType.DMA)
+
+    itemsize = y_blk.dtype.itemsize
+    return pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+        input_output_aliases={x_index: 0},
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * (Gc + Gs * sx) * R_b * LANES,
+            bytes_accessed=(Gc + Gs + 3 + 3 * n_src) * R_b * LANES
+            * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+    )(*operands)
+
+
+def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
+    pallas_ok = (use_pallas and jax.default_backend() == "tpu"
+                 and yb[0].dtype.itemsize <= 4)
+    if not pallas_ok:
+        xb = [None] * B.S
+        for li, (sb, _c, _s) in enumerate(B.levels):
+            xb[sb] = _super_level_xla(B, li, yb[sb], xb)
+        return xb
+    X = jnp.zeros((B.S, B.R_b + 2 * B.TB, LANES), dtype=yb[0].dtype)
+    for li, (sb, _c, _s) in enumerate(B.levels):
+        X = _super_level_pallas(B, li, yb[sb], X)
+    return [X[s, B.TB:B.TB + B.R_b] for s in range(B.S)]
+
+
+# ---------------------------------------------------------------------------
+# Unified applies over both layouts
+# ---------------------------------------------------------------------------
+
+def _permute_any(B, y):
+    if isinstance(B, SuperBlockTriSolve):
+        return _permute_super(B, y)
+    return permute_blocks(B, y)
+
+
+def _unpermute_any(B, xb):
+    if isinstance(B, SuperBlockTriSolve):
+        return _unpermute_super(B, xb)
+    return unpermute_blocks(B, xb)
+
+
+def _solve_any(B, yb, use_pallas):
+    if isinstance(B, SuperBlockTriSolve):
+        return _solve_super(B, yb, use_pallas)
+    return solve_blocks(B, yb, use_pallas)
+
+
+def build_best_trisolve(T: MatrixCSR, D, colors, spec, *, upper: bool,
+                        dtype=np.float32, need_d: bool = False):
+    """Superblock form when the grid qualifies, else rank-space blocks."""
+    if spec.kind == "grid":
+        try:
+            return build_superblock_trisolve(T, D, colors, spec, upper=upper,
+                                             dtype=dtype, need_d=need_d)
+        except BlockIneligibleError:
+            pass
+    return build_blocked_trisolve(T, D, colors, spec, upper=upper,
+                                  dtype=dtype, need_d=need_d)
+
+
 def solve_blocks(B: BlockedTriSolve, yb, use_pallas: bool = True):
     """Level loop on block-layout rhs; returns x blocks (list, color order
     indices — element c is color c's block)."""
@@ -368,26 +756,24 @@ def blocked_trisolve(B: BlockedTriSolve, y: jax.Array,
 
 
 def _blocked_trisolve_impl(B, y, use_pallas):
-    yb = permute_blocks(B, y)
-    xb = solve_blocks(B, yb, use_pallas)
-    return unpermute_blocks(B, xb)
+    yb = _permute_any(B, y)
+    xb = _solve_any(B, yb, use_pallas)
+    return _unpermute_any(B, xb)
 
 
-def blocked_sgs(L: BlockedTriSolve, U: BlockedTriSolve, y: jax.Array,
-                use_pallas: bool = True) -> jax.Array:
+def blocked_sgs(L, U, y: jax.Array, use_pallas: bool = True) -> jax.Array:
     """(U_c+D)⁻¹ D (L_c+D)⁻¹ y — the exact colored symmetric GS apply,
     permuting in/out of block layout once (L must be built need_d=True)."""
-    yb = permute_blocks(L, y)
-    tb = solve_blocks(L, yb, use_pallas)
+    yb = _permute_any(L, y)
+    tb = _solve_any(L, yb, use_pallas)
     tb = [t * d for t, d in zip(tb, L.d)]
-    xb = solve_blocks(U, tb, use_pallas)
-    return unpermute_blocks(U, xb)
+    xb = _solve_any(U, tb, use_pallas)
+    return _unpermute_any(U, xb)
 
 
-def blocked_ilu0(L: BlockedTriSolve, U: BlockedTriSolve, y: jax.Array,
-                 use_pallas: bool = True) -> jax.Array:
+def blocked_ilu0(L, U, y: jax.Array, use_pallas: bool = True) -> jax.Array:
     """U⁻¹ L⁻¹ y with unit-diagonal L (colored ILU(0) apply)."""
-    yb = permute_blocks(L, y)
-    tb = solve_blocks(L, yb, use_pallas)
-    xb = solve_blocks(U, tb, use_pallas)
-    return unpermute_blocks(U, xb)
+    yb = _permute_any(L, y)
+    tb = _solve_any(L, yb, use_pallas)
+    xb = _solve_any(U, tb, use_pallas)
+    return _unpermute_any(U, xb)

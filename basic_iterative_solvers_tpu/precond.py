@@ -132,12 +132,12 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
             pivot_replacement=config.ilu0_pivot_replacement)
         if spec is not None:
             from .ops.block_trisolve import (BlockIneligibleError,
-                                             build_blocked_trisolve)
+                                             build_best_trisolve)
             try:
                 return Preconditioner(
-                    L_block=build_blocked_trisolve(
+                    L_block=build_best_trisolve(
                         L_s, None, colors, spec, upper=False, dtype=dtype),
-                    U_block=build_blocked_trisolve(
+                    U_block=build_best_trisolve(
                         U_s, U_D, colors, spec, upper=True, dtype=dtype),
                     color_spec=spec, n_colors=spec.n_colors, **kw)
             except BlockIneligibleError:
@@ -169,17 +169,17 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         colors, spec = _colors_for_setup(A, config)
         if spec is not None:
             from .ops.block_trisolve import (BlockIneligibleError,
-                                             build_blocked_trisolve)
+                                             build_best_trisolve)
             try:
                 need_l = pt != PrecondType.BACKWARDS_GAUSS_SEIDEL
                 need_u = pt != PrecondType.GAUSS_SEIDEL
                 sym = pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL
                 return Preconditioner(
                     A_D=A_D, A_D_inv=A_D_inv,
-                    L_block=(build_blocked_trisolve(
+                    L_block=(build_best_trisolve(
                         A, factors.A_D, colors, spec, upper=False,
                         dtype=dtype, need_d=sym) if need_l else None),
-                    U_block=(build_blocked_trisolve(
+                    U_block=(build_best_trisolve(
                         A, factors.A_D, colors, spec, upper=True,
                         dtype=dtype) if need_u else None),
                     color_spec=spec, n_colors=spec.n_colors, **kw)
@@ -393,12 +393,18 @@ def estimated_precond_passes(M: Preconditioner) -> float:
     if M.L_block is not None or M.U_block is not None:
         # blocked trisolves: each factor plane streams once + window reads
         # (~3 per (level, source) pair) + permute/vector passes
+        from .ops.block_trisolve import SuperBlockTriSolve
         per = 0.0
         for B in (M.L_block, M.U_block):
             if B is None:
                 continue
-            n_pairs = sum(len({s for s, _, _ in g}) for _, g in B.levels)
-            per += (len(B.vals) + 3.0 * n_pairs) / B.n_colors + 5.0
+            if isinstance(B, SuperBlockTriSolve):
+                n_groups = sum(len(c) + len(s) for _, c, s in B.levels)
+                n_pairs = sum(len({s for s, _ in c}) for _, c, _s in B.levels)
+                per += (n_groups + 3.0 * n_pairs) / B.S + 5.0
+            else:
+                n_pairs = sum(len({s for s, _, _ in g}) for _, g in B.levels)
+                per += (len(B.vals) + 3.0 * n_pairs) / B.n_colors + 5.0
         if M.ptype == PrecondType.SYMMETRIC_GAUSS_SEIDEL:
             per += 1.0
         return per * max(1, M.outer_iters)

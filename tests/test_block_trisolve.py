@@ -82,6 +82,65 @@ def test_blocked_solves_match_dense_oracle(src, spec, rng):
     np.testing.assert_allclose(z, sgs_ref, rtol=1e-12, atol=1e-12)
 
 
+SUPER_CASES = [
+    "hpcg:4x6x8",     # nx=4 divides 128; ny=6, nz=8 with strides 2
+    "hpcg:8x8x8",
+    "fdm:8",
+]
+
+
+@pytest.mark.parametrize("src", SUPER_CASES)
+def test_superblock_matches_dense_oracle(src, rng):
+    from basic_iterative_solvers_tpu.ops.block_trisolve import (
+        SuperBlockTriSolve, _permute_super, _unpermute_super,
+        build_superblock_trisolve)
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    n = A.n_rows
+    colors = spec_colors_np(spec, n)
+    D = _diag(A)
+    perm, _ = colors_to_perm(colors)
+    Ap = _dense(A)[np.ix_(perm, perm)]
+    Dp = np.diag(np.diag(Ap))
+    y = rng.standard_normal(n)
+
+    L = build_superblock_trisolve(A, D, colors, spec, upper=False,
+                                  dtype=np.float64, need_d=True)
+    U = build_superblock_trisolve(A, D, colors, spec, upper=True,
+                                  dtype=np.float64)
+    assert isinstance(L, SuperBlockTriSolve)
+
+    rt = np.asarray(_unpermute_super(L, _permute_super(L, jnp.asarray(y))))
+    np.testing.assert_array_equal(rt, y)
+
+    x_ref_p = np.linalg.solve(np.tril(Ap, -1) + Dp, y[perm])
+    x_ref = np.empty(n)
+    x_ref[perm] = x_ref_p
+    x = np.asarray(blocked_trisolve(L, jnp.asarray(y), use_pallas=False))
+    np.testing.assert_allclose(x, x_ref, rtol=1e-12, atol=1e-12)
+
+    sgs_ref_p = np.linalg.solve(np.triu(Ap, 1) + Dp, Dp @ x_ref_p)
+    sgs_ref = np.empty(n)
+    sgs_ref[perm] = sgs_ref_p
+    z = np.asarray(blocked_sgs(L, U, jnp.asarray(y), use_pallas=False))
+    np.testing.assert_allclose(z, sgs_ref, rtol=1e-12, atol=1e-12)
+
+
+def test_superblock_ineligible_nx():
+    """nx not dividing the lane width falls back to the rank-space form."""
+    from basic_iterative_solvers_tpu.ops.block_trisolve import (
+        BlockedTriSolve, build_best_trisolve, build_superblock_trisolve)
+    src = "hpcg:6x4x8"      # nx=6 does not divide 128
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    colors = spec_colors_np(spec, A.n_rows)
+    with pytest.raises(BlockIneligibleError):
+        build_superblock_trisolve(A, _diag(A), colors, spec, upper=False)
+    B = build_best_trisolve(A, _diag(A), colors, spec, upper=False,
+                            dtype=np.float64)
+    assert isinstance(B, BlockedTriSolve)
+
+
 def test_blocked_matches_masked_sweeps(rng):
     """Blocked apply == masked-sweep apply with the SAME colors (the two
     implementations of the identical colored solve)."""
