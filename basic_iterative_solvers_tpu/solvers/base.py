@@ -72,12 +72,20 @@ class SolverSetup:
 def preprocessing(A: MatrixCSR, config: SolverConfig,
                   b: Optional[np.ndarray] = None,
                   x0: Optional[np.ndarray] = None,
-                  timers: Optional[Timers] = None) -> SolverSetup:
+                  timers: Optional[Timers] = None,
+                  A_dev=None) -> SolverSetup:
     """Matrix + RHS + preconditioner setup.
 
     Mirrors reference preprocessing (preprocessing.hpp:26-100): init b/x0
     (B_VAL/INIT_X_VAL), optional symmetric diagonal scaling
     (preprocessing.hpp:39-50), L/U factorization, preconditioner setup.
+
+    `A_dev` injects an already-built device operator for the SAME matrix in
+    the SAME row ordering (e.g. a matrix-free stencil built from the
+    generator source) to serve as setup.A instead of from_csr(A): the host
+    CSR still drives factorization/preconditioner setup, the solve-time
+    SpMV runs matrix-free.  Requires perm_mode == "none" and no numerical
+    scaling (the injected operator would not reflect them).
     """
     timers = timers or Timers()
     dtype = config.spec_dtype()
@@ -136,9 +144,15 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
             check_lu_split_counts(A, factors.L, factors.L_strict,
                                   factors.U, factors.U_strict)
 
+    if A_dev is not None and (config.num_scale
+                              or config.perm_mode != "none"):
+        raise ValueError("A_dev injection requires perm_mode='none' and "
+                         "num_scale=False (the operator would not reflect "
+                         "the transformed matrix)")
     with timers.time("preprocessing_device"):
-        A_dev = from_csr(A, config.mat_dtype(), config.matrix_format,
-                         config.dia_max_diags, config.dia_min_fill)
+        if A_dev is None:
+            A_dev = from_csr(A, config.mat_dtype(), config.matrix_format,
+                             config.dia_max_diags, config.dia_min_fill)
         M = setup_preconditioner(A, config, factors, A_dev=A_dev)
         setup = SolverSetup(
             config=config, A=A_dev, M=M,

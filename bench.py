@@ -122,17 +122,25 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
         precond_inner_iters=args.precond_inner_iters,
         color_spec=bis.generators.color_spec_for_source(args.matrix))
 
+    A_dev_inject = None
     if precond_name == "ILU0":
         # ILU(0) factorization needs the host CSR; multicolor mode keeps
-        # the triangular applies parallel at scale (factor.py)
+        # the triangular applies parallel at scale (factor.py).  The
+        # solve-time operator stays MATRIX-FREE (stencil injection) — only
+        # the factors are materialized.
         import dataclasses as _dc
         cfg = _dc.replace(cfg, gs_mode="colored")
         if is_gen:
             t0 = time.perf_counter()
             A = bis.generators.from_source(args.matrix)
             is_gen = False
+            if bis.stencil_op._GEN_RE.match(args.matrix):
+                A_dev_inject = bis.stencil_op.from_source_operator(
+                    args.matrix, dtype=cfg.mat_dtype())
             log(f"[{method_key}] host CSR for ILU(0): "
-                f"{time.perf_counter() - t0:.1f}s")
+                f"{time.perf_counter() - t0:.1f}s "
+                f"(solve operator: "
+                f"{'matrix-free stencil' if A_dev_inject is not None else 'from_csr'})")
 
     t0 = time.perf_counter()
     # Reference figure setup: b = 2.0, x0 = 1.0 (BASELINE.md).
@@ -144,7 +152,8 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
     else:
         setup = bis.preprocessing(A, cfg,
                                   b=np.full(n_rows, 2.0),
-                                  x0=np.full(n_rows, 1.0))
+                                  x0=np.full(n_rows, 1.0),
+                                  A_dev=A_dev_inject)
     log(f"[{method_key}] preprocessing: {time.perf_counter() - t0:.1f}s "
         f"(device format: {type(setup.A).__name__}, "
         f"precond: {precond_name}, n_colors: {setup.M.n_colors})")
