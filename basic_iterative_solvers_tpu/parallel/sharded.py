@@ -245,15 +245,17 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
     import dataclasses as _dc
 
     from ..device_matrix import DeviceDIA as _DIA
+    from ..ops.lane_ell import DeviceLaneELL as _LELL
     from ..stencil_op import DeviceStencil as _ST
 
     n_dev = mesh.devices.size
     A = setup.A
     # gate on the length of the vectors that will actually be sharded
-    if isinstance(A, (_ST, _DIA)):
+    if isinstance(A, (_ST, _DIA, _LELL)):
         vec_len = setup.b.shape[0]
     else:
-        raise ValueError("shard_setup supports DIA and stencil matrices")
+        raise ValueError(
+            "shard_setup supports DIA, stencil and lane-ELL matrices")
     if vec_len % n_dev:
         raise ValueError(
             f"vector length {vec_len} not divisible by {n_dev} devices")
@@ -273,6 +275,15 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
                 M, coeffs=jax.device_put(M.coeffs, rep_sh),
                 diag=(jax.device_put(M.diag, vec_sh)
                       if M.diag is not None else None))
+        if isinstance(M, _LELL):
+            # slot planes sharded along the x2-row axis when divisible
+            # (else replicated); the sharded path runs the XLA flat-gather
+            # SpMV, whose source vector GSPMD all-gathers — correct on any
+            # pattern, bandwidth-optimal only for row-local ones.
+            sh = (NamedSharding(mesh, P(None, axis, None))
+                  if M.vals.shape[1] % n_dev == 0 else rep_sh)
+            return _dc.replace(M, vals=jax.device_put(M.vals, sh),
+                               idx=jax.device_put(M.idx, sh))
         return _DIA(data=jax.device_put(M.data, mat_sh), offsets=M.offsets,
                     n_rows=M.n_rows, n_cols=M.n_cols, row_tile=M.row_tile)
 

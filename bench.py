@@ -299,6 +299,20 @@ def main():
     for rec in records:
         print(json.dumps(rec), flush=True)
 
+    # exact-ILU(0) flagship row: CG + multicolor incomplete-LU through the
+    # superblock blocked trisolve (the reference can only apply ILU(0)
+    # serially; baseline = its 105.3 ms preconditioned-CG row)
+    if args.precond is None:
+        try:
+            import copy
+            a2 = copy.copy(args)
+            a2.precond = "ilu0"
+            rec = run_one(bis, "pcg", a2, A, is_gen)
+            rec["metric"] = rec["metric"].replace("pcg_", "pcg_ilu0_")
+            print(json.dumps(rec), flush=True)
+        except Exception as e:
+            log(f"[pcg+ilu0] FAILED: {e}")
+
     # capacity row: 56.6M-row CG on one chip — 27x the reference's
     # benchmark size (the reference never showed anything beyond 2.1M rows)
     if not args.no_capacity_row and args.matrix == "hpcg:128x128x128":

@@ -157,3 +157,26 @@ def test_gspmd_colored_gs_solver():
     assert res8.converged
     assert res8.iter_count == res1.iter_count
     np.testing.assert_allclose(res8.x_star, res1.x_star, atol=1e-8)
+
+
+def test_gspmd_lane_ell():
+    """Lane-ELL (general-sparsity) setups shard through shard_setup and
+    reproduce the single-device CG trajectory."""
+    A = bis.generators.from_source("sband:1024,6,40")
+    cfg = bis.SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, tolerance=1e-11,
+                           harness="fused", matrix_format="lane_ell")
+    setup1 = bis.preprocessing(A, cfg)
+    from basic_iterative_solvers_tpu.ops.lane_ell import DeviceLaneELL
+    assert isinstance(setup1.A, DeviceLaneELL)
+    res1 = bis.solve(setup1)
+
+    mesh = make_mesh(8)
+    setup8 = shard_setup(bis.preprocessing(A, cfg), mesh)
+    assert len(setup8.A.vals.addressable_shards) == 8
+    res8 = bis.solve(setup8)
+
+    assert res8.converged and res1.converged
+    assert res8.iter_count == res1.iter_count
+    np.testing.assert_allclose(res8.x_star, res1.x_star, rtol=1e-8,
+                               atol=1e-10)
