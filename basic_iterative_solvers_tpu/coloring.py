@@ -246,6 +246,28 @@ def colored_sweep(A_dev, D_inv: jax.Array, y: jax.Array,
              and use_pallas and jax.default_backend() == "tpu"
              and y.dtype.itemsize <= 4 and _planar_ok(A_dev))
 
+    if fused and spec.kind == "grid" and spec.params[3] > 1:
+        # SUPERSTEPS: colors sharing (cy, cz) — consecutive runs of sx in
+        # the color numbering — are chained in-register inside ONE kernel
+        # pass (their mutual couplings are pure-dx legs; stencil_op kernel
+        # docstring).  8-color sweeps become 4 passes.
+        sx = spec.params[3]
+        groups = [tuple(range(g * sx, (g + 1) * sx))
+                  for g in range(n_colors // sx)]
+        if reverse:
+            groups = [tuple(reversed(g)) for g in reversed(groups)]
+        if x is None:
+            c0 = groups[0][0]
+            mask = color_ids(spec, A_dev) == jnp.int32(c0)
+            x = jnp.where(mask, y * D_inv, jnp.zeros_like(y))
+            rest = groups[0][1:]
+            if rest:
+                x = stencil_gs_color_step(A_dev, x, y, D_inv, spec, rest)
+            groups = groups[1:]
+        for g in groups:
+            x = stencil_gs_color_step(A_dev, x, y, D_inv, spec, g)
+        return x
+
     ids = None
     if not fused:
         ids = color_arr if color_arr is not None else color_ids(spec, A_dev)

@@ -409,8 +409,13 @@ def estimated_precond_passes(M: Preconditioner) -> float:
             per += 1.0
         return per * max(1, M.outer_iters)
     if M.n_colors > 0:
-        # colored sweeps: ~(SpMV + masked update) ≈ 5 passes per color
-        per_sweep = 5.0 * M.n_colors
+        # colored sweeps: ~(SpMV + masked update) ≈ 5 passes per kernel
+        # step; grid-spec supersteps chain sx colors per step
+        n_steps = M.n_colors
+        if (M.color_spec is not None and M.color_spec.kind == "grid"
+                and M.color_spec.params[3] > 1):
+            n_steps = max(1, M.n_colors // M.color_spec.params[3])
+        per_sweep = 5.0 * n_steps
         per = {PrecondType.GAUSS_SEIDEL: per_sweep,
                PrecondType.BACKWARDS_GAUSS_SEIDEL: per_sweep,
                PrecondType.SYMMETRIC_GAUSS_SEIDEL: 2 * per_sweep + 1,

@@ -308,7 +308,8 @@ def main():
             a2 = copy.copy(args)
             a2.precond = "ilu0"
             rec = run_one(bis, "pcg", a2, A, is_gen)
-            rec["metric"] = rec["metric"].replace("pcg_", "pcg_ilu0_")
+            assert rec["metric"].startswith("pcg_")
+            rec["metric"] = "pcg_ilu0_" + rec["metric"][len("pcg_"):]
             print(json.dumps(rec), flush=True)
         except Exception as e:
             log(f"[pcg+ilu0] FAILED: {e}")
