@@ -77,57 +77,110 @@ class FusedRunner:
     def __init__(self, setup: SolverSetup, init_state: Callable,
                  iterate: Callable, sample_norm: Callable,
                  final_x: Callable,
-                 restart_fn: Optional[Callable] = None):
+                 restart_state_fn: Optional[Callable] = None,
+                 cycle_len: Optional[int] = None):
         self.setup = setup
         self.final_x = final_x
         config = setup.config
         max_iters = config.max_iters
         k = config.res_check_len
+        # +1: index max_hist is a write-discard slot (see _record)
         max_hist = max_iters * 2 + 2
+
+        def _record(norms_, idx, val, pred):
+            """Unconditional scatter; writes land in the discard slot when
+            `pred` is false — a lax.cond here costs ~hundreds of µs/iter on
+            TPU (pipeline flush + operand marshaling; measured in xprof)."""
+            return norms_.at[jnp.where(pred, idx, jnp.int32(max_hist))].set(
+                val)
+
+        def _sample(state, it, last, norms_, hist):
+            # `last` = the most recently SAMPLED norm: the reference's
+            # residual_norm member refreshes every res_check_len iterations
+            # (sample_residual, solver.hpp:166-171) and the stopping check
+            # reads that member — convergence gates on the sampled value.
+            if k == 1:
+                rn = sample_norm(state)
+                return rn, norms_.at[hist].set(rn), hist + 1
+            do = (it % k) == 0
+            # keep the cond: sample_norm may be a full explicit residual
+            rn = jax.lax.cond(do, sample_norm,
+                              lambda s: s["residual_norm"], state)
+            last = jnp.where(do, rn, last)
+            return (last, _record(norms_, hist, rn, do),
+                    hist + do.astype(jnp.int32))
+
+        def _iter_body(carry):
+            state, it, last, norms_, hist = carry
+            state = iterate(state)
+            it = it + 1
+            last, norms_, hist = _sample(state, it, last, norms_, hist)
+            return (state, it, last, norms_, hist)
 
         def run(state0):
             r0 = state0["residual_norm"]
             stopping = config.tolerance * r0
-            norms = jnp.zeros(max_hist, dtype=r0.dtype).at[0].set(r0)
+            norms = jnp.zeros(max_hist + 1, dtype=r0.dtype).at[0].set(r0)
 
-            # `last` = the most recently SAMPLED norm: the reference's
-            # residual_norm member is refreshed only every res_check_len
-            # iterations (sample_residual, solver.hpp:166-171), and its
-            # stopping check reads that member — so convergence must gate on
-            # the sampled value, not the per-iteration recurrence norm.
-            def cond(carry):
-                state, it, last, norms_, hist, restarts = carry
-                not_conv = jnp.abs(last) >= stopping
-                under_max = it < (max_iters - restarts)
-                return not_conv & under_max & jnp.isfinite(last)
+            if restart_state_fn is None:
+                def cond(carry):
+                    state, it, last, norms_, hist = carry
+                    return ((jnp.abs(last) >= stopping)
+                            & (it < max_iters) & jnp.isfinite(last))
 
-            def body(carry):
+                state, it, last, norms, hist = jax.lax.while_loop(
+                    cond, _iter_body,
+                    (state0, jnp.int32(0), r0, norms, jnp.int32(1)))
+                state = dict(state, residual_norm=last)
+                return state, it, norms, hist, jnp.int32(0), stopping
+
+            # Restarted methods (GMRES): CYCLE-structured loops — an outer
+            # while over restart cycles, an inner while over the ≤ m
+            # iterations of one cycle.  The restart branch (explicit x,
+            # full residual, Krylov reset) then sits OUTSIDE the hot loop:
+            # a per-iteration lax.cond costs ~0.2 ms AND blocks in-place
+            # reuse of the basis (its operands get defensive copies).
+            m = cycle_len
+
+            def outer_cond(carry):
                 state, it, last, norms_, hist, restarts = carry
-                state = iterate(state)
-                it = it + 1
-                do_sample = (it % k) == 0
-                rn = jax.lax.cond(do_sample, lambda s: sample_norm(s),
-                                  lambda s: s["residual_norm"], state)
-                last = jnp.where(do_sample, rn, last)
-                norms_ = jax.lax.cond(
-                    do_sample, lambda m: m.at[hist].set(rn),
-                    lambda m: m, norms_)
-                hist = hist + do_sample.astype(jnp.int32)
-                if restart_fn is not None:
-                    state, restarted = restart_fn(state, it, stopping, last)
-                    restarts = restarts + restarted.astype(jnp.int32)
-                    last = jnp.where(restarted, state["residual_norm"], last)
-                    norms_ = jax.lax.cond(
-                        restarted,
-                        lambda m: m.at[hist].set(state["residual_norm"]),
-                        lambda m: m, norms_)
-                    hist = hist + restarted.astype(jnp.int32)
+                return ((jnp.abs(last) >= stopping)
+                        & (it < max_iters - restarts) & jnp.isfinite(last))
+
+            def outer_body(carry):
+                state, it, last, norms_, hist, restarts = carry
+
+                def inner_cond(c):
+                    state, it, last, norms_, hist, j = c
+                    return ((j < m) & (jnp.abs(last) >= stopping)
+                            & (it < max_iters - restarts)
+                            & jnp.isfinite(last))
+
+                def inner_body(c):
+                    state, it, last, norms_, hist, j = c
+                    state, it, last, norms_, hist = _iter_body(
+                        (state, it, last, norms_, hist))
+                    return (state, it, last, norms_, hist, j + 1)
+
+                state, it, last, norms_, hist, j = jax.lax.while_loop(
+                    inner_cond, inner_body,
+                    (state, it, last, norms_, hist, jnp.int32(0)))
+                # reference restart condition (gmres.hpp:388-415): a full
+                # cycle completed and the sampled norm has not converged
+                do = ((j == m) & (jnp.abs(last) >= stopping)
+                      & jnp.isfinite(last))
+                state = jax.lax.cond(do, restart_state_fn,
+                                     lambda s: s, state)
+                restarts = restarts + do.astype(jnp.int32)
+                last = jnp.where(do, state["residual_norm"], last)
+                norms_ = _record(norms_, hist, state["residual_norm"], do)
+                hist = hist + do.astype(jnp.int32)
                 return (state, it, last, norms_, hist, restarts)
 
             carry = (state0, jnp.int32(0), r0, norms, jnp.int32(1),
                      jnp.int32(0))
             state, it, last, norms, hist, restarts = jax.lax.while_loop(
-                cond, body, carry)
+                outer_cond, outer_body, carry)
             state = dict(state, residual_norm=last)
             return state, it, norms, hist, restarts, stopping
 
@@ -176,7 +229,8 @@ class FusedRunner:
 
 def fused_solve(setup: SolverSetup, init_state: Callable, iterate: Callable,
                 sample_norm: Callable, final_x: Callable,
-                restart_fn: Optional[Callable] = None,
+                restart_state_fn: Optional[Callable] = None,
+                cycle_len: Optional[int] = None,
                 cache_on=None) -> SolveResult:
     """One-shot helper; pass `cache_on` (the method instance) to memoize the
     compiled runner across solve() calls."""
@@ -184,8 +238,8 @@ def fused_solve(setup: SolverSetup, init_state: Callable, iterate: Callable,
         runner = getattr(cache_on, "_fused_runner", None)
         if runner is None:
             runner = FusedRunner(setup, init_state, iterate, sample_norm,
-                                 final_x, restart_fn)
+                                 final_x, restart_state_fn, cycle_len)
             cache_on._fused_runner = runner
         return runner.run()
     return FusedRunner(setup, init_state, iterate, sample_norm, final_x,
-                       restart_fn).run()
+                       restart_state_fn, cycle_len).run()

@@ -308,15 +308,6 @@ class GMRESMethod:
             return state, True, float(state["residual_norm"])
         return state, False, residual_norm
 
-    def _fused_restart(self, state, it, stopping, last_sampled):
-        cycle = jnp.logical_and((it % self.m) == 0, it > 0)
-        # convergence gate uses the last SAMPLED norm (reference
-        # check_restart reads the sampled residual_norm member)
-        do = (cycle & (jnp.abs(last_sampled) >= stopping)
-              & jnp.isfinite(last_sampled))
-        state = jax.lax.cond(do, self._restart_state, lambda s: s, state)
-        return state, do
-
     def debug_check(self, state, iter_count):
         """SanityChecker analogs (reference common.hpp:428-530, run under
         IF_DEBUG_MODE at gmres.hpp:50,120): V-orthonormality of the current
@@ -351,4 +342,5 @@ class GMRESMethod:
     def solve_fused(self):
         return fused_solve(self.setup, self.init_state, self.iterate,
                            self.sample_norm, self.final_x,
-                           restart_fn=self._fused_restart, cache_on=self)
+                           restart_state_fn=self._restart_state,
+                           cycle_len=self.m, cache_on=self)
