@@ -52,6 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .matrix import MatrixCSR
+from .ops.pallas_env import pallas_capable as _pallas_capable
 
 
 @dataclasses.dataclass(frozen=True)
@@ -243,7 +244,7 @@ def colored_sweep(A_dev, D_inv: jax.Array, y: jax.Array,
     # iota arithmetic in-kernel, so the step reads x/y/D⁻¹ and writes x'.
     fused = (spec is not None and spec.kind in ("grid", "parity")
              and isinstance(A_dev, DeviceStencil) and A_dev.planar
-             and use_pallas and jax.default_backend() == "tpu"
+             and use_pallas and _pallas_capable()
              and y.dtype.itemsize <= 4 and _planar_ok(A_dev))
 
     if fused and spec.kind == "grid" and spec.params[3] > 1:

@@ -41,6 +41,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..matrix import MatrixCSR
+from . import pallas_env
+from .pallas_env import pallas_capable
 from .pallas_spmv import _VMEM_LIMIT
 
 LANES = 128
@@ -340,6 +342,7 @@ def _level_pallas(B, groups, y_blk, dinv_blk, xb):
             * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
     )(*operands)
 
 
@@ -654,7 +657,7 @@ def _super_level_pallas(B, li, y_blk, X):
                                                 jnp.int32(0))))
         operands.append(valss)
     x_index = len(operands)
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands.append(X)
 
     scratch = []
@@ -669,7 +672,7 @@ def _super_level_pallas(B, li, y_blk, X):
     return pl.pallas_call(
         kernel, grid=(grid_n,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
         input_output_aliases={x_index: 0},
         scratch_shapes=scratch,
@@ -679,11 +682,12 @@ def _super_level_pallas(B, li, y_blk, X):
             * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
     )(*operands)
 
 
 def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
-    pallas_ok = (use_pallas and jax.default_backend() == "tpu"
+    pallas_ok = (use_pallas and pallas_capable()
                  and yb[0].dtype.itemsize <= 4)
     if not pallas_ok:
         xb = [None] * B.S
@@ -734,7 +738,7 @@ def build_best_trisolve(T: MatrixCSR, D, colors, spec, *, upper: bool,
 def solve_blocks(B: BlockedTriSolve, yb, use_pallas: bool = True):
     """Level loop on block-layout rhs; returns x blocks (list, color order
     indices — element c is color c's block)."""
-    pallas_ok = (use_pallas and jax.default_backend() == "tpu"
+    pallas_ok = (use_pallas and pallas_capable()
                  and yb[0].dtype.itemsize <= 4)
     xb = [None] * B.n_colors
     for c, groups in B.levels:

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..matrix import MatrixCSR
+from . import pallas_env
 from .pallas_spmv import _VMEM_LIMIT
 
 #: lanes per x2 row (the TPU vreg minor dimension)
@@ -232,6 +233,7 @@ def lane_ell_spmv_pallas(M: DeviceLaneELL, x: jax.Array) -> jax.Array:
                             + 2 * R * LANES * itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
     )(M.vals, M.idx, x2, x2, x2)
     return y2.reshape(-1)[:M.n_rows]
 
@@ -241,7 +243,6 @@ def lane_ell_spmv(M: DeviceLaneELL, x: jax.Array,
     """Clamped-window eligibility: the 3-block window covers shifts |s| ≤ TB;
     edge clamping is safe because rows whose sources would fall outside
     [0, R) do not exist (rowoff never crosses the matrix boundary)."""
-    if (use_pallas and jax.default_backend() == "tpu"
-            and x.dtype.itemsize <= 4):
+    if use_pallas and pallas_env.pallas_capable() and x.dtype.itemsize <= 4:
         return lane_ell_spmv_pallas(M, x)
     return lane_ell_spmv_xla(M, x)

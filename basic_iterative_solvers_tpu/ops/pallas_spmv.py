@@ -25,6 +25,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from . import pallas_env
+
 #: minimum rows per grid step (multiple of the 8x128 f32 tile)
 MIN_ROW_TILE = 8192
 
@@ -83,7 +85,7 @@ def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
     d_itemsize = A.data.dtype.itemsize
     # data + xlo + xhi (+y), all double-buffered by the Pallas pipeline
     vmem_need = 2 * (k * R * d_itemsize + 3 * R * itemsize)
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = pallas_env.pallas_capable()
     # Mosaic has no f64 register tiling — 8-byte dtypes take the XLA path.
     # Narrower matrix data (bf16 mode) is fine: products promote to x.dtype.
     if ((npad % R != 0) or (hneg + hpos) > R or vmem_need > VMEM_BUDGET
@@ -119,5 +121,6 @@ def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
             bytes_accessed=k * npad * d_itemsize + 3 * n * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
     )(A.data, xp, xp)
     return y[:n]

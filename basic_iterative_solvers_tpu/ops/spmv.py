@@ -16,6 +16,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from . import pallas_env
+
 from ..device_matrix import DeviceDIA, DeviceELL
 
 
@@ -70,7 +72,7 @@ def _spmv_impl(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
 def _fused_dots_capable(A, x, use_pallas):
     from ..stencil_op import DeviceStencil, _planar_ok
     return (isinstance(A, DeviceStencil) and A.planar and use_pallas
-            and jax.default_backend() == "tpu" and x.dtype.itemsize <= 4
+            and pallas_env.pallas_capable() and x.dtype.itemsize <= 4
             and _planar_ok(A))
 
 

@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .ops import pallas_env as _pallas_env
+
 from .device_matrix import DeviceDIA
 from .ops.pallas_spmv import MIN_ROW_TILE, _VMEM_LIMIT
 
@@ -440,6 +442,7 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
             bytes_accessed=(2 + has_diag + has_aux) * rows_pad * L * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_pallas_env.INTERPRET,
     )(*args)
     y = outs[0].reshape(-1)
     if not dots:
@@ -505,6 +508,7 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
             bytes_accessed=(4 + has_diag) * rows_pad * L * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_pallas_env.INTERPRET,
     )(*args)
     return out.reshape(-1)
 
@@ -572,7 +576,8 @@ def stencil_spmv_xla(A: DeviceStencil, x: jax.Array) -> jax.Array:
 
 def stencil_spmv(A: DeviceStencil, x: jax.Array,
                  use_pallas: bool = True) -> jax.Array:
-    on_tpu_pallas = (use_pallas and jax.default_backend() == "tpu"
+    from .ops import pallas_env
+    on_tpu_pallas = (use_pallas and pallas_env.pallas_capable()
                      and x.dtype.itemsize <= 4)
     if A.planar:
         if on_tpu_pallas and _planar_ok(A):

@@ -1,0 +1,131 @@
+"""Pallas-kernel coverage on CPU via the interpreter.
+
+The TPU kernels (Mosaic rolls, window slices, async copies, in-place
+aliasing) normally execute only on real hardware; these tests run the
+ACTUAL kernel bodies through `pallas_call(interpret=True)` and pin them
+against the XLA fallback implementations — the CI tier for the code the
+fallbacks bypass.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import basic_iterative_solvers_tpu as bis
+from basic_iterative_solvers_tpu.ops import pallas_env
+
+
+@pytest.fixture
+def interpret():
+    pallas_env.INTERPRET = True
+    try:
+        yield
+    finally:
+        pallas_env.INTERPRET = False
+
+
+def test_dia_kernel_interpret(interpret, rng):
+    from basic_iterative_solvers_tpu.dia import from_source_device
+    from basic_iterative_solvers_tpu.ops.spmv import spmv
+    A = from_source_device("band:700,2", dtype=np.float32)
+    x = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    y_k = np.asarray(spmv(A, x, use_pallas=True))
+    y_x = np.asarray(spmv(A, x, use_pallas=False))
+    np.testing.assert_allclose(y_k, y_x, rtol=2e-6, atol=1e-6)
+
+
+def test_stencil_resident_kernel_interpret(interpret, rng):
+    from basic_iterative_solvers_tpu.stencil_op import (
+        from_source_operator, stencil_spmv_resident,
+        stencil_spmv_resident_xla, to_planar_matrix, to_planar_vec)
+    A = to_planar_matrix(from_source_operator("hpcg:8x6x4",
+                                              dtype=np.float32))
+    xp = to_planar_vec(A, jnp.asarray(
+        rng.standard_normal(A.n_rows).astype(np.float32)))
+    y_k = np.asarray(stencil_spmv_resident(A, xp))
+    y_x = np.asarray(stencil_spmv_resident_xla(A, xp))
+    np.testing.assert_allclose(y_k, y_x, rtol=2e-6, atol=1e-5)
+
+
+def test_fused_gs_superstep_interpret(interpret, rng):
+    """The fused masked-sweep kernel incl. the in-register x-parity chain
+    equals the unfused (SpMV + masked update) sweep."""
+    from basic_iterative_solvers_tpu.coloring import (colored_sweep,
+                                                      spec_for_device)
+    from basic_iterative_solvers_tpu.stencil_op import (
+        from_source_operator, stencil_diag_vec, to_planar_matrix,
+        to_planar_vec)
+    A = to_planar_matrix(from_source_operator("hpcg:8x6x4",
+                                              dtype=np.float32))
+    spec = spec_for_device(A)
+    assert spec.kind == "grid" and spec.params[3] == 2
+    D = stencil_diag_vec(A)
+    D_inv = jnp.where(D != 0, 1.0 / D, 1.0).astype(np.float32)
+    y = to_planar_vec(A, jnp.asarray(
+        rng.standard_normal(A.n_rows).astype(np.float32)))
+    for reverse in (False, True):
+        z_f = colored_sweep(A, D_inv, y, None, spec, None, spec.n_colors,
+                            reverse=reverse, use_pallas=True)
+        z_x = colored_sweep(A, D_inv, y, None, spec, None, spec.n_colors,
+                            reverse=reverse, use_pallas=False)
+        np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_x),
+                                   rtol=2e-5, atol=1e-5)
+
+
+def test_lane_ell_kernel_interpret(interpret, rng):
+    from basic_iterative_solvers_tpu.ops.lane_ell import (csr_to_lane_ell,
+                                                          lane_ell_spmv)
+    A = bis.generators.from_source("sband:1500,5,60")
+    M = csr_to_lane_ell(A, dtype=np.float32)
+    x = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    y_k = np.asarray(lane_ell_spmv(M, x, use_pallas=True))
+    y_x = np.asarray(lane_ell_spmv(M, x, use_pallas=False))
+    np.testing.assert_allclose(y_k, y_x, rtol=2e-5, atol=1e-5)
+
+
+def test_superblock_trisolve_kernel_interpret(interpret, rng):
+    from basic_iterative_solvers_tpu.ops.block_trisolve import (
+        SuperBlockTriSolve, blocked_sgs, blocked_trisolve,
+        build_superblock_trisolve, spec_colors_np)
+    src = "hpcg:8x8x8"
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    colors = spec_colors_np(spec, A.n_rows)
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    D = np.zeros(A.n_rows)
+    D[rows[A.col == rows]] = A.val[A.col == rows]
+    L = build_superblock_trisolve(A, D, colors, spec, upper=False,
+                                  dtype=np.float32, need_d=True)
+    U = build_superblock_trisolve(A, D, colors, spec, upper=True,
+                                  dtype=np.float32)
+    assert isinstance(L, SuperBlockTriSolve)
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(blocked_trisolve(L, y, use_pallas=True)),
+        np.asarray(blocked_trisolve(L, y, use_pallas=False)),
+        rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(blocked_sgs(L, U, y, use_pallas=True)),
+        np.asarray(blocked_sgs(L, U, y, use_pallas=False)),
+        rtol=2e-5, atol=1e-5)
+
+
+def test_rankspace_trisolve_kernel_interpret(interpret, rng):
+    from basic_iterative_solvers_tpu.coloring import mod_color_spec
+    from basic_iterative_solvers_tpu.ops.block_trisolve import (
+        BlockedTriSolve, blocked_trisolve, build_blocked_trisolve,
+        spec_colors_np)
+    A = bis.generators.from_source("band:900,2")
+    spec = mod_color_spec([1, 2], A.n_rows)
+    colors = spec_colors_np(spec, A.n_rows)
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    D = np.zeros(A.n_rows)
+    D[rows[A.col == rows]] = A.val[A.col == rows]
+    B = build_blocked_trisolve(A, D, colors, spec, upper=False,
+                               dtype=np.float32)
+    assert isinstance(B, BlockedTriSolve)
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(blocked_trisolve(B, y, use_pallas=True)),
+        np.asarray(blocked_trisolve(B, y, use_pallas=False)),
+        rtol=2e-5, atol=1e-5)
