@@ -296,6 +296,16 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
             return jax.device_put(v, vec_sh)
         return jax.device_put(v, NamedSharding(mesh, P()))
 
+    def place_rep(tree):
+        # blocked-trisolve pytrees: value planes replicated (their slot
+        # axis is color-permuted — not the row partition); the XLA
+        # fallback solve then runs replicated per chip, which is correct
+        # and costs one all-gather-free pass (preconditioner applies are
+        # elementwise+shift chains, no cross-shard state)
+        if tree is None:
+            return None
+        return jax.tree.map(lambda a: jax.device_put(a, rep_sh), tree)
+
     M = setup.M
     M_sh = _dc.replace(
         M, use_pallas=False,
@@ -303,6 +313,7 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS):
         L_strict_dev=place_mat(M.L_strict_dev),
         U_strict_dev=place_mat(M.U_strict_dev),
         A_full_dev=place_mat(M.A_full_dev),
+        L_block=place_rep(M.L_block), U_block=place_rep(M.U_block),
         color_arr=place_vec(M.color_arr))
     cfg = _dc.replace(setup.config, use_pallas=False)
     return _dc.replace(

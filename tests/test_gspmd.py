@@ -180,3 +180,25 @@ def test_gspmd_lane_ell():
     assert res8.iter_count == res1.iter_count
     np.testing.assert_allclose(res8.x_star, res1.x_star, rtol=1e-8,
                                atol=1e-10)
+
+
+def test_gspmd_blocked_ilu0():
+    """Exact colored ILU(0) through the blocked trisolve under GSPMD:
+    the solve shards row-wise, the factor planes run replicated."""
+    src = "hpcg:8x8x8"
+    cfg = bis.SolverConfig(
+        method=SolverType.CONJUGATE_GRADIENT,
+        preconditioner=PrecondType.ILU0, gs_mode="colored",
+        dtype=np.float64, tolerance=1e-10, harness="fused",
+        color_spec=bis.generators.color_spec_for_source(src))
+    setup1 = bis.preprocessing(bis.generators.from_source(src), cfg)
+    assert setup1.M.L_block is not None
+    res1 = bis.solve(setup1)
+
+    setup8 = shard_setup(bis.preprocessing(
+        bis.generators.from_source(src), cfg), make_mesh(8))
+    res8 = bis.solve(setup8)
+    assert res8.converged and res1.converged
+    assert res8.iter_count == res1.iter_count
+    np.testing.assert_allclose(res8.x_star, res1.x_star, rtol=1e-8,
+                               atol=1e-10)
