@@ -240,18 +240,10 @@ def factor_ilu0_colored(A: MatrixCSR, colors: np.ndarray,
 
     Returns (L_strict, U_strict, U_D) in the original ordering.
     """
-    from .coloring import colors_to_perm
-    from .permute import permute_csr
-
-    perm, inv = colors_to_perm(colors)
-    Ap = permute_csr(A, perm, inv)
-    lu_val_p = _ilu0_values(Ap, pivot_tolerance, pivot_replacement)
-
-    # Map factored values back to original coordinates.
+    rows_o, cols_o, lu_val_p, U_D = factor_ilu0_colored_triplets(
+        A, colors, pivot_tolerance=pivot_tolerance,
+        pivot_replacement=pivot_replacement)
     n = A.n_rows
-    rows_p = np.repeat(np.arange(n, dtype=np.int64), Ap.row_nnz())
-    rows_o = perm[rows_p].astype(np.int64)
-    cols_o = perm[Ap.col].astype(np.int64)
     ci, cj = colors[rows_o], colors[cols_o]
 
     def build(mask):
@@ -260,12 +252,33 @@ def factor_ilu0_colored(A: MatrixCSR, colors: np.ndarray,
                                     lu_val_p[mask], n_rows=n, n_cols=n)
         return convert_coo_to_csr(coo)
 
-    L_strict = build(cj < ci)
-    U_strict = build(cj > ci)
+    return build(cj < ci), build(cj > ci), U_D
+
+
+def factor_ilu0_colored_triplets(A: MatrixCSR, colors: np.ndarray,
+                                 pivot_tolerance: float = 1e-8,
+                                 pivot_replacement: float = 1e-4):
+    """Colored ILU(0) factor values as raw triplets in the original
+    ordering: (rows, cols, vals, U_D).  The triplets carry ALL factor
+    entries (L, U and the diagonal); consumers split by color comparison.
+    This avoids the two 27M-entry COO→CSR sorts of factor_ilu0_colored —
+    the blocked-trisolve builders group entries themselves and never need
+    CSR structure."""
+    from .coloring import colors_to_perm
+    from .permute import permute_csr
+
+    perm, inv = colors_to_perm(colors)
+    Ap = permute_csr(A, perm, inv)
+    lu_val_p = _ilu0_values(Ap, pivot_tolerance, pivot_replacement)
+
+    n = A.n_rows
+    rows_p = np.repeat(np.arange(n, dtype=np.int64), Ap.row_nnz())
+    rows_o = perm[rows_p].astype(np.int64)
+    cols_o = perm[Ap.col].astype(np.int64)
     diag_mask = rows_o == cols_o
     U_D = np.zeros(n, dtype=np.float64)
     U_D[rows_o[diag_mask]] = lu_val_p[diag_mask]
-    return L_strict, U_strict, U_D
+    return rows_o, cols_o, lu_val_p, U_D
 
 
 def _ilu0_values(A: MatrixCSR, pivot_tolerance: float,

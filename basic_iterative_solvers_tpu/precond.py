@@ -125,23 +125,37 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         # apply the strict factors as blocked trisolves (spec colorings —
         # factors stream once per solve) or masked sweeps (greedy colors —
         # #colors full-operator SpMV steps per solve).
-        from .factor import factor_ilu0_colored
+        from .factor import factor_ilu0_colored_triplets
         colors, spec = _colors_for_setup(A, config)
-        L_s, U_s, U_D = factor_ilu0_colored(
+        rows_o, cols_o, lu_vals, U_D = factor_ilu0_colored_triplets(
             A, colors, pivot_tolerance=config.ilu0_pivot_tolerance,
             pivot_replacement=config.ilu0_pivot_replacement)
+        trip = (rows_o, cols_o, lu_vals, A.n_rows)
         if spec is not None:
             from .ops.block_trisolve import (BlockIneligibleError,
                                              build_best_trisolve)
             try:
+                # triplet form: the builders split L/U by color comparison
+                # themselves — no CSR assembly of the factors at all
                 return Preconditioner(
                     L_block=build_best_trisolve(
-                        L_s, None, colors, spec, upper=False, dtype=dtype),
+                        trip, None, colors, spec, upper=False, dtype=dtype),
                     U_block=build_best_trisolve(
-                        U_s, U_D, colors, spec, upper=True, dtype=dtype),
+                        trip, U_D, colors, spec, upper=True, dtype=dtype),
                     color_spec=spec, n_colors=spec.n_colors, **kw)
             except BlockIneligibleError:
                 pass
+        # masked-sweep fallback needs the factors as device matrices
+        from .matrix import MatrixCOO, convert_coo_to_csr
+        ci, cj = colors[rows_o], colors[cols_o]
+
+        def _csr(mask):
+            coo = MatrixCOO.from_arrays(rows_o[mask], cols_o[mask],
+                                        lu_vals[mask], n_rows=A.n_rows,
+                                        n_cols=A.n_cols)
+            return convert_coo_to_csr(coo)
+
+        L_s, U_s = _csr(cj < ci), _csr(cj > ci)
         fmt_args = (mat_dtype, config.matrix_format, config.dia_max_diags,
                     config.dia_min_fill)
         return Preconditioner(
