@@ -65,13 +65,18 @@ class GMRESMethod:
         # vectors are halo-padded)
         m, n = self.m, self.setup.b.shape[0]
         vdt = self.basis_dtype or dtype
-        V = jnp.zeros((m + 1, n), dtype=vdt).at[0].set(
-            (r_prec / beta).astype(vdt))
+        v0 = (r_prec / beta).astype(vdt)
+        V = jnp.zeros((m + 1, n), dtype=vdt).at[0].set(v0)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         Q = jnp.eye(m + 1, dtype=dtype)
         g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        # v_cur carries the CURRENT basis vector so the hot loop never
+        # extracts a row from V (a single-row dynamic-slice of the tiled
+        # (m+1, n) array costs ~120 µs at 2M rows — measured in xprof);
+        # it holds exactly the stored (basis-dtype-rounded) values, so the
+        # iteration is bit-identical to reading V[j].
         state = {"x_old": x, "V": V, "H": H, "Q": Q, "g": g,
-                 "beta": beta, "j": jnp.int32(0)}
+                 "beta": beta, "j": jnp.int32(0), "v_cur": v0}
         if self.orthog == "lowsync":
             # running Gram matrix G = V·Vᵀ of the computed basis (lowsync
             # CGS2's reorthogonalization correction operand)
@@ -101,7 +106,7 @@ class GMRESMethod:
                             state["beta"])
         # w = M⁻¹ A v_j (gmres.hpp:168-176); the stored basis row is
         # upcast to the solve dtype for the operator apply
-        vj = jnp.take(V, j, axis=0)
+        vj = state["v_cur"]
         w = spmv(self.A, vj.astype(self.b.dtype), self.use_pallas)
         w = apply_preconditioner(self.M, w)
         sdtype = w.dtype                     # solve dtype (small quantities)
@@ -224,7 +229,8 @@ class GMRESMethod:
         # before the row is ever used as a direction).
         v_next = jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1.0),
                            0.0)
-        V = V.at[j + 1].set(v_next.astype(V.dtype))   # gmres.hpp:43-46
+        v_next = v_next.astype(V.dtype)
+        V = V.at[j + 1].set(v_next)                   # gmres.hpp:43-46
 
         extra = {}
         if self.orthog == "lowsync":
@@ -255,7 +261,7 @@ class GMRESMethod:
         g, rn = ktime("update_g", update_g, Q, beta)
 
         return dict(state, V=V, H=H, Q=Q, g=g, j=j + 1, residual_norm=rn,
-                    **extra)
+                    v_cur=v_next, **extra)
 
     def sample_norm(self, state):
         return state["residual_norm"]
