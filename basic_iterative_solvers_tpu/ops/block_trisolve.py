@@ -59,6 +59,12 @@ class BlockIneligibleError(ValueError):
     """Raised when a matrix/coloring cannot use the blocked form."""
 
 
+class ImproperColoringError(BlockIneligibleError):
+    """The supplied coloring couples same-colored rows — the colors
+    themselves are invalid for this matrix (not just the blocked layout);
+    callers must recolor, not merely fall back to masked sweeps."""
+
+
 def _entries_of(T):
     """(rows, cols, vals, n) from a MatrixCSR or a raw triplet tuple
     (rows, cols, vals, n) — the triplet form skips CSR assembly entirely
@@ -163,28 +169,36 @@ def build_blocked_trisolve(T, D: Optional[np.ndarray],
     """
     rows, cols, vals, n = _entries_of(T)
     C = spec.n_colors
+    # Properness FIRST, structure second: every raise after this point
+    # means "the colors are valid, the blocked layout is not" — callers may
+    # then safely fall back to masked sweeps WITH these colors (any proper
+    # coloring gives an exact colored solve), instead of recoloring.
+    ci = colors[rows].astype(np.int64)
+    cj = colors[cols].astype(np.int64)
+    if np.any((ci == cj) & (rows != cols)):
+        raise ImproperColoringError(
+            "coloring is not proper for this pattern")
     m = _check_spec(spec, n)
     if C != int(colors.max()) + 1 and n:
         # colors must come from this spec
         raise BlockIneligibleError("colors/spec mismatch")
 
-    # rank = position within the color class, natural order (stable sort) —
-    # identical to colors_to_perm ranks and to the reshape/transpose layout.
-    order = np.argsort(colors, kind="stable")
-    counts = np.bincount(colors, minlength=C)
-    starts = np.concatenate([[0], np.cumsum(counts)])
-    rank = np.empty(n, dtype=np.int64)
-    rank[order] = np.arange(n, dtype=np.int64) - starts[colors[order]]
+    # rank = position within the color class in natural order — identical
+    # to colors_to_perm ranks and the reshape/transpose layout, computed in
+    # closed form (no O(n log n) sort on the throttled host): mod spec →
+    # i // k; grid spec → rx + mx·ry + mx·my·rz with ra = coord // stride.
+    idx = np.arange(n, dtype=np.int64)
     if spec.kind == "mod":
-        # pad ranks are i//k even for the ragged tail — matches the
-        # reshape(m, k) fast path
-        rank = np.arange(n, dtype=np.int64) // spec.params[0]
+        rank = idx // spec.params[0]
+    else:
+        nx, ny, nz, sx, sy, sz = spec.params
+        mx, my = nx // sx, ny // sy
+        X = idx % nx
+        Y = (idx // nx) % ny
+        Z = idx // (nx * ny)
+        rank = (X // sx) + mx * ((Y // sy) + my * (Z // sz))
 
-    ci = colors[rows].astype(np.int64)
-    cj = colors[cols].astype(np.int64)
     keep = (cj > ci) if upper else (cj < ci)
-    if np.any((ci == cj) & (rows != cols)):
-        raise BlockIneligibleError("coloring is not proper for this pattern")
     rows, cols, ci, cj = rows[keep], cols[keep], ci[keep], cj[keep]
     v = vals[keep]
     delta = rank[cols] - rank[rows]
@@ -463,7 +477,8 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
     cj = colors[cols].astype(np.int64)
     keep = (cj > ci) if upper else (cj < ci)
     if np.any((ci == cj) & (rows != cols)):
-        raise BlockIneligibleError("coloring is not proper for this pattern")
+        raise ImproperColoringError(
+            "coloring is not proper for this pattern")
     rows, cols = rows[keep], cols[keep]
     v = vals[keep]
 
@@ -752,10 +767,40 @@ def build_best_trisolve(T, D, colors, spec, *, upper: bool,
         try:
             return build_superblock_trisolve(T, D, colors, spec, upper=upper,
                                              dtype=dtype, need_d=need_d)
+        except ImproperColoringError:
+            raise
         except BlockIneligibleError:
             pass
     return build_blocked_trisolve(T, D, colors, spec, upper=upper,
                                   dtype=dtype, need_d=need_d)
+
+
+def build_best_trisolve_pair(T, D_L, D_U, colors, spec, *,
+                             dtype=np.float32, need_d: bool = False):
+    """Build the (lower, upper) solve pair in ONE CONSISTENT layout.
+
+    blocked_sgs/blocked_ilu0 feed the L-solve's block-layout output
+    straight into the U-solve, so the two objects must share their layout
+    class and permutation; building them independently could mix a
+    SuperBlockTriSolve L with a rank-space U on matrices where only one
+    triangle trips a superblock-only eligibility check.  Expands the
+    entries once and falls back AS A PAIR."""
+    trip = _entries_of(T)
+    if spec.kind == "grid":
+        try:
+            return (build_superblock_trisolve(trip, D_L, colors, spec,
+                                              upper=False, dtype=dtype,
+                                              need_d=need_d),
+                    build_superblock_trisolve(trip, D_U, colors, spec,
+                                              upper=True, dtype=dtype))
+        except ImproperColoringError:
+            raise
+        except BlockIneligibleError:
+            pass
+    return (build_blocked_trisolve(trip, D_L, colors, spec, upper=False,
+                                   dtype=dtype, need_d=need_d),
+            build_blocked_trisolve(trip, D_U, colors, spec, upper=True,
+                                   dtype=dtype))
 
 
 def solve_blocks(B: BlockedTriSolve, yb, use_pallas: bool = True):

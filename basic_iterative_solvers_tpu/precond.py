@@ -93,12 +93,12 @@ def _colors_for_setup(A: MatrixCSR, config: SolverConfig):
     spec = config.color_spec
     if (spec is not None and config.perm_mode == "none"
             and spec.kind in ("grid", "mod")):
-        from .coloring import check_coloring
         from .ops.block_trisolve import spec_colors_np
         try:
-            colors = spec_colors_np(spec, A.n_rows)
-            if check_coloring(A, colors):
-                return colors, spec
+            # properness is validated per-entry inside the blocked-trisolve
+            # builders (ImproperColoringError → callers recolor greedily);
+            # no separate O(nnz) host pass here
+            return spec_colors_np(spec, A.n_rows), spec
         except ValueError:
             pass
     from .coloring import greedy_coloring
@@ -133,18 +133,29 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         trip = (rows_o, cols_o, lu_vals, A.n_rows)
         if spec is not None:
             from .ops.block_trisolve import (BlockIneligibleError,
-                                             build_best_trisolve)
+                                             ImproperColoringError,
+                                             build_best_trisolve_pair)
             try:
                 # triplet form: the builders split L/U by color comparison
-                # themselves — no CSR assembly of the factors at all
+                # themselves — no CSR assembly of the factors at all; the
+                # PAIR builder guarantees L and U share one block layout
+                L_blk, U_blk = build_best_trisolve_pair(
+                    trip, None, U_D, colors, spec, dtype=dtype)
                 return Preconditioner(
-                    L_block=build_best_trisolve(
-                        trip, None, colors, spec, upper=False, dtype=dtype),
-                    U_block=build_best_trisolve(
-                        trip, U_D, colors, spec, upper=True, dtype=dtype),
+                    L_block=L_blk, U_block=U_blk,
                     color_spec=spec, n_colors=spec.n_colors, **kw)
+            except ImproperColoringError:
+                # the spec does not properly color this matrix — the
+                # factorization itself used invalid colors: recolor
+                # greedily and refactor before the sweep fallback
+                from .coloring import greedy_coloring
+                colors = greedy_coloring(A)
+                rows_o, cols_o, lu_vals, U_D = factor_ilu0_colored_triplets(
+                    A, colors,
+                    pivot_tolerance=config.ilu0_pivot_tolerance,
+                    pivot_replacement=config.ilu0_pivot_replacement)
             except BlockIneligibleError:
-                pass
+                pass   # colors proper, layout ineligible → masked sweeps
         # masked-sweep fallback needs the factors as device matrices
         from .matrix import MatrixCOO, convert_coo_to_csr
         ci, cj = colors[rows_o], colors[cols_o]
@@ -183,24 +194,34 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         colors, spec = _colors_for_setup(A, config)
         if spec is not None:
             from .ops.block_trisolve import (BlockIneligibleError,
-                                             build_best_trisolve)
+                                             ImproperColoringError,
+                                             build_best_trisolve,
+                                             build_best_trisolve_pair)
             try:
-                need_l = pt != PrecondType.BACKWARDS_GAUSS_SEIDEL
-                need_u = pt != PrecondType.GAUSS_SEIDEL
                 sym = pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL
+                if sym:
+                    # blocked_sgs chains L's output into U: one layout
+                    L_blk, U_blk = build_best_trisolve_pair(
+                        A, factors.A_D, factors.A_D, colors, spec,
+                        dtype=dtype, need_d=True)
+                elif pt == PrecondType.GAUSS_SEIDEL:
+                    L_blk, U_blk = build_best_trisolve(
+                        A, factors.A_D, colors, spec, upper=False,
+                        dtype=dtype), None
+                else:                     # BACKWARDS_GAUSS_SEIDEL
+                    L_blk, U_blk = None, build_best_trisolve(
+                        A, factors.A_D, colors, spec, upper=True,
+                        dtype=dtype)
                 return Preconditioner(
                     A_D=A_D, A_D_inv=A_D_inv,
-                    L_block=(build_best_trisolve(
-                        A, factors.A_D, colors, spec, upper=False,
-                        dtype=dtype, need_d=sym) if need_l else None),
-                    U_block=(build_best_trisolve(
-                        A, factors.A_D, colors, spec, upper=True,
-                        dtype=dtype) if need_u else None),
+                    L_block=L_blk, U_block=U_blk,
                     color_spec=spec, n_colors=spec.n_colors, **kw)
-            except BlockIneligibleError:
-                # the spec may not properly color this matrix — re-color
+            except ImproperColoringError:
+                # colors invalid for this matrix — re-color for the sweeps
                 from .coloring import greedy_coloring
                 colors = greedy_coloring(A)
+            except BlockIneligibleError:
+                pass   # colors proper, layout ineligible → sweeps as-is
         if A_dev is None:
             A_dev = from_csr(A, mat_dtype, config.matrix_format,
                              config.dia_max_diags, config.dia_min_fill)

@@ -69,9 +69,11 @@ class FusedRunner:
     """Builds and caches the jitted init + while-loop executables.
 
     init_state() -> state dict with 'residual_norm' set to ||b - A x0||;
-    iterate(state) -> state; sample_norm(state) -> device scalar;
-    restart_fn(state, iter_count, stopping, last_sampled_norm)
-    -> (state, restarted_bool) for GMRES, else None.
+    iterate(state) -> state; sample_norm(state) -> device scalar.
+    Restarted methods (GMRES) pass restart_state_fn(state) -> state (the
+    full restart: explicit x, recomputed residual, Krylov reset) plus
+    cycle_len = m; the runner then loops cycles of up to m iterations and
+    applies the restart once per completed, unconverged cycle.
     """
 
     def __init__(self, setup: SolverSetup, init_state: Callable,

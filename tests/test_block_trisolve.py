@@ -215,6 +215,21 @@ def test_improper_spec_falls_back():
     assert M.L_block is None and M.n_colors >= 3
 
 
+def test_improper_spec_ilu0_refactors():
+    """ILU(0) with an improper spec must RECOLOR AND REFACTOR (the factor
+    values computed under invalid colors are wrong), then still converge
+    through the masked-sweep fallback."""
+    bad = ColorSpec("mod", 2, (2,))
+    cfg = bis.SolverConfig(
+        method=bis.SolverType.CONJUGATE_GRADIENT,
+        preconditioner=bis.PrecondType.ILU0, gs_mode="colored",
+        tolerance=1e-10, dtype=np.float64, color_spec=bad)
+    setup = bis.preprocessing(bis.generators.from_source("band:60,2"), cfg)
+    assert setup.M.L_block is None and setup.M.n_colors >= 3
+    res = bis.solve(setup)
+    assert res.converged
+
+
 def test_ineligible_spec_kinds():
     A = bis.generators.from_source("fdm:6")
     colors = spec_colors_np(ColorSpec("parity", 2, (6, 6, 1)), A.n_rows)
