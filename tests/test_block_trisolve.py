@@ -165,6 +165,29 @@ def test_blocked_matches_masked_sweeps(rng):
             np.asarray(apply_preconditioner(MS, y)), rtol=1e-12, atol=1e-12)
 
 
+def test_superblock_periodic_boundary(rng):
+    """Periodic wrap entries produce whole-block-span deltas — the window
+    sizing must absorb them; apply equals the masked sweeps exactly."""
+    src = ("scamac:Anderson,Lx=8,Ly=8,Lz=8,t=1.0,ranpot=8.0,seed=3,"
+           "boundary=periodic")
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    colors = spec_colors_np(spec, A.n_rows)
+    y = jnp.asarray(rng.standard_normal(A.n_rows))
+    MB = setup_preconditioner(A, bis.SolverConfig(
+        preconditioner=bis.PrecondType.SYMMETRIC_GAUSS_SEIDEL,
+        gs_mode="colored", dtype=np.float64, color_spec=spec))
+    assert MB.L_block is not None
+    MS = setup_preconditioner(A, bis.SolverConfig(
+        preconditioner=bis.PrecondType.SYMMETRIC_GAUSS_SEIDEL,
+        gs_mode="colored", dtype=np.float64))
+    MS = dataclasses.replace(MS, color_arr=jnp.asarray(colors),
+                             n_colors=spec.n_colors)
+    np.testing.assert_allclose(
+        np.asarray(apply_preconditioner(MB, y)),
+        np.asarray(apply_preconditioner(MS, y)), rtol=1e-12, atol=1e-12)
+
+
 def test_ilu0_blocked_end_to_end():
     """CG + colored ILU(0): blocked and masked-sweep paths give the same
     preconditioner action, so the same convergence trajectory."""
