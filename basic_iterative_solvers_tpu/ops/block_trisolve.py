@@ -42,7 +42,6 @@ import numpy as np
 
 from ..matrix import MatrixCSR
 from . import pallas_env
-from .pallas_env import pallas_capable
 from .pallas_spmv import _VMEM_LIMIT
 
 LANES = 128
@@ -91,15 +90,18 @@ def _group_inverse(key, key_range):
     return np.unique(key, return_inverse=True)
 
 
+def _grid_coords(idx, nx: int, ny: int):
+    """(x, y, z) grid coordinates of flat x-fastest row indices."""
+    return idx % nx, (idx // nx) % ny, idx // (nx * ny)
+
+
 def spec_colors_np(spec, n: int) -> np.ndarray:
     """NumPy twin of coloring.color_ids for flat row indices."""
     i = np.arange(n, dtype=np.int64)
     if spec.kind == "mod":
         return (i % spec.params[0]).astype(np.int32)
     nx, ny = spec.params[0], spec.params[1]
-    x = i % nx
-    y = (i // nx) % ny
-    z = i // (nx * ny)
+    x, y, z = _grid_coords(i, nx, ny)
     if spec.kind == "parity":
         return ((x + y + z) % 2).astype(np.int32)
     if spec.kind == "grid":
@@ -193,9 +195,7 @@ def build_blocked_trisolve(T, D: Optional[np.ndarray],
     else:
         nx, ny, nz, sx, sy, sz = spec.params
         mx, my = nx // sx, ny // sy
-        X = idx % nx
-        Y = (idx // nx) % ny
-        Z = idx // (nx * ny)
+        X, Y, Z = _grid_coords(idx, nx, ny)
         rank = (X // sx) + mx * ((Y // sy) + my * (Z // sz))
 
     keep = (cj > ci) if upper else (cj < ci)
@@ -467,9 +467,7 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
     m = nx * my * mz
 
     idx = np.arange(n, dtype=np.int64)
-    X = idx % nx
-    Y = (idx // nx) % ny
-    Z = idx // (nx * ny)
+    X, Y, Z = _grid_coords(idx, nx, ny)
     SB = (Y % sy) + sy * (Z % sz)
     SLOT = X + nx * ((Y // sy) + my * (Z // sz))
 
@@ -724,7 +722,7 @@ def _super_level_pallas(B, li, y_blk, X):
 
 
 def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
-    pallas_ok = (use_pallas and pallas_capable()
+    pallas_ok = (use_pallas and pallas_env.pallas_capable()
                  and yb[0].dtype.itemsize <= 4)
     if not pallas_ok:
         xb = [None] * B.S
@@ -806,7 +804,7 @@ def build_best_trisolve_pair(T, D_L, D_U, colors, spec, *,
 def solve_blocks(B: BlockedTriSolve, yb, use_pallas: bool = True):
     """Level loop on block-layout rhs; returns x blocks (list, color order
     indices — element c is color c's block)."""
-    pallas_ok = (use_pallas and pallas_capable()
+    pallas_ok = (use_pallas and pallas_env.pallas_capable()
                  and yb[0].dtype.itemsize <= 4)
     xb = [None] * B.n_colors
     for c, groups in B.levels:

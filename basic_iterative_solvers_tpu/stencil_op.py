@@ -576,8 +576,7 @@ def stencil_spmv_xla(A: DeviceStencil, x: jax.Array) -> jax.Array:
 
 def stencil_spmv(A: DeviceStencil, x: jax.Array,
                  use_pallas: bool = True) -> jax.Array:
-    from .ops import pallas_env
-    on_tpu_pallas = (use_pallas and pallas_env.pallas_capable()
+    on_tpu_pallas = (use_pallas and _pallas_env.pallas_capable()
                      and x.dtype.itemsize <= 4)
     if A.planar:
         if on_tpu_pallas and _planar_ok(A):
