@@ -407,7 +407,7 @@ def _level_pallas(B, groups, y_blk, dinv_blk, xb):
 @partial(jax.tree_util.register_dataclass,
          data_fields=["vals_cross", "vals_self", "dinv", "d"],
          meta_fields=["n_rows", "S", "m", "R_b", "TB", "sx", "levels",
-                      "upper", "spec_params"])
+                      "upper", "spec_params", "fused"])
 @dataclasses.dataclass
 class SuperBlockTriSolve:
     """Superblock form of a colored triangular solve (grid specs).
@@ -435,6 +435,11 @@ class SuperBlockTriSolve:
     levels: Tuple
     upper: bool
     spec_params: Tuple[int, ...]
+    #: True → one kernel per level with the x-parities chained in register
+    #: (needs 128 % nx == 0 so lane rolls never cross a vreg row at a real
+    #: entry); False → SPLIT mode: an acc kernel per level plus one masked
+    #: kernel per parity, self couplings read through windows (any nx)
+    fused: bool = True
 
     @property
     def dtype(self):
@@ -459,9 +464,7 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
         raise BlockIneligibleError("grid spec dims do not match n_rows")
     if ny % sy or nz % sz:
         raise BlockIneligibleError("grid strides must divide the dims")
-    if nx > LANES or LANES % nx:
-        raise BlockIneligibleError(
-            f"nx={nx} does not divide the lane width (self-shift wrap)")
+    fused = nx <= LANES and LANES % nx == 0
     S = sy * sz
     my, mz = ny // sy, nz // sz
     m = nx * my * mz
@@ -558,7 +561,7 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
         d=(as_blocks(d_np) if d_np is not None else None),
         n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
         levels=tuple(levels), upper=upper,
-        spec_params=tuple(int(p) for p in spec.params))
+        spec_params=tuple(int(p) for p in spec.params), fused=fused)
 
 
 def _permute_super(B: SuperBlockTriSolve, y: jax.Array):
@@ -721,6 +724,176 @@ def _super_level_pallas(B, li, y_blk, X):
     )(*operands)
 
 
+def _super_acc_pallas(B, li, y_blk, X):
+    """SPLIT mode step 1: acc = y − Σ cross contributions for the whole
+    level, written to the scratch block X[S] (all parities at once)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sb, cross, _selfs = B.levels[li]
+    TB, R_b = B.TB, B.R_b
+    grid_n = R_b // TB
+    srcs = tuple(sorted({s for s, _ in cross}))
+    src_pos = {s: k for k, s in enumerate(srcs)}
+    n_src = len(srcs)
+    valsc = B.vals_cross[li]
+    Gc = valsc.shape[0]
+
+    def kernel(y_ref, valsc_ref, X_ref, out_ref, win, out_scr, copy_sem,
+               out_sem):
+        i = pl.program_id(0)
+        cps = []
+        for k, s in enumerate(srcs):
+            cp = pltpu.make_async_copy(
+                X_ref.at[jnp.int32(s), pl.ds(i * jnp.int32(TB), 3 * TB)],
+                win.at[jnp.int32(k)], copy_sem.at[jnp.int32(k)])
+            cp.start()
+            cps.append(cp)
+        for cp in cps:
+            cp.wait()
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+        acc = y_ref[:]
+        for gi, (src, delta) in enumerate(cross):
+            window = win[jnp.int32(src_pos[src])]
+            q, mm = divmod(delta, LANES)
+            W1 = jax.lax.slice(window, (TB + q, 0), (2 * TB + q, LANES))
+            if mm == 0:
+                shifted = W1
+            else:
+                W2 = jax.lax.slice(window, (TB + q + 1, 0),
+                                   (2 * TB + q + 1, LANES))
+                R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+                R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+                shifted = jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
+            acc = acc - valsc_ref[jnp.int32(gi)] * shifted
+        out_scr[:] = acc
+        ocp = pltpu.make_async_copy(
+            out_scr, out_ref.at[jnp.int32(B.S),
+                                pl.ds(jnp.int32(TB) + i * jnp.int32(TB),
+                                      TB)], out_sem)
+        ocp.start()
+        ocp.wait()
+
+    tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
+    return pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=[tile(),
+                  pl.BlockSpec((Gc, TB, LANES),
+                               lambda i: (jnp.int32(0), i, jnp.int32(0))),
+                  pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+        input_output_aliases={2: 0},
+        scratch_shapes=[pltpu.VMEM((n_src, 3 * TB, LANES), y_blk.dtype),
+                        pltpu.VMEM((TB, LANES), y_blk.dtype),
+                        pltpu.SemaphoreType.DMA((max(1, n_src),)),
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
+    )(y_blk, valsc, X)
+
+
+def _super_parity_pallas(B, li, px, y_blk, X, has_acc):
+    """SPLIT mode step 2: update parity class `px` of superblock `sb`:
+    x[parity px] = (acc − Σ self-planes ⊙ shift(x, dx)) · D⁻¹, other lanes
+    copied through.  The self windows read X[sb], whose lower parities are
+    final (earlier calls) — parity-px source lanes are never touched by a
+    nonzero plane value (proper coloring)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    sb, _cross, selfs = B.levels[li]
+    TB, R_b, sx = B.TB, B.R_b, B.sx
+    nx = B.spec_params[0]
+    grid_n = R_b // TB
+    valss = B.vals_self[li]
+    Gs = 0 if valss is None else valss.shape[0]
+
+    def kernel(*refs):
+        it = iter(range(len(refs)))
+        y_ref = refs[next(it)]
+        dinv_ref = refs[next(it)]
+        valss_ref = refs[next(it)] if Gs else None
+        X_ref = refs[next(it)]
+        out_ref = refs[next(it)]
+        win = refs[next(it)]
+        acc_scr = refs[next(it)] if has_acc else None
+        out_scr = refs[next(it)]
+        sems = refs[next(it)]
+        out_sem = refs[next(it)]
+        i = pl.program_id(0)
+
+        wcp = pltpu.make_async_copy(
+            X_ref.at[jnp.int32(sb), pl.ds(i * jnp.int32(TB), 3 * TB)],
+            win, sems.at[jnp.int32(0)])
+        wcp.start()
+        if has_acc:
+            acp = pltpu.make_async_copy(
+                X_ref.at[jnp.int32(B.S),
+                         pl.ds(jnp.int32(TB) + i * jnp.int32(TB), TB)],
+                acc_scr, sems.at[jnp.int32(1)])
+            acp.start()
+            acp.wait()
+        wcp.wait()
+
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+        rrow = (jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 0)
+                + i * jnp.int32(TB))
+        gslot = rrow * jnp.int32(LANES) + lanes
+        parity = jax.lax.rem(jax.lax.rem(gslot, jnp.int32(nx)),
+                             jnp.int32(sx))
+        a = acc_scr[:] if has_acc else y_ref[:]
+        for gi, dx in enumerate(selfs):
+            # self dx is never a lane-width multiple (|dx| < sx ≤ 128,
+            # dx != 0), so the two-slice roll form always applies
+            q, mm = divmod(dx, LANES)
+            W1 = jax.lax.slice(win[:], (TB + q, 0), (2 * TB + q, LANES))
+            W2 = jax.lax.slice(win[:], (TB + q + 1, 0),
+                               (2 * TB + q + 1, LANES))
+            R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+            R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+            shifted = jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
+            a = a - valss_ref[jnp.int32(gi)] * shifted
+        x_mid = jax.lax.slice(win[:], (TB, 0), (2 * TB, LANES))
+        out_scr[:] = jnp.where(parity == jnp.int32(px),
+                               a * dinv_ref[:], x_mid)
+        ocp = pltpu.make_async_copy(
+            out_scr, out_ref.at[jnp.int32(sb),
+                                pl.ds(jnp.int32(TB) + i * jnp.int32(TB),
+                                      TB)], out_sem)
+        ocp.start()
+        ocp.wait()
+
+    tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
+    in_specs = [tile(), tile()]
+    operands = [y_blk, B.dinv[sb]]
+    if Gs:
+        in_specs.append(pl.BlockSpec((Gs, TB, LANES),
+                                     lambda i: (jnp.int32(0), i,
+                                                jnp.int32(0))))
+        operands.append(valss)
+    x_index = len(operands)
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+    operands.append(X)
+
+    scratch = [pltpu.VMEM((3 * TB, LANES), y_blk.dtype)]
+    if has_acc:
+        scratch.append(pltpu.VMEM((TB, LANES), y_blk.dtype))
+    scratch += [pltpu.VMEM((TB, LANES), y_blk.dtype),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA]
+    return pl.pallas_call(
+        kernel, grid=(grid_n,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
+        input_output_aliases={x_index: 0},
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
+    )(*operands)
+
+
 def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
     pallas_ok = (use_pallas and pallas_env.pallas_capable()
                  and yb[0].dtype.itemsize <= 4)
@@ -729,9 +902,17 @@ def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
         for li, (sb, _c, _s) in enumerate(B.levels):
             xb[sb] = _super_level_xla(B, li, yb[sb], xb)
         return xb
-    X = jnp.zeros((B.S, B.R_b + 2 * B.TB, LANES), dtype=yb[0].dtype)
-    for li, (sb, _c, _s) in enumerate(B.levels):
-        X = _super_level_pallas(B, li, yb[sb], X)
+    n_blk = B.S if B.fused else B.S + 1   # +1: split-mode acc scratch
+    X = jnp.zeros((n_blk, B.R_b + 2 * B.TB, LANES), dtype=yb[0].dtype)
+    for li, (sb, cross, _s) in enumerate(B.levels):
+        if B.fused:
+            X = _super_level_pallas(B, li, yb[sb], X)
+            continue
+        has_acc = bool(cross)
+        if has_acc:
+            X = _super_acc_pallas(B, li, yb[sb], X)
+        for px in _parity_order(B):
+            X = _super_parity_pallas(B, li, px, yb[sb], X, has_acc)
     return [X[s, B.TB:B.TB + B.R_b] for s in range(B.S)]
 
 

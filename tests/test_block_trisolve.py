@@ -86,6 +86,7 @@ SUPER_CASES = [
     "hpcg:4x6x8",     # nx=4 divides 128; ny=6, nz=8 with strides 2
     "hpcg:8x8x8",
     "fdm:8",
+    "hpcg:6x4x8",     # nx=6 does NOT divide 128 → split-parity mode
 ]
 
 
@@ -126,19 +127,25 @@ def test_superblock_matches_dense_oracle(src, rng):
     np.testing.assert_allclose(z, sgs_ref, rtol=1e-12, atol=1e-12)
 
 
-def test_superblock_ineligible_nx():
-    """nx not dividing the lane width falls back to the rank-space form."""
+def test_superblock_split_mode_flag():
+    """nx not dividing the lane width selects the split-parity kernels."""
     from basic_iterative_solvers_tpu.ops.block_trisolve import (
-        BlockedTriSolve, build_best_trisolve, build_superblock_trisolve)
+        SuperBlockTriSolve, build_best_trisolve)
     src = "hpcg:6x4x8"      # nx=6 does not divide 128
     A = bis.generators.from_source(src)
     spec = bis.generators.color_spec_for_source(src)
     colors = spec_colors_np(spec, A.n_rows)
-    with pytest.raises(BlockIneligibleError):
-        build_superblock_trisolve(A, _diag(A), colors, spec, upper=False)
     B = build_best_trisolve(A, _diag(A), colors, spec, upper=False,
                             dtype=np.float64)
-    assert isinstance(B, BlockedTriSolve)
+    assert isinstance(B, SuperBlockTriSolve) and not B.fused
+    B2 = build_best_trisolve(bis.generators.from_source("hpcg:8x8x8"),
+                             _diag(bis.generators.from_source("hpcg:8x8x8")),
+                             spec_colors_np(
+                                 bis.generators.color_spec_for_source(
+                                     "hpcg:8x8x8"), 512),
+                             bis.generators.color_spec_for_source("hpcg:8x8x8"),
+                             upper=False, dtype=np.float64)
+    assert B2.fused
 
 
 def test_blocked_matches_masked_sweeps(rng):

@@ -83,11 +83,12 @@ def test_lane_ell_kernel_interpret(interpret, rng):
     np.testing.assert_allclose(y_k, y_x, rtol=2e-5, atol=1e-5)
 
 
-def test_superblock_trisolve_kernel_interpret(interpret, rng):
+@pytest.mark.parametrize("src", ["hpcg:8x8x8", "hpcg:6x4x8"],
+                         ids=["fused", "split"])
+def test_superblock_trisolve_kernel_interpret(interpret, rng, src):
     from basic_iterative_solvers_tpu.ops.block_trisolve import (
         SuperBlockTriSolve, blocked_sgs, blocked_trisolve,
         build_superblock_trisolve, spec_colors_np)
-    src = "hpcg:8x8x8"
     A = bis.generators.from_source(src)
     spec = bis.generators.color_spec_for_source(src)
     colors = spec_colors_np(spec, A.n_rows)
