@@ -187,8 +187,10 @@ def peel_diag(A, zero_tol: float, check_missing: bool, check_zero: bool):
         if rc == -4:
             raise ZeroDiagonalError(
                 f"ERROR: Zero diagonal element in row {int(bad_row[0])}")
-        raise MissingDiagonalError(
-            f"ERROR: No diagonal element found in row {int(bad_row[0])}")
+        if rc == -3:
+            raise MissingDiagonalError(
+                f"ERROR: No diagonal element found in row {int(bad_row[0])}")
+        raise RuntimeError(f"bis_peel_diag failed with code {rc}")
     return D
 
 

@@ -120,13 +120,18 @@ def parse_cli(argv) -> tuple:
             extras["debug_checks"] = True
         elif arg == "--kernel-timers":
             extras["kernel_timers"] = True
-            extras["harness"] = "host"   # per-kernel attribution needs the
-                                         # eager host harness
         else:
             # reference behavior: warn, continue (utilities.hpp:103-106)
             print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
                   "recognized.", file=sys.stderr)
         idx += 1
+    # per-kernel attribution needs the eager host harness; resolve AFTER
+    # parsing so a later `--harness fused` can't silently disable the rows
+    if extras.get("kernel_timers") and extras.get("harness") != "host":
+        if extras.get("harness") == "fused":
+            print("NOTE: --kernel-timers requires the host harness; "
+                  "overriding --harness fused.", file=sys.stderr)
+        extras["harness"] = "host"
     return matrix_source, opts, extras
 
 
@@ -164,13 +169,13 @@ def run(argv=None) -> int:
     # Generator specs build on-device (no O(nnz) host passes) whenever the
     # method/preconditioner don't need the host CSR (exact triangular
     # solves, reordering); file sources and those cases use the host path.
-    from .dia import _GEN_RE, from_source_device
+    from .dia import from_source_device
     from .precond import (COLORED_PRECONDS, DEVICE_NATIVE_PRECONDS,
                           resolve_gs_mode)
     from .types import SolverType as _ST
     colored = resolve_gs_mode(config, device_native=True) == "colored"
     device_path = (
-        _GEN_RE.match(matrix_source) is not None
+        generators.device_buildable(matrix_source)
         and (config.preconditioner in DEVICE_NATIVE_PRECONDS
              or (config.preconditioner in COLORED_PRECONDS and colored))
         and (config.method not in (_ST.GAUSS_SEIDEL,

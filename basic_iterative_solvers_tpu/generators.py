@@ -169,6 +169,11 @@ def scattered_band(n: int, nnz_per_row: int = 8, spread: int = 400,
     ~2·spread (far past the DIA format's limit at low fill), so it exercises
     the general lane-ELL / gather SpMV paths the way an arbitrary reordered
     .mtx file would."""
+    if spread >= n:
+        # boundary reflection (rows - offs) must itself land in [0, n)
+        raise ValueError(
+            f"sband spread {spread} must be < n ({n}): boundary-reflected "
+            "columns would fall outside the matrix")
     rng = np.random.default_rng(seed)
     k = max(1, nnz_per_row - 1)
     rows = np.repeat(np.arange(n, dtype=np.int64), k)
@@ -198,8 +203,102 @@ def scattered_band(n: int, nnz_per_row: int = 8, spread: int = 400,
     return convert_coo_to_csr(coo)
 
 
+def free_fermion_chain(n_sites: int, n_fermions: int, t: float = 1.0,
+                       boundary: str = "open") -> MatrixCSR:
+    """Free fermions hopping on a 1-D chain (SCAMAC 'FreeFermionChain'
+    analog, dependency-free; the reference forwards such argstrings to the
+    external SCAMAC library, /root/reference/sparse_matrix.hpp:560-735).
+
+    H = -t Σ_i (c†_i c_{i+1} + h.c.) in the fixed-particle-number
+    occupation basis (dimension C(n_sites, n_fermions), states ordered by
+    ascending occupation bitmask).  Adjacent hops carry no Jordan-Wigner
+    sign; the periodic wrap bond carries (-1)^(n_fermions-1).
+    """
+    import itertools
+    from math import comb
+    if not 0 < n_fermions <= n_sites:
+        raise ValueError("need 0 < n_fermions <= n_sites")
+    dim = comb(n_sites, n_fermions)
+    if dim > (1 << 22):
+        raise ValueError(
+            f"FreeFermionChain basis dimension {dim} too large (> 2^22)")
+    masks = np.fromiter(
+        (sum(1 << i for i in c)
+         for c in itertools.combinations(range(n_sites), n_fermions)),
+        dtype=np.int64, count=dim)
+    masks.sort()
+    bonds = [(i, i + 1, 1.0) for i in range(n_sites - 1)]
+    if boundary == "periodic" and n_sites > 2:
+        bonds.append((n_sites - 1, 0, (-1.0) ** (n_fermions - 1)))
+    elif boundary not in ("open", "periodic"):
+        raise ValueError(f"unknown boundary: {boundary}")
+    I_all, J_all, V_all = [], [], []
+    rows_all = np.arange(dim, dtype=np.int64)
+    for (i, j, sign) in bonds:
+        bi, bj = np.int64(1 << i), np.int64(1 << j)
+        movers = ((masks & bi) != 0) & ((masks & bj) == 0)   # hop i -> j
+        src = rows_all[movers]
+        tgt = np.searchsorted(masks, masks[movers] ^ (bi | bj))
+        amp = np.full(src.size, -t * sign)
+        I_all += [src, tgt]
+        J_all += [tgt, src]
+        V_all += [amp, amp]
+    # explicit (possibly zero) diagonal so solvers find a stored diagonal
+    I_all.append(rows_all)
+    J_all.append(rows_all)
+    V_all.append(np.zeros(dim))
+    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
+                                np.concatenate(V_all), n_rows=dim,
+                                n_cols=dim, is_symmetric=True)
+    return convert_coo_to_csr(coo)
+
+
 _GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|sband|anderson):(.*)$",
                      re.IGNORECASE)
+
+#: SCAMAC model zoo implemented natively (the reference accepts arbitrary
+#: model argstrings and forwards them to the external library)
+SCAMAC_MODELS = ("Anderson", "FreeFermionChain")
+
+
+def _split_scamac_spec(spec: str):
+    """'Model,k=v,...' → (model_name_lower, [k=v parts]).  A bare parameter
+    list (no leading model token) means Anderson, the historical default."""
+    parts = [p for p in spec.split(",") if p]
+    if parts and "=" not in parts[0]:
+        return parts[0].strip().lower(), parts[1:]
+    return "anderson", parts
+
+
+def _parse_ffc_kwargs(spec: str) -> dict:
+    _, parts = _split_scamac_spec(spec)
+    kwargs = {}
+    for p in parts:
+        k, v = p.split("=", 1)
+        k = k.strip()
+        if k in ("n_sites", "n_fermions"):
+            kwargs[k] = int(v)
+        elif k == "t":
+            kwargs[k] = float(v)
+        elif k == "boundary":
+            kwargs[k] = v.strip()
+        else:
+            raise ValueError(f"unknown FreeFermionChain parameter: {k}")
+    return kwargs
+
+
+def scamac_matrix(spec: str) -> MatrixCSR:
+    """Dispatch a 'scamac:<Model>,k=v,...' argstring to the native model
+    implementations, erroring cleanly on unknown models (the reference
+    would forward them to libscamac, sparse_matrix.hpp:560-735)."""
+    model, _ = _split_scamac_spec(spec)
+    if model == "anderson":
+        return anderson(**_parse_anderson_kwargs(spec))
+    if model == "freefermionchain":
+        return free_fermion_chain(**_parse_ffc_kwargs(spec))
+    raise ValueError(
+        f"unknown SCAMAC model {model!r}; supported models: "
+        + ", ".join(SCAMAC_MODELS))
 
 
 def _parse_anderson_kwargs(spec: str) -> dict:
@@ -287,6 +386,20 @@ def color_spec_for_source(source: str):
     return None
 
 
+def device_buildable(source: str) -> bool:
+    """True when the spec has an on-device builder (dia.from_source_device /
+    stencil_op.from_source_operator) — grid/band generators and the Anderson
+    SCAMAC model; other SCAMAC models and .mtx files build on host."""
+    from .dia import _GEN_RE as _DIA_RE
+    m = _DIA_RE.match(source)
+    if not m:
+        return False
+    kind, spec = m.group(1).lower(), m.group(2)
+    if kind == "scamac":
+        return _split_scamac_spec(spec)[0] == "anderson"
+    return True
+
+
 def from_source(source: str) -> MatrixCSR:
     """Resolve a CLI matrix source: generator spec or .mtx path.
 
@@ -305,9 +418,11 @@ def from_source(source: str) -> MatrixCSR:
         from .io import read_mtx
         return read_mtx(source)
     kind, spec = m.group(1).lower(), m.group(2)
-    if kind in ("scamac", "anderson"):
-        # e.g. "Anderson,Lx=20,Ly=20,Lz=20,t=1.0,ranpot=5.0,seed=3,boundary=open"
+    if kind == "anderson":
         return anderson(**_parse_anderson_kwargs(spec))
+    if kind == "scamac":
+        # e.g. "Anderson,Lx=20,Ly=20,Lz=20,t=1.0,ranpot=5.0,seed=3,boundary=open"
+        return scamac_matrix(spec)
     if kind == "hpcg":
         dims = [int(d) for d in re.split(r"[x,]", spec) if d]
         return stencil_27pt(*dims)

@@ -310,7 +310,14 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
         # operator: only the diagonal is needed, and the structural
         # coloring (grid/mod) is trace-time index arithmetic
         from .coloring import spec_for_device
-        spec = spec_for_device(A_dev)
+        try:
+            spec = spec_for_device(A_dev)
+        except ValueError as e:
+            raise ValueError(
+                f"{e}; no structural coloring exists for this matrix on the "
+                "device-native path — use the host CSR path "
+                "(preprocessing, gs_mode='levels') for an exact "
+                "level-scheduled solve") from e
         D = (stencil_diag_vec(A_dev) if isinstance(A_dev, DeviceStencil)
              else dia_diag(A_dev))
         if bool(jnp.any(D == 0)):

@@ -294,7 +294,14 @@ def preprocessing_device(A_dev, config: SolverConfig,
         if config.method in (SolverType.GAUSS_SEIDEL,
                              SolverType.SYMMETRIC_GAUSS_SEIDEL):
             from ..coloring import spec_for_device
-            setup.color_spec = spec_for_device(A_dev)
+            try:
+                setup.color_spec = spec_for_device(A_dev)
+            except ValueError as e:
+                raise ValueError(
+                    f"{e}; no structural coloring exists for this matrix on "
+                    "the device-native path — use the host CSR path "
+                    "(preprocessing, gs_mode='levels') for an exact "
+                    "level-scheduled solve") from e
             setup.n_colors = setup.color_spec.n_colors
         return setup
 
@@ -414,41 +421,46 @@ def _solve_host(setup: SolverSetup, method, timers: Timers,
     debug_check = (getattr(method, "debug_check", None)
                    if config.debug_checks else None)
 
-    while True:
-        t0 = time.perf_counter()
-        state = iterate(state)
-        iter_count += 1
-        if debug_check is not None:
-            debug_check(state, iter_count)
-        if iter_count % config.res_check_len == 0:
-            rn = sample_norm(state)
-            residual_norm = float(jax.block_until_ready(rn))
-            norms[hist_count] = residual_norm
-            times[hist_count] = time.perf_counter() - t0
-            hist_count += 1
-        for thresh in res_milestones:
-            if residual_norm / r0_norm < thresh and not res_milestones[thresh]:
-                res_milestones[thresh] = True
-                if progress:
-                    progress(iter_count, residual_norm)
-        # GMRES restart (check_restart, gmres.hpp:388-415); others no-op.
-        state, restarted, restart_norm = method.check_restart(
-            state, iter_count, residual_norm, stopping)
-        if restarted:
-            restart_count += 1
-            residual_norm = restart_norm
-            norms[hist_count] = restart_norm
-            times[hist_count] = time.perf_counter() - t0
-            hist_count += 1
-        # check_stopping_criteria (solver.hpp:177-191)
-        diverged = not np.isfinite(residual_norm)
-        over_max = iter_count >= (config.max_iters - restart_count)
-        if abs(residual_norm) < stopping or over_max or diverged:
-            break
+    try:
+        while True:
+            t0 = time.perf_counter()
+            state = iterate(state)
+            iter_count += 1
+            if debug_check is not None:
+                debug_check(state, iter_count)
+            if iter_count % config.res_check_len == 0:
+                rn = sample_norm(state)
+                residual_norm = float(jax.block_until_ready(rn))
+                norms[hist_count] = residual_norm
+                times[hist_count] = time.perf_counter() - t0
+                hist_count += 1
+            for thresh in res_milestones:
+                if (residual_norm / r0_norm < thresh
+                        and not res_milestones[thresh]):
+                    res_milestones[thresh] = True
+                    if progress:
+                        progress(iter_count, residual_norm)
+            # GMRES restart (check_restart, gmres.hpp:388-415); others no-op.
+            state, restarted, restart_norm = method.check_restart(
+                state, iter_count, residual_norm, stopping)
+            if restarted:
+                restart_count += 1
+                residual_norm = restart_norm
+                norms[hist_count] = restart_norm
+                times[hist_count] = time.perf_counter() - t0
+                hist_count += 1
+            # check_stopping_criteria (solver.hpp:177-191)
+            diverged = not np.isfinite(residual_norm)
+            over_max = iter_count >= (config.max_iters - restart_count)
+            if abs(residual_norm) < stopping or over_max or diverged:
+                break
+    finally:
+        # an exception mid-solve (divergence assert, debug_check) must not
+        # leave the global kernel-timer registry active for later solves
+        if config.kernel_timers:
+            from ..utils import ktimers
+            ktimers.activate(None)
     solve_seconds = time.perf_counter() - t_solve0
-    if config.kernel_timers:
-        from ..utils import ktimers
-        ktimers.activate(None)
 
     converged = residual_norm < stopping
     x_star = np.asarray(jax.block_until_ready(method.final_x(state)))

@@ -48,6 +48,16 @@ def test_parse_extras():
     assert extras["matrix_format"] == "ell"
 
 
+def test_kernel_timers_overrides_any_harness_order():
+    """--kernel-timers needs the host harness regardless of flag order
+    (a later --harness fused must not silently disable the kernel rows)."""
+    for argv in (["x", "-cg", "--kernel-timers", "--harness", "fused"],
+                 ["x", "-cg", "--harness", "fused", "--kernel-timers"]):
+        _, _, extras = parse_cli(argv)
+        assert extras["kernel_timers"] is True
+        assert extras["harness"] == "host"
+
+
 def test_cli_end_to_end():
     """Full pipeline through the process boundary (the reference's main)."""
     out = subprocess.run(

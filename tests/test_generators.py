@@ -1,0 +1,119 @@
+"""Generator-zoo tests.
+
+The reference's SCAMAC glue forwards arbitrary model argstrings to the
+external library (/root/reference/sparse_matrix.hpp:560-735); here the
+models are native.  FreeFermionChain correctness is pinned against exact
+free-fermion theory (many-body spectrum = sums of single-particle
+energies), the strongest possible oracle for this model.
+"""
+import numpy as np
+import pytest
+
+from basic_iterative_solvers_tpu import generators
+
+
+def _dense(A):
+    d = np.zeros((A.n_rows, A.n_cols))
+    for i in range(A.n_rows):
+        for k in range(A.row_ptr[i], A.row_ptr[i + 1]):
+            d[i, A.col[k]] = A.val[k]
+    return d
+
+
+def test_ffc_spectrum_open_chain():
+    """Eigenvalues of the OBC free-fermion chain = all sums of n_fermions
+    distinct single-particle energies eps_q = -2t cos(q*pi/(L+1))."""
+    from itertools import combinations
+    L, Nf, t = 6, 3, 1.3
+    A = generators.free_fermion_chain(L, Nf, t=t)
+    from math import comb
+    assert A.n_rows == comb(L, Nf)
+    H = _dense(A)
+    np.testing.assert_allclose(H, H.T, atol=1e-14)
+    eig = np.sort(np.linalg.eigvalsh(H))
+    eps = -2.0 * t * np.cos(np.arange(1, L + 1) * np.pi / (L + 1))
+    expected = np.sort([sum(c) for c in combinations(eps, Nf)])
+    np.testing.assert_allclose(eig, expected, atol=1e-10)
+
+
+def test_ffc_spectrum_periodic_chain():
+    """PBC: eps_k = -2t cos(2*pi*k/L) — the Jordan-Wigner wrap-bond sign
+    (-1)^(Nf-1) is exactly what makes the naive momenta correct for odd Nf
+    (anti-periodic shift k+1/2 for even Nf)."""
+    from itertools import combinations
+    L, Nf, t = 6, 3, 1.0
+    A = generators.free_fermion_chain(L, Nf, t=t, boundary="periodic")
+    H = _dense(A)
+    np.testing.assert_allclose(H, H.T, atol=1e-14)
+    eig = np.sort(np.linalg.eigvalsh(H))
+    ks = np.arange(L) if Nf % 2 == 1 else np.arange(L) + 0.5
+    eps = -2.0 * t * np.cos(2.0 * np.pi * ks / L)
+    expected = np.sort([sum(c) for c in combinations(eps, Nf)])
+    np.testing.assert_allclose(eig, expected, atol=1e-10)
+
+
+def test_ffc_from_source():
+    A = generators.from_source(
+        "scamac:FreeFermionChain,n_sites=8,n_fermions=2,t=2.0")
+    from math import comb
+    assert A.n_rows == comb(8, 2)
+    # every off-diagonal entry is -t (adjacent OBC hops carry no sign)
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    off = rows != A.col
+    assert np.all(A.val[off] == -2.0)
+
+
+def test_ffc_param_validation():
+    with pytest.raises(ValueError):
+        generators.free_fermion_chain(4, 0)
+    with pytest.raises(ValueError):
+        generators.free_fermion_chain(4, 5)
+    with pytest.raises(ValueError):
+        generators.free_fermion_chain(4, 2, boundary="twisted")
+    with pytest.raises(ValueError, match="parameter"):
+        generators.from_source("scamac:FreeFermionChain,n_sites=4,bogus=1")
+
+
+def test_scamac_unknown_model_clean_error():
+    with pytest.raises(ValueError, match="supported models"):
+        generators.from_source("scamac:Hubbard,n_sites=4")
+
+
+def test_scamac_anderson_still_default():
+    """A bare parameter list (no model token) keeps meaning Anderson."""
+    A = generators.from_source("scamac:Lx=4,Ly=4,Lz=4,ranpot=1.0,seed=3")
+    B = generators.from_source(
+        "scamac:Anderson,Lx=4,Ly=4,Lz=4,ranpot=1.0,seed=3")
+    assert A.n_rows == B.n_rows == 64
+    np.testing.assert_array_equal(A.val, B.val)
+
+
+def test_device_buildable():
+    assert generators.device_buildable("hpcg:8x8x8")
+    assert generators.device_buildable("scamac:Anderson,Lx=4")
+    assert not generators.device_buildable(
+        "scamac:FreeFermionChain,n_sites=6,n_fermions=3")
+    assert not generators.device_buildable("some/file.mtx")
+    assert not generators.device_buildable("sband:100,4,10")
+
+
+def test_sband_spread_validation():
+    with pytest.raises(ValueError, match="spread"):
+        generators.scattered_band(30, 4, 40)
+
+
+def test_ffc_solves():
+    """A (shifted) FreeFermionChain system solves end-to-end — the full
+    pipeline accepts the new family."""
+    import basic_iterative_solvers_tpu as bis
+    A = generators.from_source(
+        "scamac:FreeFermionChain,n_sites=8,n_fermions=4")
+    # shift to diagonal dominance so CG applies (H itself is indefinite)
+    diag_rows = np.repeat(np.arange(A.n_rows), A.row_nnz()) == A.col
+    A.val[diag_rows] += 8.0
+    cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, tolerance=1e-10,
+                           harness="host")
+    res = bis.solve(bis.preprocessing(A, cfg))
+    assert res.converged
+    assert res.final_residual_norm < res.stopping_criteria
