@@ -171,7 +171,9 @@ def color_ids(spec: ColorSpec, A_dev) -> jax.Array:
     receive whatever color their (out-of-grid) coordinates imply; that is
     safe because the sweep's update term is exactly zero there (y, A·x and
     x are all zero at halo slots, D_inv is 1)."""
+    from .parallel.mesh_ops import unwrap
     from .stencil_op import DeviceStencil, _planar_geometry
+    A_dev = unwrap(A_dev)
     if isinstance(A_dev, DeviceStencil) and A_dev.planar:
         L, rows_plane, _, _, _, rows_pad = _planar_geometry(A_dev)
         i = jnp.arange(rows_pad * L, dtype=jnp.int32)
@@ -237,15 +239,23 @@ def colored_sweep(A_dev, D_inv: jax.Array, y: jax.Array,
     makes the parallel within-color update exact.
     """
     from .ops.spmv import spmv
+    from .parallel.mesh_ops import MeshStencil, mesh_gs_color_step
     from .stencil_op import DeviceStencil, _planar_ok, stencil_gs_color_step
 
     # Fused path: planar-resident stencils fold the masked update into the
     # SpMV kernel itself (A·x never round-trips through HBM) — color ids are
     # iota arithmetic in-kernel, so the step reads x/y/D⁻¹ and writes x'.
+    # Mesh-wrapped stencils run the same fused kernel per shard with
+    # ppermute halos (parallel/mesh_ops.py); capability was validated when
+    # the wrapper was built.
+    is_mesh = isinstance(A_dev, MeshStencil)
     fused = (spec is not None and spec.kind in ("grid", "parity")
-             and isinstance(A_dev, DeviceStencil) and A_dev.planar
-             and use_pallas and _pallas_capable()
-             and y.dtype.itemsize <= 4 and _planar_ok(A_dev))
+             and (is_mesh
+                  or (isinstance(A_dev, DeviceStencil) and A_dev.planar
+                      and use_pallas and _pallas_capable()
+                      and y.dtype.itemsize <= 4 and _planar_ok(A_dev))))
+    if is_mesh:
+        stencil_gs_color_step = mesh_gs_color_step  # noqa: F811
 
     if fused and spec.kind == "grid" and spec.params[3] > 1:
         # SUPERSTEPS: colors sharing (cy, cz) — consecutive runs of sx in

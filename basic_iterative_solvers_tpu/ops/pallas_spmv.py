@@ -69,41 +69,26 @@ def _dia_kernel(offsets, hneg, R, data_ref, xlo_ref, xhi_ref, y_ref):
     y_ref[:] = acc
 
 
-def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
-    """y = A @ x for DeviceDIA A. Falls back to the XLA path off-TPU or when
-    the operand blocks would not fit VMEM."""
-    from ..device_matrix import DeviceDIA
-    assert isinstance(A, DeviceDIA)
-    n = A.n_rows
-    npad = A.data.shape[1]
-    offsets = A.offsets
-    R = A.row_tile
-    k = len(offsets)
-    hneg = max(0, -min(offsets))
-    hpos = max(0, max(offsets))
-    itemsize = x.dtype.itemsize
-    d_itemsize = A.data.dtype.itemsize
-    # data + xlo + xhi (+y), all double-buffered by the Pallas pipeline
-    vmem_need = 2 * (k * R * d_itemsize + 3 * R * itemsize)
-    on_tpu = pallas_env.pallas_capable()
-    # Mosaic has no f64 register tiling — 8-byte dtypes take the XLA path.
-    # Narrower matrix data (bf16 mode) is fine: products promote to x.dtype.
-    if ((npad % R != 0) or (hneg + hpos) > R or vmem_need > VMEM_BUDGET
-            or not on_tpu or itemsize > 4 or d_itemsize > itemsize):
-        from .spmv import spmv_dia
-        return spmv_dia(A, x, use_pallas=False)
+def dia_pallas_core(offsets, hneg: int, R: int, data: jax.Array,
+                    xp: jax.Array) -> jax.Array:
+    """The tiled kernel launch on a pre-padded window vector.
 
+    `data` is (k, npad) with npad a multiple of the row tile R; `xp` is the
+    halo-padded x with xp[hneg + i] = x[i], sized (npad/R + 1)·R so tile
+    i's window [i·R, i·R + R + H) is covered by blocks i and i+1.  Shared
+    by the single-chip path and the shard-local mesh path
+    (parallel/mesh_ops.py), which feeds ppermute-exchanged halo entries in
+    xp's edge regions instead of zeros.
+    """
+    k = data.shape[0]
+    npad = data.shape[1]
     grid_n = npad // R
-    # xp[hneg + i] = x[i]; tile i's window is xp[i*R : i*R + R + H), covered
-    # by blocks i and i+1 → xp needs (grid_n + 1) blocks.
-    xp = jnp.zeros((grid_n + 1) * R, dtype=x.dtype).at[hneg:hneg + n].set(x)
-
     kernel = lambda data_ref, xlo, xhi, y_ref: _dia_kernel(  # noqa: E731
         offsets, hneg, R, data_ref, xlo, xhi, y_ref)
 
     # note: jnp.int32 literals — under jax_enable_x64 a python 0 traces as
     # i64 and Mosaic rejects mixed-width index maps.
-    y = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(grid_n,),
         in_specs=[
@@ -115,12 +100,51 @@ def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
         ],
         out_specs=pl.BlockSpec((R,), lambda i: (i,),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((npad,), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((npad,), xp.dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * k * npad,
-            bytes_accessed=k * npad * d_itemsize + 3 * n * itemsize,
+            bytes_accessed=(k * npad * data.dtype.itemsize
+                            + 3 * npad * xp.dtype.itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=pallas_env.INTERPRET,
-    )(A.data, xp, xp)
-    return y[:n]
+    )(data, xp, xp)
+
+
+def dia_pallas_eligible(A, itemsize: int) -> bool:
+    """Static structure/VMEM checks shared with the mesh path."""
+    npad = A.data.shape[1]
+    offsets = A.offsets
+    R = A.row_tile
+    k = len(offsets)
+    hneg = max(0, -min(offsets))
+    hpos = max(0, max(offsets))
+    d_itemsize = A.data.dtype.itemsize
+    # data + xlo + xhi (+y), all double-buffered by the Pallas pipeline
+    vmem_need = 2 * (k * R * d_itemsize + 3 * R * itemsize)
+    return ((npad % R == 0) and (hneg + hpos) <= R
+            and vmem_need <= VMEM_BUDGET and d_itemsize <= itemsize)
+
+
+def dia_spmv_pallas(A, x: jax.Array) -> jax.Array:
+    """y = A @ x for DeviceDIA A. Falls back to the XLA path off-TPU or when
+    the operand blocks would not fit VMEM."""
+    from ..device_matrix import DeviceDIA
+    assert isinstance(A, DeviceDIA)
+    n = A.n_rows
+    npad = A.data.shape[1]
+    offsets = A.offsets
+    R = A.row_tile
+    hneg = max(0, -min(offsets))
+    itemsize = x.dtype.itemsize
+    on_tpu = pallas_env.pallas_capable()
+    # Mosaic has no f64 register tiling — 8-byte dtypes take the XLA path.
+    # Narrower matrix data (bf16 mode) is fine: products promote to x.dtype.
+    if (not on_tpu or itemsize > 4
+            or not dia_pallas_eligible(A, itemsize)):
+        from .spmv import spmv_dia
+        return spmv_dia(A, x, use_pallas=False)
+
+    grid_n = npad // R
+    xp = jnp.zeros((grid_n + 1) * R, dtype=x.dtype).at[hneg:hneg + n].set(x)
+    return dia_pallas_core(offsets, hneg, R, A.data, xp)[:n]

@@ -66,11 +66,20 @@ def _spmv_impl(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
     from ..stencil_op import DeviceStencil, stencil_spmv
     if isinstance(A, DeviceStencil):
         return stencil_spmv(A, x, use_pallas=use_pallas)
+    from ..parallel.mesh_ops import (MeshDIA, MeshStencil, mesh_dia_spmv,
+                                     mesh_stencil_spmv)
+    if isinstance(A, MeshStencil):
+        return mesh_stencil_spmv(A, x)
+    if isinstance(A, MeshDIA):
+        return mesh_dia_spmv(A, x)
     raise TypeError(f"unsupported device matrix type: {type(A)}")
 
 
 def _fused_dots_capable(A, x, use_pallas):
     from ..stencil_op import DeviceStencil, _planar_ok
+    from ..parallel.mesh_ops import MeshStencil
+    if isinstance(A, MeshStencil):
+        return True   # capability validated when the wrapper was built
     return (isinstance(A, DeviceStencil) and A.planar and use_pallas
             and pallas_env.pallas_capable() and x.dtype.itemsize <= 4
             and _planar_ok(A))
@@ -85,6 +94,9 @@ def spmv_dot(A, x: jax.Array, use_pallas: bool = False):
 
 def _spmv_dot_impl(A, x: jax.Array, use_pallas: bool = False):
     if _fused_dots_capable(A, x, use_pallas):
+        from ..parallel.mesh_ops import MeshStencil, mesh_stencil_spmv
+        if isinstance(A, MeshStencil):
+            return mesh_stencil_spmv(A, x, dots=("x",))
         from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, with_dot=True)
     y = _spmv_impl(A, x, use_pallas=use_pallas)
@@ -110,6 +122,9 @@ def _spmv_dots_impl(A, x: jax.Array, aux: jax.Array = None,
     if not dots:
         return (_spmv_impl(A, x, use_pallas=use_pallas),)
     if _fused_dots_capable(A, x, use_pallas):
+        from ..parallel.mesh_ops import MeshStencil, mesh_stencil_spmv
+        if isinstance(A, MeshStencil):
+            return mesh_stencil_spmv(A, x, dots=dots, aux=aux)
         from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, dots=dots, aux=aux)
     y = _spmv_impl(A, x, use_pallas=use_pallas)

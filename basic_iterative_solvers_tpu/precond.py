@@ -435,11 +435,14 @@ def estimated_precond_passes(M: Preconditioner) -> float:
     if M.L_block is not None or M.U_block is not None:
         # blocked trisolves: each factor plane streams once + window reads
         # (~3 per (level, source) pair) + permute/vector passes
-        from .ops.block_trisolve import SuperBlockTriSolve
+        from .ops.block_trisolve import (MeshSuperBlockTriSolve,
+                                         SuperBlockTriSolve)
         per = 0.0
         for B in (M.L_block, M.U_block):
             if B is None:
                 continue
+            if isinstance(B, MeshSuperBlockTriSolve):
+                B = B.inner
             if isinstance(B, SuperBlockTriSolve):
                 n_groups = sum(len(c) + len(s) for _, c, s in B.levels)
                 n_pairs = sum(len({s for s, _ in c}) for _, c, _s in B.levels)

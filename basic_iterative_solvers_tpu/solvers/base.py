@@ -317,15 +317,19 @@ def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
             np.asarray(setup.b, dtype=np.float64)
             - setup.A_host.spmv(np.asarray(x_star, dtype=np.float64))))
     import dataclasses as _dc
+    from ..parallel.mesh_ops import unwrap
     from ..stencil_op import DeviceStencil, from_planar_vec
-    A = setup.A
+    A = unwrap(setup.A)
     x = jnp.asarray(x_star, dtype=setup.b.dtype)
     b = setup.b
     if isinstance(A, DeviceStencil):
         if A.planar:
-            # the f64 evaluation runs on the XLA flat path (no f64 Pallas)
-            x = from_planar_vec(A, x)
-            b = from_planar_vec(A, b)
+            # the f64 evaluation runs on the XLA flat path (no f64 Pallas);
+            # mesh flat-vector setups carry a planar-flagged operator over
+            # FLAT vectors — only the diag needs decoding there
+            if x.shape[0] != A.n_rows:
+                x = from_planar_vec(A, x)
+                b = from_planar_vec(A, b)
             A = _dc.replace(
                 A, planar=False,
                 diag=None if A.diag is None else from_planar_vec(A, A.diag))

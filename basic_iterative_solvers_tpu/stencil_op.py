@@ -43,7 +43,7 @@ from .ops.pallas_spmv import MIN_ROW_TILE, _VMEM_LIMIT
 @partial(jax.tree_util.register_dataclass,
          data_fields=["coeffs", "diag"],
          meta_fields=["legs", "coeff_values", "dims", "n_rows", "n_cols",
-                      "row_tile", "planar"])
+                      "row_tile", "planar", "shards"])
 @dataclasses.dataclass
 class DeviceStencil:
     """Constant-coefficient stencil on an open-boundary nx×ny×nz grid.
@@ -67,6 +67,10 @@ class DeviceStencil:
     #: when True, SpMV consumes/produces vectors in the planar halo layout
     #: (see `to_planar_vec`) — no per-apply pad/crop.
     planar: bool = False
+    #: planar rows_pad is rounded up to a multiple of TR·shards so a 1-D
+    #: row mesh of `shards` devices gets whole kernel tiles per shard
+    #: (parallel/mesh_ops.py); 1 = the single-chip layout.
+    shards: int = 1
 
     @property
     def dtype(self):
@@ -156,7 +160,8 @@ def _planar_geometry(A: "DeviceStencil"):
                 + [abs(dz) * rows_plane + abs(dy)
                    for (dx, dy, dz) in A.legs])
     TR = max(_ROW_TILE_2D, -(-2 * drmax // _ROW_TILE_2D) * _ROW_TILE_2D)
-    rows_pad = -(-rows_total // TR) * TR
+    chunk = TR * max(1, A.shards)
+    rows_pad = -(-rows_total // chunk) * chunk
     return L, rows_plane, rows_total, drmax, TR, rows_pad
 
 
@@ -235,11 +240,26 @@ def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
 def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                      coeff_ref, w0_ref, w1_ref, w2_ref, y_ref,
                      diag_ref=None, dot_refs=(), aux_ref=None,
-                     gs_refs=None, gs_color=None, gs_spec=None):
+                     gs_refs=None, gs_color=None, gs_spec=None,
+                     row0_ref=None, halo_refs=None):
+    """Kernel body shared by the SpMV and fused-GS passes.
+
+    `halo_refs` = (top, bot) (TR, L) blocks substituted for the clamped
+    w0/w2 windows at the first/last grid step — the shard-local form
+    (parallel/mesh_ops.py) feeds ppermute-exchanged neighbor slabs here.
+    `row0_ref` is the shard's global planar-row offset ((1,1) SMEM int32)
+    so the output halo masks and color ids stay globally correct."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nx, ny, nz = A.dims
-    window = jnp.concatenate([w0_ref[:], w1_ref[:], w2_ref[:]], axis=0)
+    if halo_refs is None:
+        w0x, w2x = w0_ref[:], w2_ref[:]
+    else:
+        step = pl.program_id(0)
+        w0x = jnp.where(step == 0, halo_refs[0][:], w0_ref[:])
+        w2x = jnp.where(step == pl.num_programs(0) - 1,
+                        halo_refs[1][:], w2_ref[:])
+    window = jnp.concatenate([w0x, w1_ref[:], w2x], axis=0)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     variants = {}
@@ -286,6 +306,8 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
     i = pl.program_id(0)
     r = (jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
          + i * jnp.int32(TR))
+    if row0_ref is not None:
+        r = r + row0_ref[0, 0]
     y_in_plane = jax.lax.rem(r, jnp.int32(rows_plane))
     real_row = ((r >= jnp.int32(rows_plane))
                 & (r < jnp.int32((nz + 1) * rows_plane))
@@ -363,7 +385,8 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
 
 def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
                           with_dot: bool = False,
-                          dots=(), aux: jax.Array = None):
+                          dots=(), aux: jax.Array = None,
+                          halo=None, row0=None):
     """y = A @ x with x and y in the planar-resident layout.
 
     `dots` is a tuple drawn from {"x", "self", "aux"}: each requests a dot
@@ -372,6 +395,12 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
     vector `aux` tile-aligned with the output) — saving a full memory pass
     over y (and the partner vector) per dot.  `with_dot=True` is shorthand
     for dots=("x",).  Returns y, then the requested dot scalars in order.
+
+    Shard-local form (inside shard_map; parallel/mesh_ops.py): `xp` is the
+    shard's slab (a whole number of TR tiles), `halo` = (top, bot) (TR, L)
+    neighbor blocks replacing the clamped edge windows, `row0` the global
+    planar-row offset of the slab; A.diag (and aux) must then be the
+    matching local slabs.  Dot partials are LOCAL — callers psum them.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -382,33 +411,39 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         raise ValueError("dots containing 'aux' require the aux vector")
 
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    grid_n = rows_pad // TR
-    x2 = xp.reshape(rows_pad, L)
+    rows_here = xp.size // L       # rows_pad single-chip; R_local in-shard
+    grid_n = rows_here // TR
+    x2 = xp.reshape(rows_here, L)
 
     has_diag = A.diag is not None
     has_aux = "aux" in dots
+    has_halo = halo is not None
     n_in_extra = int(has_diag) + int(has_aux)
 
     def kernel(coeff_ref, w0, w1, w2, *rest):
         ins = rest[:n_in_extra]
-        outs = rest[n_in_extra:]
+        hrefs = rest[n_in_extra:n_in_extra + 3 * has_halo]
+        outs = rest[n_in_extra + 3 * has_halo:]
         _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                          coeff_ref, w0, w1, w2, outs[0],
                          diag_ref=(ins[0] if has_diag else None),
                          dot_refs=list(zip(dots, outs[1:])),
-                         aux_ref=(ins[-1] if has_aux else None))
+                         aux_ref=(ins[n_in_extra - 1] if has_aux else None),
+                         row0_ref=(hrefs[0] if has_halo else None),
+                         halo_refs=(hrefs[1:3] if has_halo else None))
 
     # clamped 3-block window: edge clamps feed only masked halo outputs
-    # (drmax ≤ rows_plane + 1 ≤ prologue/epilogue halo planes)
+    # (drmax ≤ rows_plane + 1 ≤ prologue/epilogue halo planes); with halo
+    # blocks the kernel substitutes them at the first/last step instead
     last = grid_n - 1
+    tile = lambda i: (i, jnp.int32(0))  # noqa: E731
     in_specs = [
         pl.BlockSpec((len(A.legs),), lambda i: (jnp.int32(0),),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((TR, L),
                      lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
         pl.BlockSpec((TR, L),
                      lambda i: (jnp.minimum(i + 1, jnp.int32(last)),
                                 jnp.int32(0)),
@@ -416,17 +451,26 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
     ]
     args = [A.coeffs, x2, x2, x2]
     if has_diag:
-        in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+        in_specs.append(pl.BlockSpec((TR, L), tile,
                                      memory_space=pltpu.VMEM))
-        args.append(A.diag.reshape(rows_pad, L))
+        args.append(A.diag.reshape(rows_here, L))
     if has_aux:
-        in_specs.append(pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
+        in_specs.append(pl.BlockSpec((TR, L), tile,
                                      memory_space=pltpu.VMEM))
-        args.append(aux.reshape(rows_pad, L))
+        args.append(aux.reshape(rows_here, L))
+    if has_halo:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (jnp.int32(0),
+                                                        jnp.int32(0)),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(row0, jnp.int32).reshape(1, 1))
+        const = lambda i: (jnp.int32(0), jnp.int32(0))  # noqa: E731
+        for h in halo:
+            in_specs.append(pl.BlockSpec((TR, L), const,
+                                         memory_space=pltpu.VMEM))
+            args.append(h)
     itemsize = xp.dtype.itemsize
-    out_specs = [pl.BlockSpec((TR, L), lambda i: (i, jnp.int32(0)),
-                              memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((rows_pad, L), xp.dtype)]
+    out_specs = [pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((rows_here, L), xp.dtype)]
     for _ in dots:
         out_specs.append(pl.BlockSpec(
             (1, 8, 128), lambda i: (i, jnp.int32(0), jnp.int32(0)),
@@ -438,8 +482,9 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
-            flops=2 * len(A.legs) * rows_pad * L,
-            bytes_accessed=(2 + has_diag + has_aux) * rows_pad * L * itemsize,
+            flops=2 * len(A.legs) * rows_here * L,
+            bytes_accessed=(2 + has_diag + has_aux) * rows_here * L
+            * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_pallas_env.INTERPRET,
@@ -452,29 +497,37 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
 
 def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
                           rhs: jax.Array, dinv: jax.Array,
-                          spec, color: int) -> jax.Array:
+                          spec, color: int, halo=None,
+                          row0=None) -> jax.Array:
     """One fused multicolor-GS color step on planar-resident vectors:
     x' = where(color==c, x + (rhs − A·x)·D⁻¹, x) in a single kernel pass
     (the XLA route writes A·x to HBM and reads it back).  `spec` is a
     grid/parity ColorSpec (coloring.py); color ids are iota arithmetic
-    inside the kernel."""
+    inside the kernel.  `halo`/`row0` give the shard-local form exactly as
+    in stencil_spmv_resident."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    grid_n = rows_pad // TR
-    x2 = xp.reshape(rows_pad, L)
+    rows_here = xp.size // L
+    grid_n = rows_here // TR
+    x2 = xp.reshape(rows_here, L)
     has_diag = A.diag is not None
+    has_halo = halo is not None
 
     def kernel(coeff_ref, w0, w1, w2, *rest):
-        ins = rest[:-1]
+        n_fixed = int(has_diag) + 2
+        ins = rest[:n_fixed]
+        hrefs = rest[n_fixed:n_fixed + 3 * has_halo]
         out = rest[-1]
         diag_ref = ins[0] if has_diag else None
-        rhs_ref, dinv_ref = ins[-2], ins[-1]
+        rhs_ref, dinv_ref = ins[n_fixed - 2], ins[n_fixed - 1]
         _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
                          coeff_ref, w0, w1, w2, out, diag_ref=diag_ref,
                          gs_refs=(rhs_ref, dinv_ref), gs_color=color,
-                         gs_spec=spec)
+                         gs_spec=spec,
+                         row0_ref=(hrefs[0] if has_halo else None),
+                         halo_refs=(hrefs[1:3] if has_halo else None))
 
     last = grid_n - 1
     tile = lambda i: (i, jnp.int32(0))  # noqa: E731
@@ -493,19 +546,29 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
     if has_diag:
         in_specs.append(pl.BlockSpec((TR, L), tile,
                                      memory_space=pltpu.VMEM))
-        args.append(A.diag.reshape(rows_pad, L))
+        args.append(A.diag.reshape(rows_here, L))
     in_specs += [pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
                  pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM)]
-    args += [rhs.reshape(rows_pad, L), dinv.reshape(rows_pad, L)]
+    args += [rhs.reshape(rows_here, L), dinv.reshape(rows_here, L)]
+    if has_halo:
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (jnp.int32(0),
+                                                        jnp.int32(0)),
+                                     memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(row0, jnp.int32).reshape(1, 1))
+        const = lambda i: (jnp.int32(0), jnp.int32(0))  # noqa: E731
+        for h in halo:
+            in_specs.append(pl.BlockSpec((TR, L), const,
+                                         memory_space=pltpu.VMEM))
+            args.append(h)
     itemsize = xp.dtype.itemsize
     out = pl.pallas_call(
         kernel, grid=(grid_n,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_pad, L), xp.dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_here, L), xp.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * (len(A.legs) + 2) * rows_pad * L,
-            bytes_accessed=(4 + has_diag) * rows_pad * L * itemsize,
+            flops=2 * (len(A.legs) + 2) * rows_here * L,
+            bytes_accessed=(4 + has_diag) * rows_here * L * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_pallas_env.INTERPRET,
@@ -632,6 +695,9 @@ def stencil_split(A: DeviceStencil):
     nxd, nyd, nzd = A.dims
     L = make_stencil(lower, nxd, nyd, nzd, dtype=A.dtype)
     U = make_stencil(upper, nxd, nyd, nzd, dtype=A.dtype)
+    if A.shards != 1:   # splits must share the parent's planar padding
+        L = dataclasses.replace(L, shards=A.shards)
+        U = dataclasses.replace(U, shards=A.shards)
     if A.planar:
         if (_planar_geometry(L)[4:] != _planar_geometry(A)[4:]
                 or _planar_geometry(U)[4:] != _planar_geometry(A)[4:]):
