@@ -93,6 +93,37 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_permute_csr.restype = None
     lib.bis_permute_csr.argtypes = [ctypes.c_int32, _i64p, _i32p, _f64p,
                                     _i32p, _i32p, _i64p, _i32p, _f64p]
+    lib.bis_hpcg_csr.restype = None
+    lib.bis_hpcg_csr.argtypes = [ctypes.c_int32, ctypes.c_int32,
+                                 ctypes.c_int32, ctypes.c_double,
+                                 ctypes.c_double, _i64p, _i32p, _f64p]
+    lib.bis_expand_perm_triplets.restype = None
+    lib.bis_expand_perm_triplets.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _f64p, _i32p, _i32p, _i32p, _f64p]
+    lib.bis_sb_analyze.restype = ctypes.c_longlong
+    lib.bis_sb_analyze.argtypes = (
+        [ctypes.c_longlong, _i32p, _i32p]
+        + [ctypes.c_int32] * 6
+        + [ctypes.c_longlong, _i64p, _i64p, _i64p, _i64p, _i64p])
+    lib.bis_sb_scatter.restype = ctypes.c_longlong
+    lib.bis_sb_scatter.argtypes = (
+        [ctypes.c_longlong, _i32p, _i32p, _f64p]
+        + [ctypes.c_int32] * 6
+        + [ctypes.c_int, _i64p, ctypes.c_int32, _i64p, ctypes.c_int32,
+           ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
+           ctypes.c_void_p])
+    lib.bis_sb_analyze_csr.restype = ctypes.c_longlong
+    lib.bis_sb_analyze_csr.argtypes = (
+        [ctypes.c_int32, _i64p, _i32p, _i32p]
+        + [ctypes.c_int32] * 6
+        + [ctypes.c_longlong, _i64p, _i64p, _i64p, _i64p, _i64p])
+    lib.bis_sb_scatter_csr.restype = ctypes.c_longlong
+    lib.bis_sb_scatter_csr.argtypes = (
+        [ctypes.c_int32, _i64p, _i32p, _f64p, _i32p]
+        + [ctypes.c_int32] * 6
+        + [_i64p, ctypes.c_int32] * 4
+        + [ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int]
+        + [ctypes.c_void_p] * 4 + [_f64p])
     _LIB = lib
     return _LIB
 
@@ -273,3 +304,130 @@ def spmv_csr(A, x):
     lib.bis_spmv_csr(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
                      _as(A.val, np.float64), _as(x, np.float64), y)
     return y
+
+
+def hpcg_csr(nx: int, ny: int, nz: int, diag: float, off: float):
+    """27-point stencil CSR (row_ptr, col, val), or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = nx * ny * nz
+    nnz = (3 * nx - 2) * (3 * ny - 2) * (3 * nz - 2)
+    row_ptr = np.empty(n + 1, dtype=np.int64)
+    col = np.empty(nnz, dtype=np.int32)
+    val = np.empty(nnz, dtype=np.float64)
+    lib.bis_hpcg_csr(nx, ny, nz, diag, off, row_ptr, col, val)
+    return row_ptr, col, val
+
+
+def expand_perm_triplets(Ap, lu_val, perm):
+    """(rows_o, cols_o int32, U_D) for permuted-CSR factor values mapped
+    back to the original ordering, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = Ap.n_rows
+    rows_o = np.empty(Ap.nnz, dtype=np.int32)
+    cols_o = np.empty(Ap.nnz, dtype=np.int32)
+    U_D = np.zeros(n, dtype=np.float64)
+    lib.bis_expand_perm_triplets(n, _as(Ap.row_ptr, np.int64),
+                                 _as(Ap.col, np.int32),
+                                 _as(lu_val, np.float64),
+                                 _as(perm, np.int32), rows_o, cols_o, U_D)
+    return rows_o, cols_o, U_D
+
+
+def sb_analyze(rows, cols, nx, ny, nz, sx, sy, sz, cap: int):
+    """One-pass superblock group discovery for BOTH triangles.
+
+    Returns {'cross_lo','self_lo','cross_up','self_up'} ascending int64 key
+    arrays; None when the native library is unavailable, the indices exceed
+    int32, or a structural check fails (the NumPy builder then re-derives
+    the properly ordered error).  Raises ImproperColoringError directly
+    (that verdict is scan-order independent)."""
+    lib = _load()
+    if lib is None or len(rows) and (rows.max() >= 2**31
+                                     or cols.max() >= 2**31):
+        return None
+    rows32 = _as(rows, np.int32)
+    cols32 = _as(cols, np.int32)
+    bufs = [np.empty(cap, dtype=np.int64) for _ in range(4)]
+    counts = np.zeros(4, dtype=np.int64)
+    rc = lib.bis_sb_analyze(len(rows32), rows32, cols32, nx, ny, nz,
+                            sx, sy, sz, cap, *bufs, counts)
+    if rc == -10:
+        from .ops.block_trisolve import ImproperColoringError
+        raise ImproperColoringError("coloring is not proper for this pattern")
+    if rc != 0:
+        return None
+    keys = ("cross_lo", "self_lo", "cross_up", "self_up")
+    return {k: bufs[i][:counts[i]].copy() for i, k in enumerate(keys)}
+
+
+def sb_analyze_csr(Ap, perm, nx, ny, nz, sx, sy, sz, cap: int):
+    """Group discovery straight off the color-permuted CSR (row i of Ap =
+    original row perm[i]); same contract as sb_analyze."""
+    lib = _load()
+    if lib is None or Ap.n_rows >= 2**31:
+        return None
+    bufs = [np.empty(cap, dtype=np.int64) for _ in range(4)]
+    counts = np.zeros(4, dtype=np.int64)
+    rc = lib.bis_sb_analyze_csr(Ap.n_rows, _as(Ap.row_ptr, np.int64),
+                                _as(Ap.col, np.int32), _as(perm, np.int32),
+                                nx, ny, nz, sx, sy, sz, cap, *bufs, counts)
+    if rc == -10:
+        from .ops.block_trisolve import ImproperColoringError
+        raise ImproperColoringError("coloring is not proper for this pattern")
+    if rc != 0:
+        return None
+    keys = ("cross_lo", "self_lo", "cross_up", "self_up")
+    return {k: bufs[i][:counts[i]].copy() for i, k in enumerate(keys)}
+
+
+def sb_scatter_csr(Ap, lu_val, perm, nx, ny, nz, sx, sy, sz, analysis,
+                   Rb128_lo: int, Rb128_up: int,
+                   pc_lo, ps_lo, pc_up, ps_up) -> "Optional[np.ndarray]":
+    """Fill BOTH triangles' (pre-zeroed) group planes and the peeled
+    diagonal in one pass over the permuted CSR; returns U_D or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    U_D = np.zeros(Ap.n_rows, dtype=np.float64)
+    dtype32 = 1 if pc_lo.dtype == np.float32 else 0
+    args = []
+    for k in ("cross_lo", "self_lo", "cross_up", "self_up"):
+        uk = _as(analysis[k], np.int64)
+        args += [uk, len(uk)]
+    rc = lib.bis_sb_scatter_csr(
+        Ap.n_rows, _as(Ap.row_ptr, np.int64), _as(Ap.col, np.int32),
+        _as(lu_val, np.float64), _as(perm, np.int32),
+        nx, ny, nz, sx, sy, sz, *args, Rb128_lo, Rb128_up, dtype32,
+        pc_lo.ctypes.data_as(ctypes.c_void_p),
+        ps_lo.ctypes.data_as(ctypes.c_void_p),
+        pc_up.ctypes.data_as(ctypes.c_void_p),
+        ps_up.ctypes.data_as(ctypes.c_void_p), U_D)
+    if rc != 0:
+        raise RuntimeError(f"bis_sb_scatter_csr failed with code {rc}")
+    return U_D
+
+
+def sb_scatter(rows, cols, vals, nx, ny, nz, sx, sy, sz, upper: bool,
+               ukc, uks, Rb128: int, planes_cross, planes_self) -> bool:
+    """Scatter one triangle's values into the (pre-zeroed) group planes
+    laid out in ukey order; False when unavailable."""
+    lib = _load()
+    if lib is None:
+        return False
+    rows32 = _as(rows, np.int32)
+    cols32 = _as(cols, np.int32)
+    dtype32 = 1 if planes_cross.dtype == np.float32 else 0
+    rc = lib.bis_sb_scatter(
+        len(rows32), rows32, cols32, _as(vals, np.float64),
+        nx, ny, nz, sx, sy, sz, 1 if upper else 0,
+        _as(ukc, np.int64), len(ukc), _as(uks, np.int64), len(uks),
+        Rb128, dtype32,
+        planes_cross.ctypes.data_as(ctypes.c_void_p),
+        planes_self.ctypes.data_as(ctypes.c_void_p))
+    if rc != 0:
+        raise RuntimeError(f"bis_sb_scatter failed with code {rc}")
+    return True

@@ -264,6 +264,7 @@ def factor_ilu0_colored_triplets(A: MatrixCSR, colors: np.ndarray,
     This avoids the two 27M-entry COO→CSR sorts of factor_ilu0_colored —
     the blocked-trisolve builders group entries themselves and never need
     CSR structure."""
+    from . import _native
     from .coloring import colors_to_perm
     from .permute import permute_csr
 
@@ -272,6 +273,10 @@ def factor_ilu0_colored_triplets(A: MatrixCSR, colors: np.ndarray,
     lu_val_p = _ilu0_values(Ap, pivot_tolerance, pivot_replacement)
 
     n = A.n_rows
+    if _native.available() and n < 2**31:
+        rows_o, cols_o, U_D = _native.expand_perm_triplets(Ap, lu_val_p,
+                                                           perm)
+        return rows_o, cols_o, lu_val_p, U_D
     rows_p = np.repeat(np.arange(n, dtype=np.int64), Ap.row_nnz())
     rows_o = perm[rows_p].astype(np.int64)
     cols_o = perm[Ap.col].astype(np.int64)

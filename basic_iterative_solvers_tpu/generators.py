@@ -42,6 +42,12 @@ def stencil_27pt(nx: int, ny: int = None, nz: int = None,
     ny = nx if ny is None else ny
     nz = nx if nz is None else nz
     n = nx * ny * nz
+    from . import _native
+    if _native.available() and n < 2**31:
+        built = _native.hpcg_csr(nx, ny, nz, diag, off)
+        if built is not None:
+            row_ptr, col, val = built
+            return MatrixCSR(n, n, int(row_ptr[-1]), row_ptr, col, val)
     # Arrays shaped (nz, ny, nx) so C-order ravel iterates x fastest:
     # raveled position == row index i = x + nx*(y + ny*z).
     Zg, Yg, Xg = np.meshgrid(np.arange(nz, dtype=np.int32),

@@ -53,6 +53,10 @@ _TB = 256
 #: sparsity — the dense planes would be mostly padding)
 _MAX_GROUPS = 512
 
+#: test hook: skip the C++ builder fast paths (csrc bis_sb_*) so the NumPy
+#: oracles run even when the native library is available
+FORCE_NUMPY = False
+
 
 class BlockIneligibleError(ValueError):
     """Raised when a matrix/coloring cannot use the blocked form."""
@@ -67,13 +71,14 @@ class ImproperColoringError(BlockIneligibleError):
 def _entries_of(T):
     """(rows, cols, vals, n) from a MatrixCSR or a raw triplet tuple
     (rows, cols, vals, n) — the triplet form skips CSR assembly entirely
-    (factor.factor_ilu0_colored_triplets)."""
+    (factor.factor_ilu0_colored_triplets).  Integer dtype is preserved
+    (int32 triplets stay int32 — half the memory traffic on the throttled
+    host; all consumers only index/gather with them)."""
     if isinstance(T, MatrixCSR):
         rows = np.repeat(np.arange(T.n_rows, dtype=np.int64), T.row_nnz())
         return rows, T.col.astype(np.int64), T.val, T.n_rows
     rows, cols, vals, n = T
-    return (np.asarray(rows, dtype=np.int64),
-            np.asarray(cols, dtype=np.int64), np.asarray(vals), int(n))
+    return (np.asarray(rows), np.asarray(cols), np.asarray(vals), int(n))
 
 
 def _group_inverse(key, key_range):
@@ -108,6 +113,16 @@ def spec_colors_np(spec, n: int) -> np.ndarray:
         sx, sy, sz = spec.params[3], spec.params[4], spec.params[5]
         return ((x % sx) + sx * ((y % sy) + sy * (z % sz))).astype(np.int32)
     raise ValueError(f"unknown color spec kind: {spec.kind}")
+
+
+def spec_colors_valid(colors, spec, n: int) -> bool:
+    """True iff `colors` is exactly the spec's structural coloring (the
+    native builder derives colors arithmetically, so mismatched arrays
+    must take the NumPy path)."""
+    try:
+        return np.array_equal(np.asarray(colors), spec_colors_np(spec, n))
+    except Exception:
+        return False
 
 
 def _check_spec(spec, n: int) -> int:
@@ -449,12 +464,16 @@ class SuperBlockTriSolve:
 def build_superblock_trisolve(T, D: Optional[np.ndarray],
                               colors: np.ndarray, spec, *, upper: bool,
                               dtype=np.float32, need_d: bool = False,
-                              tile_rows: int = _TB) -> SuperBlockTriSolve:
+                              tile_rows: int = _TB,
+                              _analysis=None) -> SuperBlockTriSolve:
     """Pack the color-{lower,upper} part of T in superblock form.
 
     Eligibility beyond the grid-spec checks: 128 % nx == 0 (lane rolls for
     the in-register parity sub-steps never cross a vreg row at a position
     holding a real entry) and same-superblock couplings at dy = dz = 0.
+
+    `_analysis` (pair builder) carries the one-pass native group discovery
+    shared by both triangles (csrc bis_sb_analyze).
     """
     if spec.kind != "grid":
         raise BlockIneligibleError("superblock path needs a grid coloring")
@@ -468,6 +487,19 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
     S = sy * sz
     my, mz = ny // sy, nz // sz
     m = nx * my * mz
+
+    # C++ fast path: one-pass group discovery + plane scatter, no full-nnz
+    # intermediates (the throttled host makes each 55M-entry NumPy
+    # temporary cost seconds).  Structural rejections fall through to the
+    # NumPy path, which re-derives the properly ordered error.
+    analysis = (_analysis if _analysis is not None
+                else _native_analysis_for((rows, cols, vals, n), colors,
+                                          spec))
+    if analysis is not None:
+        return _build_superblock_from_analysis(
+            analysis, rows, cols, vals, n, D, spec, upper=upper,
+            dtype=dtype, need_d=need_d, tile_rows=tile_rows,
+            fused=fused)
 
     idx = np.arange(n, dtype=np.int64)
     X, Y, Z = _grid_coords(idx, nx, ny)
@@ -562,6 +594,166 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
         n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
         levels=tuple(levels), upper=upper,
         spec_params=tuple(int(p) for p in spec.params), fused=fused)
+
+
+def _native_analysis_for(trip, colors, spec):
+    """Native one-pass group discovery for a grid spec, or None when the
+    fast path does not apply (no library, non-spec colors, bad dims, or a
+    structural violation — the NumPy builder then re-derives the properly
+    ordered error).  Raises ImproperColoringError directly."""
+    rows, cols, vals, n = trip
+    if FORCE_NUMPY or spec.kind != "grid":
+        return None
+    nx, ny, nz, sx, sy, sz = spec.params
+    if nx * ny * nz != n or ny % sy or nz % sz or n == 0:
+        return None
+    if not spec_colors_valid(colors, spec, n):
+        return None
+    from .. import _native
+    return _native.sb_analyze(rows, cols, nx, ny, nz, sx, sy, sz,
+                              _MAX_GROUPS + 1)
+
+
+def _sb_plan(analysis, upper: bool, spec, tile_rows: int):
+    """Decode one triangle's ascending group keys (whose order IS the
+    level/slab order) and pick the tile geometry."""
+    import types
+    nx, ny, nz, sx, sy, sz = spec.params
+    S = sy * sz
+    my, mz = ny // sy, nz // sz
+    m = nx * my * mz
+    span = 2 * m + 1
+    ukc = analysis["cross_up" if upper else "cross_lo"]
+    uks = analysis["self_up" if upper else "self_lo"]
+    Gc, Gs = len(ukc), len(uks)
+    if Gc + Gs > _MAX_GROUPS:
+        raise BlockIneligibleError(
+            f"{Gc + Gs} superblock groups — pattern too irregular")
+    gc_tb = (ukc // span) // S
+    gc_sb = (ukc // span) % S
+    gc_dl = (ukc % span) - m
+    gs_tb = uks // (2 * LANES + 1)
+    gs_dx = (uks % (2 * LANES + 1)) - LANES
+    qmax = int(np.abs(gc_dl).max()) // LANES + 1 if Gc else 0
+    R_rows = -(-m // LANES)
+    TB = max(8 * -(-(qmax + 1) // 8),
+             min(tile_rows, 8 * -(-R_rows // 8)), 8)
+    R_b = -(-R_rows // TB) * TB
+    if TB > R_b:
+        R_b = TB
+    return types.SimpleNamespace(
+        ukc=ukc, uks=uks, Gc=Gc, Gs=Gs, gc_tb=gc_tb, gc_sb=gc_sb,
+        gc_dl=gc_dl, gs_tb=gs_tb, gs_dx=gs_dx, TB=TB, R_b=R_b, S=S, m=m)
+
+
+def _sb_assemble(plan, vc_big, vs_big, D, n, spec, *, upper, dtype, need_d,
+                 fused) -> SuperBlockTriSolve:
+    """dinv/d blocks + per-level slab views → SuperBlockTriSolve (the
+    ascending-key order makes each level's groups contiguous and already
+    slab-sorted, so slabs are views, never copies)."""
+    nx, ny, nz, sx, sy, sz = spec.params
+    my = ny // sy
+    S, R_b, TB = plan.S, plan.R_b, plan.TB
+    idx = np.arange(n, dtype=np.int64)
+    X, Y, Z = _grid_coords(idx, nx, ny)
+    SB = (Y % sy) + sy * (Z % sz)
+    SLOT = X + nx * ((Y // sy) + my * (Z // sz))
+    dinv_np = np.zeros((S, R_b * LANES), dtype=dtype)
+    dv = np.ones(n) if D is None else np.asarray(D, dtype=np.float64)
+    if np.any(dv == 0):
+        raise ValueError("zero diagonal in blocked trisolve")
+    dinv_np[SB, SLOT] = (1.0 / dv).astype(dtype)
+    d_np = None
+    if need_d:
+        d_np = np.zeros((S, R_b * LANES), dtype=dtype)
+        d_np[SB, SLOT] = dv.astype(dtype)
+
+    order = range(S - 1, -1, -1) if upper else range(S)
+    levels, vals_cross, vals_self = [], [], []
+    for sb in order:
+        c_lo, c_hi = np.searchsorted(plan.gc_tb, [sb, sb + 1])
+        s_lo, s_hi = np.searchsorted(plan.gs_tb, [sb, sb + 1])
+        cross = tuple((int(plan.gc_sb[g]), int(plan.gc_dl[g]))
+                      for g in range(c_lo, c_hi))
+        selfs = tuple(int(plan.gs_dx[g]) for g in range(s_lo, s_hi))
+        vals_cross.append(
+            jnp.asarray(vc_big[c_lo:c_hi].reshape(c_hi - c_lo, R_b, LANES))
+            if c_hi > c_lo else None)
+        vals_self.append(
+            jnp.asarray(vs_big[s_lo:s_hi].reshape(s_hi - s_lo, R_b, LANES))
+            if s_hi > s_lo else None)
+        levels.append((int(sb), cross, selfs))
+
+    as_blocks = lambda a: tuple(jnp.asarray(x.reshape(R_b, LANES))
+                                for x in a)
+    return SuperBlockTriSolve(
+        vals_cross=tuple(vals_cross), vals_self=tuple(vals_self),
+        dinv=as_blocks(dinv_np),
+        d=(as_blocks(d_np) if d_np is not None else None),
+        n_rows=n, S=S, m=plan.m, R_b=R_b, TB=TB, sx=sx,
+        levels=tuple(levels), upper=upper,
+        spec_params=tuple(int(p) for p in spec.params), fused=fused)
+
+
+def _build_superblock_from_analysis(analysis, rows, cols, vals, n, D, spec,
+                                    *, upper, dtype, need_d, tile_rows,
+                                    fused) -> SuperBlockTriSolve:
+    """Assemble a SuperBlockTriSolve from the native one-pass analysis:
+    scatter the triangle's values in C (csrc bis_sb_scatter), then the
+    shared assembly."""
+    from .. import _native
+    nx, ny, nz, sx, sy, sz = spec.params
+    plan = _sb_plan(analysis, upper, spec, tile_rows)
+    vc_big = np.zeros((max(plan.Gc, 1), plan.R_b * LANES), dtype=dtype)
+    vs_big = np.zeros((max(plan.Gs, 1), plan.R_b * LANES), dtype=dtype)
+    if not _native.sb_scatter(rows, cols, vals, nx, ny, nz, sx, sy, sz,
+                              upper, plan.ukc, plan.uks, plan.R_b * LANES,
+                              vc_big, vs_big):
+        raise RuntimeError("native library vanished mid-build")
+    return _sb_assemble(plan, vc_big, vs_big, D, n, spec, upper=upper,
+                        dtype=dtype, need_d=need_d, fused=fused)
+
+
+def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
+                               tile_rows: int = _TB):
+    """(L_blk, U_blk, U_D) for colored-ILU(0) factors straight off the
+    color-PERMUTED CSR: two C passes (csrc bis_sb_{analyze,scatter}_csr),
+    no original-ordering triplet arrays at all.  L solves with a unit
+    diagonal, U with the peeled factor diagonal — the apply pair of
+    blocked_ilu0.  Raises BlockIneligibleError when the fast path does not
+    apply (callers fall back to the triplet pipeline)."""
+    from .. import _native
+    if FORCE_NUMPY or spec.kind != "grid":
+        raise BlockIneligibleError("csr-direct path needs a grid coloring")
+    nx, ny, nz, sx, sy, sz = spec.params
+    n = Ap.n_rows
+    if nx * ny * nz != n or n == 0:
+        raise BlockIneligibleError("grid spec dims do not match n_rows")
+    if ny % sy or nz % sz:
+        raise BlockIneligibleError("grid strides must divide the dims")
+    analysis = _native.sb_analyze_csr(Ap, perm, nx, ny, nz, sx, sy, sz,
+                                      _MAX_GROUPS + 1)
+    if analysis is None:
+        raise BlockIneligibleError(
+            "native CSR analysis unavailable or structurally ineligible")
+    fused = nx <= LANES and LANES % nx == 0
+    plan_L = _sb_plan(analysis, False, spec, tile_rows)
+    plan_U = _sb_plan(analysis, True, spec, tile_rows)
+    pc_lo = np.zeros((max(plan_L.Gc, 1), plan_L.R_b * LANES), dtype=dtype)
+    ps_lo = np.zeros((max(plan_L.Gs, 1), plan_L.R_b * LANES), dtype=dtype)
+    pc_up = np.zeros((max(plan_U.Gc, 1), plan_U.R_b * LANES), dtype=dtype)
+    ps_up = np.zeros((max(plan_U.Gs, 1), plan_U.R_b * LANES), dtype=dtype)
+    U_D = _native.sb_scatter_csr(Ap, lu_val, perm, nx, ny, nz, sx, sy, sz,
+                                 analysis, plan_L.R_b * LANES,
+                                 plan_U.R_b * LANES,
+                                 pc_lo, ps_lo, pc_up, ps_up)
+    if U_D is None:
+        raise RuntimeError("native library vanished mid-build")
+    L = _sb_assemble(plan_L, pc_lo, ps_lo, None, n, spec, upper=False,
+                     dtype=dtype, need_d=False, fused=fused)
+    U = _sb_assemble(plan_U, pc_up, ps_up, U_D, n, spec, upper=True,
+                     dtype=dtype, need_d=False, fused=fused)
+    return L, U, U_D
 
 
 def _permute_super(B: SuperBlockTriSolve, y: jax.Array):
@@ -1088,11 +1280,15 @@ def build_best_trisolve_pair(T, D_L, D_U, colors, spec, *,
     trip = _entries_of(T)
     if spec.kind == "grid":
         try:
+            # ONE native analysis pass shared by both triangles
+            analysis = _native_analysis_for(trip, colors, spec)
             return (build_superblock_trisolve(trip, D_L, colors, spec,
                                               upper=False, dtype=dtype,
-                                              need_d=need_d),
+                                              need_d=need_d,
+                                              _analysis=analysis),
                     build_superblock_trisolve(trip, D_U, colors, spec,
-                                              upper=True, dtype=dtype))
+                                              upper=True, dtype=dtype,
+                                              _analysis=analysis))
         except ImproperColoringError:
             raise
         except BlockIneligibleError:

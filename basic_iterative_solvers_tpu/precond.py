@@ -127,6 +127,32 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         # #colors full-operator SpMV steps per solve).
         from .factor import factor_ilu0_colored_triplets
         colors, spec = _colors_for_setup(A, config)
+        if spec is not None and spec.kind == "grid":
+            # CSR-direct fast path: permute → factor → pack the pair in two
+            # C passes over the permuted CSR (no triplet materialization;
+            # csrc bis_sb_*_csr).  Structural ineligibility falls through
+            # to the triplet pipeline below.
+            from .coloring import colors_to_perm
+            from .factor import _ilu0_values
+            from .ops.block_trisolve import (BlockIneligibleError,
+                                             ImproperColoringError,
+                                             build_superblock_ilu0_pair,
+                                             spec_colors_valid)
+            from .permute import permute_csr
+            try:
+                if not spec_colors_valid(colors, spec, A.n_rows):
+                    raise BlockIneligibleError("non-spec colors")
+                perm, inv = colors_to_perm(colors)
+                Ap = permute_csr(A, perm, inv)
+                lu_p = _ilu0_values(Ap, config.ilu0_pivot_tolerance,
+                                    config.ilu0_pivot_replacement)
+                L_blk, U_blk, _U_D = build_superblock_ilu0_pair(
+                    Ap, lu_p, perm, spec, dtype=dtype)
+                return Preconditioner(
+                    L_block=L_blk, U_block=U_blk,
+                    color_spec=spec, n_colors=spec.n_colors, **kw)
+            except (BlockIneligibleError, ImproperColoringError):
+                pass   # triplet pipeline below handles fallback/recolor
         rows_o, cols_o, lu_vals, U_D = factor_ilu0_colored_triplets(
             A, colors, pivot_tolerance=config.ilu0_pivot_tolerance,
             pivot_replacement=config.ilu0_pivot_replacement)

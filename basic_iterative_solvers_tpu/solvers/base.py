@@ -118,16 +118,20 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
             b_host = b_host[perm]
             x0_host = x0_host[perm]
 
-    needs_factors = (config.preconditioner != PrecondType.NONE
+    from ..precond import resolve_gs_mode
+    ilu0_colored = (config.preconditioner == PrecondType.ILU0
+                    and resolve_gs_mode(config, device_native=False)
+                    == "colored")
+    # colored ILU(0) factors itself w.r.t. the colored ordering inside
+    # setup_preconditioner — the natural-order L/U split would be pure
+    # waste (a ~1.4 GB host pass at HPCG-128) unless the METHOD needs it
+    needs_factors = ((config.preconditioner != PrecondType.NONE
+                      and not ilu0_colored)
                      or config.method in (SolverType.JACOBI,
                                           SolverType.GAUSS_SEIDEL,
                                           SolverType.SYMMETRIC_GAUSS_SEIDEL))
     factors = None
     if needs_factors:
-        from ..precond import resolve_gs_mode
-        ilu0_colored = (config.preconditioner == PrecondType.ILU0
-                        and resolve_gs_mode(config, device_native=False)
-                        == "colored")
         with timers.time("preprocessing_factor"):
             # colored ILU0 factors inside setup_preconditioner (w.r.t. the
             # colored ordering); don't compute the natural-order one too

@@ -420,6 +420,392 @@ void bis_permute_csr(int32_t n_rows, const int64_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// HPCG 27-point stencil CSR generator (the benchmark family's matrix,
+// /root/reference/README.md:3-6 figures; row-equivalent to
+// generators.stencil_27pt, which is the NumPy oracle).  Columns come out
+// ascending because the (dz, dy, dx)-ascending neighbor order is ascending
+// in linear offset.  nnz = (3nx-2)(3ny-2)(3nz-2) — caller allocates.
+// ---------------------------------------------------------------------------
+void bis_hpcg_csr(int32_t nx, int32_t ny, int32_t nz, double diag, double off,
+                  int64_t* row_ptr, int32_t* col, double* val) {
+    int64_t pos = 0;
+    row_ptr[0] = 0;
+    int64_t i = 0;
+    for (int32_t z = 0; z < nz; ++z)
+        for (int32_t y = 0; y < ny; ++y)
+            for (int32_t x = 0; x < nx; ++x, ++i) {
+                for (int32_t dz = -1; dz <= 1; ++dz) {
+                    int32_t zn = z + dz;
+                    if (zn < 0 || zn >= nz) continue;
+                    for (int32_t dy = -1; dy <= 1; ++dy) {
+                        int32_t yn = y + dy;
+                        if (yn < 0 || yn >= ny) continue;
+                        for (int32_t dx = -1; dx <= 1; ++dx) {
+                            int32_t xn = x + dx;
+                            if (xn < 0 || xn >= nx) continue;
+                            col[pos] = (int32_t)(i + dx
+                                                 + (int64_t)nx * (dy + (int64_t)ny * dz));
+                            val[pos] = (dx == 0 && dy == 0 && dz == 0)
+                                           ? diag : off;
+                            ++pos;
+                        }
+                    }
+                }
+                row_ptr[i + 1] = pos;
+            }
+}
+
+// ---------------------------------------------------------------------------
+// Colored-ILU(0) triplet expansion: permuted CSR (Ap, factored values) →
+// original-ordering (rows_o, cols_o) int32 triplets + peeled diagonal, one
+// pass (replaces three 55M-entry NumPy gather passes on the throttled
+// host; factor.factor_ilu0_colored_triplets).
+// ---------------------------------------------------------------------------
+void bis_expand_perm_triplets(int32_t n, const int64_t* row_ptr,
+                              const int32_t* col, const double* lu_val,
+                              const int32_t* perm,
+                              int32_t* rows_o, int32_t* cols_o, double* U_D) {
+    for (int32_t i = 0; i < n; ++i) {
+        int32_t oi = perm[i];
+        for (int64_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
+            int32_t oc = perm[col[k]];
+            rows_o[k] = oi;
+            cols_o[k] = oc;
+            if (oc == oi) U_D[oi] = lu_val[k];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Superblock trisolve packing (ops/block_trisolve.build_superblock_trisolve
+// fast path).  Grid colorings only: per-entry colors / superblocks / slots
+// are pure arithmetic on grid coordinates, so BOTH triangles are analyzed
+// in one pass with zero intermediate arrays (the NumPy path materializes
+// ~10 full-nnz temporaries on a ~0.2 GB/s host).
+//
+// bis_sb_analyze: discover the (sb_i, sb_j, Δ) cross groups and (sb_i, dx)
+// self groups of the color-lower and color-upper triangles.  Key encodings
+// match the NumPy builder:
+//   cross: (sb_i·S + sb_j)·(2m+1) + (Δ + m)
+//   self:  sb_i·257 + (dx + 128)
+// Outputs 4 ascending key lists (caps checked); error codes:
+//   -10 improper coloring   -11 same-superblock coupling beyond x
+//   -12 self reach >= min(nx, 128)   -13 more than `cap` groups
+// ---------------------------------------------------------------------------
+namespace {
+struct KeySet {
+    // open-address hash of int64 keys, capacity fixed (G is tiny)
+    static const int CAP = 4096;
+    int64_t slots[CAP];
+    int count;
+    KeySet() : count(0) { for (int i = 0; i < CAP; ++i) slots[i] = -1; }
+    // returns false on overflow
+    bool insert(int64_t key, int limit) {
+        size_t h = ((size_t)key * 0x9E3779B97F4A7C15ull) & (CAP - 1);
+        while (slots[h] != -1) {
+            if (slots[h] == key) return true;
+            h = (h + 1) & (CAP - 1);
+        }
+        if (count >= limit || count >= CAP / 2) return false;
+        slots[h] = key;
+        ++count;
+        return true;
+    }
+    // true iff present
+    bool find(int64_t key) const {
+        size_t h = ((size_t)key * 0x9E3779B97F4A7C15ull) & (CAP - 1);
+        while (slots[h] != -1) {
+            if (slots[h] == key) return true;
+            h = (h + 1) & (CAP - 1);
+        }
+        return false;
+    }
+};
+
+inline void sb_coords(int32_t r, int32_t nx, int32_t ny,
+                      int32_t* x, int32_t* y, int32_t* z) {
+    *x = r % nx;
+    *y = (r / nx) % ny;
+    *z = r / (nx * ny);
+}
+}  // namespace
+
+long long bis_sb_analyze(long long nnz, const int32_t* rows,
+                         const int32_t* cols,
+                         int32_t nx, int32_t ny, int32_t nz,
+                         int32_t sx, int32_t sy, int32_t sz,
+                         long long cap,
+                         int64_t* ukc_lo, int64_t* uks_lo,
+                         int64_t* ukc_up, int64_t* uks_up,
+                         long long* counts /*4: c_lo, s_lo, c_up, s_up*/) {
+    const int32_t LANES = 128;
+    int32_t my = ny / sy, mz = nz / sz;
+    int64_t m = (int64_t)nx * my * mz;
+    int64_t span = 2 * m + 1;
+    int32_t S = sy * sz;
+    int32_t xmax = nx < LANES ? nx : LANES;
+    KeySet* sets = new KeySet[4];  // c_lo, s_lo, c_up, s_up
+    long long rc = 0;
+    for (long long k = 0; k < nnz; ++k) {
+        int32_t r = rows[k], c = cols[k];
+        if (r == c) continue;
+        int32_t xr, yr, zr, xc, yc, zc;
+        sb_coords(r, nx, ny, &xr, &yr, &zr);
+        sb_coords(c, nx, ny, &xc, &yc, &zc);
+        int32_t cr = (xr % sx) + sx * ((yr % sy) + sy * (zr % sz));
+        int32_t cc = (xc % sx) + sx * ((yc % sy) + sy * (zc % sz));
+        if (cr == cc) { rc = -10; break; }
+        int lower = cc < cr;
+        int32_t sbr = (yr % sy) + sy * (zr % sz);
+        int32_t sbc = (yc % sy) + sy * (zc % sz);
+        if (sbr == sbc) {
+            if (yr != yc || zr != zc) { rc = -11; break; }
+            int32_t dx = xc - xr;
+            if ((dx < 0 ? -dx : dx) >= xmax) { rc = -12; break; }
+            int64_t key = (int64_t)sbr * (2 * LANES + 1) + (dx + LANES);
+            if (!sets[lower ? 1 : 3].insert(key, (int)cap)) { rc = -13; break; }
+        } else {
+            int64_t slot_r = xr + (int64_t)nx * ((yr / sy) + (int64_t)my * (zr / sz));
+            int64_t slot_c = xc + (int64_t)nx * ((yc / sy) + (int64_t)my * (zc / sz));
+            int64_t key = ((int64_t)sbr * S + sbc) * span + (slot_c - slot_r + m);
+            if (!sets[lower ? 0 : 2].insert(key, (int)cap)) { rc = -13; break; }
+        }
+    }
+    if (rc == 0) {
+        int64_t* outs[4] = {ukc_lo, uks_lo, ukc_up, uks_up};
+        for (int s = 0; s < 4; ++s) {
+            int cnt = 0;
+            for (int i = 0; i < KeySet::CAP; ++i)
+                if (sets[s].slots[i] != -1) outs[s][cnt++] = sets[s].slots[i];
+            counts[s] = cnt;
+            // insertion sort (tiny)
+            for (int a = 1; a < cnt; ++a) {
+                int64_t x = outs[s][a];
+                int b = a;
+                while (b > 0 && outs[s][b - 1] > x) {
+                    outs[s][b] = outs[s][b - 1];
+                    --b;
+                }
+                outs[s][b] = x;
+            }
+        }
+    }
+    delete[] sets;
+    return rc;
+}
+
+// ---------------------------------------------------------------------------
+// CSR-direct variants: analyze/scatter straight off a color-PERMUTED CSR
+// (row i of Ap = original row perm[i]) without materializing the
+// original-ordering triplets at all — the colored-ILU(0) superblock setup
+// then runs in two passes over Ap (the throttled host makes every avoided
+// full-nnz array worth seconds).  bis_sb_scatter_csr fills BOTH triangles'
+// planes plus the peeled diagonal in its single pass.
+// ---------------------------------------------------------------------------
+long long bis_sb_analyze_csr(int32_t n, const int64_t* row_ptr,
+                             const int32_t* col, const int32_t* perm,
+                             int32_t nx, int32_t ny, int32_t nz,
+                             int32_t sx, int32_t sy, int32_t sz,
+                             long long cap,
+                             int64_t* ukc_lo, int64_t* uks_lo,
+                             int64_t* ukc_up, int64_t* uks_up,
+                             long long* counts) {
+    const int32_t LANES = 128;
+    int32_t my = ny / sy, mz = nz / sz;
+    int64_t m = (int64_t)nx * my * mz;
+    int64_t span = 2 * m + 1;
+    int32_t S = sy * sz;
+    int32_t xmax = nx < LANES ? nx : LANES;
+    KeySet* sets = new KeySet[4];
+    long long rc = 0;
+    for (int32_t pi = 0; pi < n && rc == 0; ++pi) {
+        int32_t r = perm[pi];
+        int32_t xr, yr, zr;
+        sb_coords(r, nx, ny, &xr, &yr, &zr);
+        int32_t cr = (xr % sx) + sx * ((yr % sy) + sy * (zr % sz));
+        int32_t sbr = (yr % sy) + sy * (zr % sz);
+        int64_t slot_r = xr + (int64_t)nx * ((yr / sy) + (int64_t)my * (zr / sz));
+        for (int64_t k = row_ptr[pi]; k < row_ptr[pi + 1]; ++k) {
+            int32_t c = perm[col[k]];
+            if (r == c) continue;
+            int32_t xc, yc, zc;
+            sb_coords(c, nx, ny, &xc, &yc, &zc);
+            int32_t cc = (xc % sx) + sx * ((yc % sy) + sy * (zc % sz));
+            if (cr == cc) { rc = -10; break; }
+            int lower = cc < cr;
+            int32_t sbc = (yc % sy) + sy * (zc % sz);
+            if (sbr == sbc) {
+                if (yr != yc || zr != zc) { rc = -11; break; }
+                int32_t dx = xc - xr;
+                if ((dx < 0 ? -dx : dx) >= xmax) { rc = -12; break; }
+                int64_t key = (int64_t)sbr * (2 * LANES + 1) + (dx + LANES);
+                if (!sets[lower ? 1 : 3].insert(key, (int)cap)) {
+                    rc = -13; break;
+                }
+            } else {
+                int64_t slot_c = xc + (int64_t)nx * ((yc / sy)
+                                                    + (int64_t)my * (zc / sz));
+                int64_t key = ((int64_t)sbr * S + sbc) * span
+                              + (slot_c - slot_r + m);
+                if (!sets[lower ? 0 : 2].insert(key, (int)cap)) {
+                    rc = -13; break;
+                }
+            }
+        }
+    }
+    if (rc == 0) {
+        int64_t* outs[4] = {ukc_lo, uks_lo, ukc_up, uks_up};
+        for (int s = 0; s < 4; ++s) {
+            int cnt = 0;
+            for (int i = 0; i < KeySet::CAP; ++i)
+                if (sets[s].slots[i] != -1) outs[s][cnt++] = sets[s].slots[i];
+            counts[s] = cnt;
+            for (int a = 1; a < cnt; ++a) {
+                int64_t x = outs[s][a];
+                int b = a;
+                while (b > 0 && outs[s][b - 1] > x) {
+                    outs[s][b] = outs[s][b - 1];
+                    --b;
+                }
+                outs[s][b] = x;
+            }
+        }
+    }
+    delete[] sets;
+    return rc;
+}
+
+long long bis_sb_scatter_csr(int32_t n, const int64_t* row_ptr,
+                             const int32_t* col, const double* lu_val,
+                             const int32_t* perm,
+                             int32_t nx, int32_t ny, int32_t nz,
+                             int32_t sx, int32_t sy, int32_t sz,
+                             const int64_t* ukc_lo, int32_t Gc_lo,
+                             const int64_t* uks_lo, int32_t Gs_lo,
+                             const int64_t* ukc_up, int32_t Gc_up,
+                             const int64_t* uks_up, int32_t Gs_up,
+                             int64_t Rb128_lo, int64_t Rb128_up, int dtype32,
+                             void* pc_lo, void* ps_lo,
+                             void* pc_up, void* ps_up, double* U_D) {
+    const int32_t LANES = 128;
+    int32_t my = ny / sy, mz = nz / sz;
+    int64_t m = (int64_t)nx * my * mz;
+    int64_t span = 2 * m + 1;
+    int32_t S = sy * sz;
+    for (int32_t pi = 0; pi < n; ++pi) {
+        int32_t r = perm[pi];
+        int32_t xr, yr, zr;
+        sb_coords(r, nx, ny, &xr, &yr, &zr);
+        int32_t cr = (xr % sx) + sx * ((yr % sy) + sy * (zr % sz));
+        int32_t sbr = (yr % sy) + sy * (zr % sz);
+        int64_t slot_r = xr + (int64_t)nx * ((yr / sy) + (int64_t)my * (zr / sz));
+        for (int64_t k = row_ptr[pi]; k < row_ptr[pi + 1]; ++k) {
+            int32_t c = perm[col[k]];
+            double v = lu_val[k];
+            if (r == c) { U_D[r] = v; continue; }
+            int32_t xc, yc, zc;
+            sb_coords(c, nx, ny, &xc, &yc, &zc);
+            int32_t cc = (xc % sx) + sx * ((yc % sy) + sy * (zc % sz));
+            int lower = cc < cr;
+            int32_t sbc = (yc % sy) + sy * (zc % sz);
+            const int64_t* uk;
+            int32_t G;
+            void* planes;
+            int64_t Rb128 = lower ? Rb128_lo : Rb128_up;
+            int64_t key;
+            if (sbr == sbc) {
+                key = (int64_t)sbr * (2 * LANES + 1) + (xc - xr + LANES);
+                uk = lower ? uks_lo : uks_up;
+                G = lower ? Gs_lo : Gs_up;
+                planes = lower ? ps_lo : ps_up;
+            } else {
+                int64_t slot_c = xc + (int64_t)nx * ((yc / sy)
+                                                    + (int64_t)my * (zc / sz));
+                key = ((int64_t)sbr * S + sbc) * span + (slot_c - slot_r + m);
+                uk = lower ? ukc_lo : ukc_up;
+                G = lower ? Gc_lo : Gc_up;
+                planes = lower ? pc_lo : pc_up;
+            }
+            int32_t lo = 0, hi = G - 1, g = -1;
+            while (lo <= hi) {
+                int32_t mid = (lo + hi) >> 1;
+                if (uk[mid] == key) { g = mid; break; }
+                if (uk[mid] < key) lo = mid + 1; else hi = mid - 1;
+            }
+            if (g < 0) return -1;
+            if (dtype32)
+                ((float*)planes)[(int64_t)g * Rb128 + slot_r] = (float)v;
+            else
+                ((double*)planes)[(int64_t)g * Rb128 + slot_r] = v;
+        }
+    }
+    return 0;
+}
+
+// Scatter one triangle's values into the group planes (rows in ukey order,
+// which is the level/slab order): planes_*[g * Rb128 + slot(row)] = value.
+// dtype32: 1 = float32 planes, 0 = float64.
+long long bis_sb_scatter(long long nnz, const int32_t* rows,
+                         const int32_t* cols, const double* vals,
+                         int32_t nx, int32_t ny, int32_t nz,
+                         int32_t sx, int32_t sy, int32_t sz,
+                         int upper,
+                         const int64_t* ukc, int32_t Gc,
+                         const int64_t* uks, int32_t Gs,
+                         int64_t Rb128, int dtype32,
+                         void* planes_cross, void* planes_self) {
+    const int32_t LANES = 128;
+    int32_t my = ny / sy, mz = nz / sz;
+    int64_t m = (int64_t)nx * my * mz;
+    int64_t span = 2 * m + 1;
+    int32_t S = sy * sz;
+    float* pc32 = (float*)planes_cross;
+    float* ps32 = (float*)planes_self;
+    double* pc64 = (double*)planes_cross;
+    double* ps64 = (double*)planes_self;
+    for (long long k = 0; k < nnz; ++k) {
+        int32_t r = rows[k], c = cols[k];
+        if (r == c) continue;
+        int32_t xr, yr, zr, xc, yc, zc;
+        sb_coords(r, nx, ny, &xr, &yr, &zr);
+        sb_coords(c, nx, ny, &xc, &yc, &zc);
+        int32_t cr = (xr % sx) + sx * ((yr % sy) + sy * (zr % sz));
+        int32_t cc = (xc % sx) + sx * ((yc % sy) + sy * (zc % sz));
+        int lower = cc < cr;
+        if (lower == upper) continue;
+        int32_t sbr = (yr % sy) + sy * (zr % sz);
+        int64_t slot_r = xr + (int64_t)nx * ((yr / sy) + (int64_t)my * (zr / sz));
+        if (sbr == ((yc % sy) + sy * (zc % sz))) {
+            int64_t key = (int64_t)sbr * (2 * LANES + 1) + (xc - xr + LANES);
+            // binary search (G <= ~hundreds)
+            int32_t lo = 0, hi = Gs - 1, g = -1;
+            while (lo <= hi) {
+                int32_t mid = (lo + hi) >> 1;
+                if (uks[mid] == key) { g = mid; break; }
+                if (uks[mid] < key) lo = mid + 1; else hi = mid - 1;
+            }
+            if (g < 0) return -1;
+            if (dtype32) ps32[(int64_t)g * Rb128 + slot_r] = (float)vals[k];
+            else         ps64[(int64_t)g * Rb128 + slot_r] = vals[k];
+        } else {
+            int32_t sbc = (yc % sy) + sy * (zc % sz);
+            int64_t slot_c = xc + (int64_t)nx * ((yc / sy) + (int64_t)my * (zc / sz));
+            int64_t key = ((int64_t)sbr * S + sbc) * span + (slot_c - slot_r + m);
+            int32_t lo = 0, hi = Gc - 1, g = -1;
+            while (lo <= hi) {
+                int32_t mid = (lo + hi) >> 1;
+                if (ukc[mid] == key) { g = mid; break; }
+                if (ukc[mid] < key) lo = mid + 1; else hi = mid - 1;
+            }
+            if (g < 0) return -1;
+            if (dtype32) pc32[(int64_t)g * Rb128 + slot_r] = (float)vals[k];
+            else         pc64[(int64_t)g * Rb128 + slot_r] = vals[k];
+        }
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // CSR SpMV host oracle (native_spmv analog, /root/reference/kernels.hpp:22-42)
 // — used for explicit final residuals on host matrices.
 // ---------------------------------------------------------------------------

@@ -129,3 +129,133 @@ def test_read_mtx_native_path(tmp_path):
     A = read_mtx(str(path))
     expect = np.array([[2.0, -1.0, 0.0], [-1.0, 2.0, 0.0], [0.0, 0.0, 2.0]])
     np.testing.assert_allclose(A.to_dense(), expect)
+
+
+# ---------------------------------------------------------------------------
+# Superblock builder fast paths (bis_hpcg_csr / bis_expand_perm_triplets /
+# bis_sb_analyze[_csr] / bis_sb_scatter[_csr]) vs the NumPy oracles.
+# ---------------------------------------------------------------------------
+
+needs_native = pytest.mark.skipif(not _native.available(),
+                                  reason="native library unavailable")
+
+
+def _assert_sb_equal(Ba, Bb):
+    assert type(Ba) is type(Bb)
+    assert Ba.levels == Bb.levels
+    assert (Ba.R_b, Ba.TB, Ba.S, Ba.m, Ba.sx, Ba.fused) == \
+        (Bb.R_b, Bb.TB, Bb.S, Bb.m, Bb.sx, Bb.fused)
+    for fa, fb in ((Ba.vals_cross, Bb.vals_cross),
+                   (Ba.vals_self, Bb.vals_self)):
+        for a, b in zip(fa, fb):
+            assert (a is None) == (b is None)
+            if a is not None:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(Ba.dinv, Bb.dinv):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    if Ba.d is not None or Bb.d is not None:
+        for a, b in zip(Ba.d, Bb.d):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@needs_native
+def test_hpcg_csr_native_matches_numpy(monkeypatch):
+    A1 = generators.stencil_27pt(6, 5, 4)
+    monkeypatch.setattr(_native, "_LIB", None)
+    monkeypatch.setattr(_native, "_TRIED", True)
+    A2 = generators.stencil_27pt(6, 5, 4)
+    np.testing.assert_array_equal(A1.row_ptr, A2.row_ptr)
+    np.testing.assert_array_equal(A1.col, A2.col)
+    np.testing.assert_array_equal(A1.val, A2.val)
+
+
+@needs_native
+def test_expand_perm_triplets_matches_numpy(monkeypatch):
+    from basic_iterative_solvers_tpu.factor import (
+        factor_ilu0_colored_triplets)
+    from basic_iterative_solvers_tpu.ops.block_trisolve import spec_colors_np
+    src = "hpcg:6x4x8"
+    A = generators.from_source(src)
+    spec = generators.color_spec_for_source(src)
+    colors = spec_colors_np(spec, A.n_rows)
+    r1, c1, v1, d1 = factor_ilu0_colored_triplets(A, colors)
+    monkeypatch.setattr(_native, "_LIB", None)
+    monkeypatch.setattr(_native, "_TRIED", True)
+    r2, c2, v2, d2 = factor_ilu0_colored_triplets(A, colors)
+    np.testing.assert_array_equal(np.asarray(r1, np.int64), r2)
+    np.testing.assert_array_equal(np.asarray(c1, np.int64), c2)
+    np.testing.assert_allclose(v1, v2, rtol=1e-14)
+    np.testing.assert_allclose(d1, d2, rtol=1e-14)
+
+
+@needs_native
+@pytest.mark.parametrize("src", ["hpcg:8x6x8", "hpcg:6x4x8"],
+                         ids=["fused", "split"])
+def test_superblock_builder_native_matches_numpy(src):
+    import basic_iterative_solvers_tpu.ops.block_trisolve as BT
+    from basic_iterative_solvers_tpu.factor import (
+        factor_ilu0_colored_triplets)
+    A = generators.from_source(src)
+    spec = generators.color_spec_for_source(src)
+    colors = BT.spec_colors_np(spec, A.n_rows)
+    rows_o, cols_o, lu, U_D = factor_ilu0_colored_triplets(A, colors)
+    trip = (rows_o, cols_o, lu, A.n_rows)
+    Ln, Un = BT.build_best_trisolve_pair(trip, None, U_D, colors, spec,
+                                         dtype=np.float64)
+    BT.FORCE_NUMPY = True
+    try:
+        Lp, Up = BT.build_best_trisolve_pair(trip, None, U_D, colors, spec,
+                                             dtype=np.float64)
+    finally:
+        BT.FORCE_NUMPY = False
+    _assert_sb_equal(Ln, Lp)
+    _assert_sb_equal(Un, Up)
+
+
+@needs_native
+def test_superblock_sgs_pair_native_matches_numpy():
+    import basic_iterative_solvers_tpu.ops.block_trisolve as BT
+    src = "hpcg:8x6x8"
+    A = generators.from_source(src)
+    spec = generators.color_spec_for_source(src)
+    colors = BT.spec_colors_np(spec, A.n_rows)
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    D = np.zeros(A.n_rows)
+    D[rows[A.col == rows]] = A.val[A.col == rows]
+    Ln, Un = BT.build_best_trisolve_pair(A, D, D, colors, spec,
+                                         dtype=np.float32, need_d=True)
+    BT.FORCE_NUMPY = True
+    try:
+        Lp, Up = BT.build_best_trisolve_pair(A, D, D, colors, spec,
+                                             dtype=np.float32, need_d=True)
+    finally:
+        BT.FORCE_NUMPY = False
+    _assert_sb_equal(Ln, Lp)
+    _assert_sb_equal(Un, Up)
+
+
+@needs_native
+def test_ilu0_csr_direct_pair_matches_triplet_path():
+    """The two-pass CSR-direct ILU(0) pair (bis_sb_*_csr) equals the
+    triplet-pipeline pair bit for bit."""
+    import basic_iterative_solvers_tpu as bis
+    import basic_iterative_solvers_tpu.ops.block_trisolve as BT
+    from basic_iterative_solvers_tpu.factor import (
+        factor_ilu0_colored_triplets)
+    from basic_iterative_solvers_tpu.precond import setup_preconditioner
+    src = "hpcg:8x6x8"
+    A = generators.from_source(src)
+    spec = generators.color_spec_for_source(src)
+    cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                           preconditioner=bis.PrecondType.ILU0,
+                           gs_mode="colored", dtype=np.float64,
+                           color_spec=spec)
+    M = setup_preconditioner(A, cfg)
+    assert M.L_block is not None
+    colors = BT.spec_colors_np(spec, A.n_rows)
+    rows_o, cols_o, lu, U_D = factor_ilu0_colored_triplets(A, colors)
+    L2, U2 = BT.build_best_trisolve_pair((rows_o, cols_o, lu, A.n_rows),
+                                         None, U_D, colors, spec,
+                                         dtype=np.float64)
+    _assert_sb_equal(M.L_block, L2)
+    _assert_sb_equal(M.U_block, U2)
