@@ -87,6 +87,13 @@ class SolverConfig:
     dia_min_fill: float = 0.25
     # Use the Pallas DIA SpMV kernel where available (TPU only).
     use_pallas: bool = True
+    # Auto-apply RCM when a general-sparsity matrix would otherwise fall
+    # off the windowed lane-ELL kernel onto the XLA-gather ELL path (a
+    # ~200x cliff): bandwidth reduction restores kernel eligibility for
+    # most scattered patterns.  Only fires with perm_mode == "none", no
+    # structural color spec, and matrix_format "auto"/"lane_ell"; the
+    # solution is mapped back like any perm_mode reordering.
+    auto_rcm: bool = True
     # Matrix-free stencil operators: keep solver vectors resident in the
     # planar halo layout so SpMV does no pad/crop ("auto" = on TPU with
     # Pallas enabled; halo adds ~(1+2/ny)(1+2/nz) memory).

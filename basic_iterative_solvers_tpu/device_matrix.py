@@ -137,13 +137,39 @@ def csr_to_ell(A: MatrixCSR, dtype=np.float32) -> DeviceELL:
 LANE_ELL_MAX_SPAN = 2048
 
 
+class GatherFallbackWarning(UserWarning):
+    """The solve is about to run on the XLA-gather ELL path — ~200x slower
+    than the windowed lane-ELL kernel on TPU (BENCH sband row).  Emitted
+    loudly so the cliff is never silent."""
+
+
+def auto_format_choice(A: MatrixCSR, dia_max_diags: int = 96,
+                       dia_min_fill: float = 0.25,
+                       max_span: int = None) -> str:
+    """The format `from_csr(matrix_format="auto")` would pick:
+    "dia" | "lane_ell" | "ell".  "ell" is the XLA-gather cliff (~200x
+    slower than the lane-ELL kernel) — preprocessing auto-RCMs to avoid
+    it when possible."""
+    from .ops.lane_ell import lane_ell_span
+    if max_span is None:
+        max_span = LANE_ELL_MAX_SPAN
+    offsets, fill = analyze_diagonals(A)
+    if (A.n_rows == A.n_cols and 0 < offsets.size <= dia_max_diags
+            and fill >= dia_min_fill):
+        return "dia"
+    if (A.n_rows == A.n_cols and A.nnz
+            and lane_ell_span(A) <= max_span):
+        return "lane_ell"
+    return "ell"
+
+
 def from_csr(A: MatrixCSR, dtype=np.float32, matrix_format: str = "auto",
              dia_max_diags: int = 96, dia_min_fill: float = 0.25):
     """Pick the device format for A (config.matrix_format overrides):
     DIA for few-diagonal matrices, windowed lane-ELL (ops/lane_ell.py) for
     general bounded-span sparsity (what RCM reordering produces), XLA-gather
     ELL as the last resort."""
-    from .ops.lane_ell import csr_to_lane_ell, lane_ell_span
+    from .ops.lane_ell import csr_to_lane_ell
     if matrix_format == "dia":
         return csr_to_dia(A, dtype)
     if matrix_format == "ell":
@@ -152,12 +178,10 @@ def from_csr(A: MatrixCSR, dtype=np.float32, matrix_format: str = "auto",
         return csr_to_lane_ell(A, dtype)
     if matrix_format != "auto":
         raise ValueError(f"unknown matrix_format: {matrix_format}")
-    offsets, fill = analyze_diagonals(A)
-    if (A.n_rows == A.n_cols and 0 < offsets.size <= dia_max_diags
-            and fill >= dia_min_fill):
+    choice = auto_format_choice(A, dia_max_diags, dia_min_fill)
+    if choice == "dia":
         return csr_to_dia(A, dtype)
-    if (A.n_rows == A.n_cols and A.nnz
-            and lane_ell_span(A) <= LANE_ELL_MAX_SPAN):
+    if choice == "lane_ell":
         return csr_to_lane_ell(A, dtype)
     return csr_to_ell(A, dtype)
 

@@ -117,6 +117,41 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
             A = permute_csr(A, perm, inv_perm)
             b_host = b_host[perm]
             x0_host = x0_host[perm]
+    elif (config.auto_rcm and config.color_spec is None and A_dev is None
+          and config.matrix_format in ("auto", "lane_ell")
+          and A.n_rows == A.n_cols and A.nnz):
+        # Kill the gather cliff: a column span past the lane-ELL window
+        # silently costs ~200x on TPU (XLA-gather ELL).  RCM bandwidth
+        # reduction restores kernel eligibility for most scattered
+        # patterns; if it can't, warn LOUDLY instead of degrading quietly.
+        from ..device_matrix import (GatherFallbackWarning,
+                                     auto_format_choice)
+        if auto_format_choice(A, config.dia_max_diags,
+                              config.dia_min_fill) == "ell":
+            import sys
+            import warnings
+            from ..device_matrix import LANE_ELL_MAX_SPAN
+            from ..ops.lane_ell import lane_ell_span
+            from ..permute import compute_permutation, permute_csr
+            with timers.time("preprocessing_auto_rcm"):
+                perm, inv = compute_permutation(A, "rcm")
+                A_rcm = permute_csr(A, perm, inv)
+            if lane_ell_span(A_rcm) <= LANE_ELL_MAX_SPAN:
+                print("NOTE: column span exceeds the lane-ELL window; "
+                      "auto-applied RCM reordering (disable with "
+                      "auto_rcm=False / -perm none stays the solve "
+                      "ordering).", file=sys.stderr)
+                A, inv_perm = A_rcm, inv
+                b_host = b_host[perm]
+                x0_host = x0_host[perm]
+            else:
+                warnings.warn(
+                    "matrix falls back to the XLA-gather ELL path (~200x "
+                    "slower than the lane-ELL kernel): column span "
+                    f"{lane_ell_span(A)} > {LANE_ELL_MAX_SPAN} even after "
+                    "RCM. Consider a bandwidth-reducing ordering or the "
+                    "DIA/stencil formats.", GatherFallbackWarning,
+                    stacklevel=2)
 
     from ..precond import resolve_gs_mode
     ilu0_colored = (config.preconditioner == PrecondType.ILU0

@@ -91,3 +91,75 @@ def test_solve_with_permutation_matches(mode):
     np.testing.assert_allclose(res_p.x_star, x_true, rtol=1e-8, atol=1e-9)
     np.testing.assert_allclose(res_p.x_star, res.x_star, rtol=1e-7,
                                atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Auto-RCM: the gather-cliff guard (VERDICT r2 item 7).
+# ---------------------------------------------------------------------------
+
+def test_auto_rcm_restores_lane_ell(monkeypatch, rng):
+    """A matrix that is banded only under a reordering would silently fall
+    onto the ~200x XLA-gather path; preprocessing auto-applies RCM and
+    keeps the lane-ELL kernel, mapping the solution back."""
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu import device_matrix
+    from basic_iterative_solvers_tpu.matrix import (MatrixCOO,
+                                                    convert_coo_to_csr)
+    from basic_iterative_solvers_tpu.ops.lane_ell import DeviceLaneELL
+    n = 1500
+    p = rng.permutation(n)
+    # scrambled tridiag(-1, 2.5, -1): wide span as given, span ~1 after RCM
+    I, J, V = [], [], []
+    for off, v in ((0, 2.5), (1, -1.0), (-1, -1.0)):
+        rows = np.arange(max(0, -off), n - max(0, off))
+        I.append(p[rows]); J.append(p[rows + off])
+        V.append(np.full(rows.size, v))
+    A = convert_coo_to_csr(MatrixCOO.from_arrays(
+        np.concatenate(I), np.concatenate(J), np.concatenate(V),
+        n_rows=n, n_cols=n))
+    monkeypatch.setattr(device_matrix, "LANE_ELL_MAX_SPAN", 2)
+    cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, tolerance=1e-11,
+                           harness="fused")
+    setup = bis.preprocessing(A, cfg)
+    # RCM restored a kernel format (the recovered band is so tight it may
+    # even qualify for DIA) — the point is it is NOT the gather path
+    from basic_iterative_solvers_tpu.device_matrix import DeviceELL
+    assert not isinstance(setup.A, DeviceELL)
+    assert setup.inv_perm is not None          # solution mapped back
+    res = bis.solve(setup)
+    assert res.converged
+    # the returned x solves the ORIGINAL-ordering system
+    r = np.full(n, cfg.b_val) - A.spmv(res.x_star)
+    assert np.linalg.norm(r) < 1e-9
+
+
+def test_auto_rcm_gather_fallback_warns(monkeypatch):
+    """When even RCM cannot fit the lane-ELL window, the cliff must be
+    LOUD, not silent."""
+    import warnings
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu import device_matrix, generators
+    from basic_iterative_solvers_tpu.device_matrix import (
+        DeviceELL, GatherFallbackWarning)
+    A = generators.scattered_band(300, 6, 50)   # DIA-ineligible pattern
+    monkeypatch.setattr(device_matrix, "LANE_ELL_MAX_SPAN", 0)
+    cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, harness="fused")
+    with pytest.warns(GatherFallbackWarning, match="200x"):
+        setup = bis.preprocessing(A, cfg)
+    assert isinstance(setup.A, DeviceELL)
+
+
+def test_auto_rcm_off_leaves_ordering(monkeypatch):
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu import device_matrix, generators
+    from basic_iterative_solvers_tpu.device_matrix import DeviceELL
+    A = generators.scattered_band(300, 6, 50)
+    monkeypatch.setattr(device_matrix, "LANE_ELL_MAX_SPAN", 0)
+    cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                           dtype=np.float64, harness="fused",
+                           auto_rcm=False)
+    setup = bis.preprocessing(A, cfg)
+    assert isinstance(setup.A, DeviceELL)
+    assert setup.inv_perm is None
