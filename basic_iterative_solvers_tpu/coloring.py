@@ -175,10 +175,10 @@ def color_ids(spec: ColorSpec, A_dev) -> jax.Array:
     from .stencil_op import DeviceStencil, _planar_geometry
     A_dev = unwrap(A_dev)
     if isinstance(A_dev, DeviceStencil) and A_dev.planar:
+        # planar vectors are 2-D (rows_pad, L); ids broadcast to that shape
         L, rows_plane, _, _, _, rows_pad = _planar_geometry(A_dev)
-        i = jnp.arange(rows_pad * L, dtype=jnp.int32)
-        r = i // jnp.int32(L)
-        x = i % jnp.int32(L)
+        r = jnp.arange(rows_pad, dtype=jnp.int32)[:, None]
+        x = jnp.arange(L, dtype=jnp.int32)[None, :]
         y = r % jnp.int32(rows_plane) - 1
         z = r // jnp.int32(rows_plane) - 1
     else:

@@ -34,18 +34,25 @@ def elemwise_div_vectors(v1, v2, scale_=1.0):
     return v1 / (scale_ * v2)
 
 
+def _dot_nd(a, b):
+    # planar-resident vectors are 2-D (rows, 128); jnp.dot would matmul —
+    # reduce without any reshape (a flat reshape materializes a full-array
+    # relayout at large sizes, measured 0.7 ms per 229 MB pass on v5e)
+    if a.ndim == 1:
+        return jnp.dot(a, b, preferred_element_type=a.dtype)
+    return jnp.sum(a * b, dtype=a.dtype)
+
+
 def dot(v1, v2):
     """(v1, v2)  (kernels.hpp:205-212)."""
     from ..utils.ktimers import ktime
-    return ktime("dot", lambda a, b: jnp.dot(
-        a, b, preferred_element_type=a.dtype), v1, v2)
+    return ktime("dot", _dot_nd, v1, v2)
 
 
 def euclidean_vec_norm(v):
     """||v||_2  (kernels.hpp:194-203)."""
     from ..utils.ktimers import ktime
-    return ktime("norm", lambda a: jnp.sqrt(jnp.dot(
-        a, a, preferred_element_type=a.dtype)), v)
+    return ktime("norm", lambda a: jnp.sqrt(_dot_nd(a, a)), v)
 
 
 def infty_vec_norm(v):

@@ -99,8 +99,9 @@ def _spmv_dot_impl(A, x: jax.Array, use_pallas: bool = False):
             return mesh_stencil_spmv(A, x, dots=("x",))
         from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, with_dot=True)
+    from .blas1 import _dot_nd
     y = _spmv_impl(A, x, use_pallas=use_pallas)
-    return y, jnp.dot(y, x)
+    return y, _dot_nd(y, x)
 
 
 def spmv_dots(A, x: jax.Array, aux: jax.Array = None,
@@ -127,12 +128,13 @@ def _spmv_dots_impl(A, x: jax.Array, aux: jax.Array = None,
             return mesh_stencil_spmv(A, x, dots=dots, aux=aux)
         from ..stencil_op import stencil_spmv_resident
         return stencil_spmv_resident(A, x, dots=dots, aux=aux)
+    from .blas1 import _dot_nd
     y = _spmv_impl(A, x, use_pallas=use_pallas)
     out = (y,)
     if aux is not None:
-        out += (jnp.dot(y, aux),)
+        out += (_dot_nd(y, aux),)
     if with_self:
-        out += (jnp.dot(y, y),)
+        out += (_dot_nd(y, y),)
     return out
 
 

@@ -186,10 +186,10 @@ def mesh_stencil_spmv(A: MeshStencil, xp: jax.Array, dots=(),
     R_local = rows_pad // n_dev
     axis = A.axis
     has_diag = St.diag is not None
+    vspec = P(axis, None)     # planar vectors are 2-D (rows, lanes)
 
     def local(coeffs, diag, xl, auxl):
-        x2 = xl.reshape(R_local, L)
-        top, bot = _halo_blocks(x2, TR, axis)
+        top, bot = _halo_blocks(xl, TR, axis)
         row0 = (jax.lax.axis_index(axis) * jnp.int32(R_local))
         St_l = dataclasses.replace(St, coeffs=coeffs, diag=diag)
         outs = stencil_spmv_resident(St_l, xl, dots=dots, aux=auxl,
@@ -198,10 +198,10 @@ def mesh_stencil_spmv(A: MeshStencil, xp: jax.Array, dots=(),
             return outs
         return (outs[0],) + tuple(jax.lax.psum(p, axis) for p in outs[1:])
 
-    in_specs = (P(), P(axis) if has_diag else None, P(axis),
-                P(axis) if aux is not None else None)
-    out_specs = (P(axis) if not dots
-                 else (P(axis),) + tuple(P() for _ in dots))
+    in_specs = (P(), vspec if has_diag else None, vspec,
+                vspec if aux is not None else None)
+    out_specs = (vspec if not dots
+                 else (vspec,) + tuple(P() for _ in dots))
     f = jax.shard_map(local, mesh=A.mesh, in_specs=in_specs,
                       out_specs=out_specs, check_vma=False)
     outs = f(St.coeffs, St.diag, xp, aux)
@@ -222,19 +222,19 @@ def mesh_gs_color_step(A: MeshStencil, xp: jax.Array, rhs: jax.Array,
     R_local = rows_pad // n_dev
     axis = A.axis
     has_diag = St.diag is not None
+    vspec = P(axis, None)
 
     def local(coeffs, diag, xl, rl, dl):
-        x2 = xl.reshape(R_local, L)
-        top, bot = _halo_blocks(x2, TR, axis)
+        top, bot = _halo_blocks(xl, TR, axis)
         row0 = (jax.lax.axis_index(axis) * jnp.int32(R_local))
         St_l = dataclasses.replace(St, coeffs=coeffs, diag=diag)
         return stencil_gs_color_step(St_l, xl, rl, dl, spec, color,
                                      halo=(top, bot), row0=row0)
 
-    in_specs = (P(), P(axis) if has_diag else None, P(axis), P(axis),
-                P(axis))
+    in_specs = (P(), vspec if has_diag else None, vspec, vspec,
+                vspec)
     f = jax.shard_map(local, mesh=A.mesh, in_specs=in_specs,
-                      out_specs=P(axis), check_vma=False)
+                      out_specs=vspec, check_vma=False)
     return f(St.coeffs, St.diag, xp, rhs, dinv)
 
 

@@ -302,11 +302,15 @@ def shard_setup(setup, mesh: Mesh, axis: str = AXIS, mode: str = "auto"):
                     n_rows=M.n_rows, n_cols=M.n_cols, row_tile=M.row_tile)
 
     def place_vec(v):
-        # Solver vectors have length n (not npad); shard only when evenly
-        # divisible, else keep replicated (correct, just not distributed).
+        # Solver vectors are flat (n,) or planar 2-D (rows, lanes); shard
+        # the leading axis when evenly divisible, else keep replicated
+        # (correct, just not distributed).
         if v is None:
             return None
-        if v.shape[-1] % n_dev == 0:
+        if v.shape[0] % n_dev == 0:
+            if v.ndim == 2:
+                return jax.device_put(
+                    v, NamedSharding(mesh, P(axis, None)))
             return jax.device_put(v, vec_sh)
         return jax.device_put(v, NamedSharding(mesh, P()))
 
@@ -376,7 +380,10 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
             "level-scan GS solver data has cross-shard recurrences")
     n_dev = int(mesh.shape[axis])
     A = setup.A
-    vec_sh = NamedSharding(mesh, P(axis))
+
+    def vec_put(v):
+        spec = P(axis, None) if v.ndim == 2 else P(axis)
+        return jax.device_put(v, NamedSharding(mesh, spec))
 
     if isinstance(A, _ST):
         from ..stencil_op import to_planar_matrix
@@ -403,7 +410,7 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
                           else Mt.diag[:Mt.n_rows])
                 Mt2 = _dc.replace(
                     Mt2, planar=True,
-                    diag=jax.device_put(to_planar_vec(Mt2, d_flat), vec_sh))
+                    diag=vec_put(to_planar_vec(Mt2, d_flat)))
             else:
                 Mt2 = _dc.replace(Mt2, planar=True)
             return Mt2
@@ -418,7 +425,7 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
                 v = to_planar_vec(St2, from_planar_vec(old, v))
                 if halo is not None:
                     v = planar_fill_halo(St2, v, halo)
-            return jax.device_put(v, vec_sh)
+            return vec_put(v)
 
         def re_mat(Mt):
             if Mt is None:
@@ -472,8 +479,7 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
                 raise _MeshIneligible("mixed matrix families in setup")
             return wrap_place(Mt)
 
-        re_vec = lambda v: (None if v is None  # noqa: E731
-                            else jax.device_put(v, vec_sh))
+        re_vec = lambda v: None if v is None else vec_put(v)  # noqa: E731
         A_new = wrap_place(A)
         M_sh = _dc.replace(
             M,

@@ -61,11 +61,14 @@ class GMRESMethod:
     # -- state ---------------------------------------------------------------
 
     def _krylov_reset(self, x, r_prec, beta, dtype):
-        # vector length from b, not the logical n (planar-resident stencil
-        # vectors are halo-padded)
-        m, n = self.m, self.setup.b.shape[0]
+        # Solver vectors may be planar 2-D (rows, lanes); the BASIS is kept
+        # FLAT (m+1, N) — the Givens/projection machinery is plain matmuls
+        # there, and the 2-D tensordot forms were measured ~0.6 ms/iter
+        # slower at rl=50 (worse MXU mapping).  The flat<->2-D reshapes at
+        # the w boundary are layout-elided at the benchmark sizes.
+        m, n = self.m, self.setup.b.size
         vdt = self.basis_dtype or dtype
-        v0 = (r_prec / beta).astype(vdt)
+        v0 = (r_prec / beta).astype(vdt).reshape(n)
         V = jnp.zeros((m + 1, n), dtype=vdt).at[0].set(v0)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         Q = jnp.eye(m + 1, dtype=dtype)
@@ -106,10 +109,12 @@ class GMRESMethod:
                             state["beta"])
         # w = M⁻¹ A v_j (gmres.hpp:168-176); the stored basis row is
         # upcast to the solve dtype for the operator apply
-        vj = state["v_cur"]
-        w = spmv(self.A, vj.astype(self.b.dtype), self.use_pallas)
+        vj = state["v_cur"]                  # flat (n,)
+        w = spmv(self.A, vj.reshape(self.b.shape).astype(self.b.dtype),
+                 self.use_pallas)
         w = apply_preconditioner(self.M, w)
         sdtype = w.dtype                     # solve dtype (small quantities)
+        w = w.reshape(vj.shape)              # basis math runs flat
 
         if self.orthog == "lowsync":
             # Low-synchronization CGS2 (Gram-corrected reorthogonalization,
@@ -290,8 +295,9 @@ class GMRESMethod:
                               jnp.zeros(m, dtype=g.dtype))
         # y entries at indices ≥ n_it are zero, so the full contraction equals
         # the reference's Σ_{k≤n_it} y_k V_k (gmres.hpp:358).
-        return state["x_old"] + jnp.matmul(y.astype(V.dtype), V[:m],
-                                           preferred_element_type=y.dtype)
+        dx = jnp.matmul(y.astype(V.dtype), V[:m],
+                        preferred_element_type=y.dtype)
+        return state["x_old"] + dx.reshape(state["x_old"].shape)
 
     def _restart_state(self, state):
         """Reference restart: recover x, recompute + re-precondition residual,
@@ -322,7 +328,7 @@ class GMRESMethod:
         j = int(state["j"])
         # rows 0..j-1 are the established basis; row j was just produced as
         # w/H[j+1,j] and is numerically meaningless at (happy) breakdown.
-        V = np.asarray(state["V"])[:j]
+        V = np.asarray(state["V"])[:j].reshape(j, -1)
         if V.shape[0] == 0:
             return
         # Tolerance scales with the state dtype: a fixed fp64-calibrated

@@ -209,19 +209,24 @@ def _planar_ok(A: "DeviceStencil") -> bool:
 # output rows/lanes), so BLAS-1 ops and dot products work unchanged.
 # ---------------------------------------------------------------------------
 
-def planar_vec_len(A: "DeviceStencil") -> int:
+def planar_vec_shape(A: "DeviceStencil"):
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    return rows_pad * L
+    return (rows_pad, L)
 
 
 def to_planar_vec(A: "DeviceStencil", x: jax.Array) -> jax.Array:
-    """Flat (n,) → planar-resident flat (rows_pad·L,)."""
+    """Flat (n,) → planar-resident (rows_pad, L).
+
+    Planar vectors are 2-D: the kernel consumes (rows, lanes) blocks
+    directly, and keeping the state in that shape avoids a full-array
+    relayout per SpMV (XLA materializes flat↔2-D reshapes of large arrays
+    as physical copies — measured 0.7 ms per 229 MB at HPCG-384)."""
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    return _to_planar(A, x, L, rows_plane, rows_pad, 0).reshape(-1)
+    return _to_planar(A, x, L, rows_plane, rows_pad, 0)
 
 
 def from_planar_vec(A: "DeviceStencil", xp: jax.Array) -> jax.Array:
-    """Planar-resident flat → flat (n,)."""
+    """Planar-resident (rows_pad, L) → flat (n,)."""
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
     return _from_planar(A, xp.reshape(rows_pad, L), L, rows_plane)
 
@@ -233,7 +238,7 @@ def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
     nx, ny, nz = A.dims
     mask = _to_planar(A, jnp.ones(A.n_rows, dtype=xp.dtype), L, rows_plane,
-                      rows_pad, 0).reshape(-1)
+                      rows_pad, 0)
     return jnp.where(mask != 0, xp, jnp.asarray(value, xp.dtype))
 
 
@@ -411,9 +416,9 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         raise ValueError("dots containing 'aux' require the aux vector")
 
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    rows_here = xp.size // L       # rows_pad single-chip; R_local in-shard
+    rows_here = xp.shape[0]        # rows_pad single-chip; R_local in-shard
     grid_n = rows_here // TR
-    x2 = xp.reshape(rows_here, L)
+    x2 = xp
 
     has_diag = A.diag is not None
     has_aux = "aux" in dots
@@ -453,11 +458,11 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
     if has_diag:
         in_specs.append(pl.BlockSpec((TR, L), tile,
                                      memory_space=pltpu.VMEM))
-        args.append(A.diag.reshape(rows_here, L))
+        args.append(A.diag)
     if has_aux:
         in_specs.append(pl.BlockSpec((TR, L), tile,
                                      memory_space=pltpu.VMEM))
-        args.append(aux.reshape(rows_here, L))
+        args.append(aux)
     if has_halo:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (jnp.int32(0),
                                                         jnp.int32(0)),
@@ -489,7 +494,7 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_pallas_env.INTERPRET,
     )(*args)
-    y = outs[0].reshape(-1)
+    y = outs[0]
     if not dots:
         return y
     return (y,) + tuple(jnp.sum(p[:, 0, 0]) for p in outs[1:])
@@ -509,9 +514,9 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
     from jax.experimental.pallas import tpu as pltpu
 
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
-    rows_here = xp.size // L
+    rows_here = xp.shape[0]
     grid_n = rows_here // TR
-    x2 = xp.reshape(rows_here, L)
+    x2 = xp
     has_diag = A.diag is not None
     has_halo = halo is not None
 
@@ -546,10 +551,10 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
     if has_diag:
         in_specs.append(pl.BlockSpec((TR, L), tile,
                                      memory_space=pltpu.VMEM))
-        args.append(A.diag.reshape(rows_here, L))
+        args.append(A.diag)
     in_specs += [pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
                  pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM)]
-    args += [rhs.reshape(rows_here, L), dinv.reshape(rows_here, L)]
+    args += [rhs, dinv]
     if has_halo:
         in_specs.append(pl.BlockSpec((1, 1), lambda i: (jnp.int32(0),
                                                         jnp.int32(0)),
@@ -573,7 +578,7 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=_pallas_env.INTERPRET,
     )(*args)
-    return out.reshape(-1)
+    return out
 
 
 def to_planar_matrix(A: "DeviceStencil") -> "DeviceStencil":

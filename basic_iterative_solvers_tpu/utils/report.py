@@ -82,7 +82,7 @@ def iteration_traffic_bytes(setup) -> int:
 
     config = setup.config
     itemsize = np.dtype(setup.dtype).itemsize
-    vec = setup.b.shape[0] * itemsize          # one full vector pass
+    vec = setup.b.size * itemsize              # one full vector pass
     spmv = device_matrix_nnz_bytes(setup.A) + 2 * vec   # read x, write y
 
     # (n_spmv, n_vector_passes, n_precond_applies) per iteration
@@ -116,9 +116,9 @@ def iteration_traffic_bytes(setup) -> int:
         m = config.restart_length
         passes = {"lowsync": 2, "cgs2": 4, "mgs": 2}[config.orthog_mode]
         bd = config.gmres_basis_dtype
-        bvec = vec if bd is None else setup.b.shape[0] * 2 \
+        bvec = vec if bd is None else setup.b.size * 2 \
             if str(bd) in ("bfloat16", "bf16") else \
-            setup.b.shape[0] * np.dtype(bd).itemsize
+            setup.b.size * np.dtype(bd).itemsize
         total += passes * (m / 2 + 1) * bvec
     total += n_prec * estimated_precond_passes(setup.M) * vec
     return int(total)
