@@ -24,6 +24,9 @@ TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --format auto|dia|lane_ell|ell|stencil
     --orthog mgs|cgs2|lowsync   GMRES orthogonalization scheme
     --gmres-basis DT            GMRES basis storage dtype (e.g. bfloat16)
+    --iter-times                measured per-iteration DEVICE walls for the
+                                fused harness (xprof trace segmentation —
+                                the reference's time_per_iteration[])
     --max-iters N --tol T --inner K --outer K
 """
 from __future__ import annotations
@@ -120,6 +123,8 @@ def parse_cli(argv) -> tuple:
             extras["debug_checks"] = True
         elif arg == "--kernel-timers":
             extras["kernel_timers"] = True
+        elif arg == "--iter-times":
+            extras["iter_times"] = True
         else:
             # reference behavior: warn, continue (utilities.hpp:103-106)
             print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
@@ -155,6 +160,7 @@ def run(argv=None) -> int:
     if "harness" not in extras:
         extras["harness"] = "fused" if on_tpu else "host"
     profile_dir = extras.pop("profile_dir", None)
+    iter_times = extras.pop("iter_times", False)
     config = SolverConfig(**opts, **extras)
     if config.color_spec is None:
         # structural coloring for generator sources → blocked multicolor
@@ -218,17 +224,37 @@ def run(argv=None) -> int:
                   f"{residual_norm:.6e}", file=sys.stderr)
             print(timers.report(), file=sys.stderr)
 
+        from .solvers import make_method
+        method = make_method(setup)
         with timers.time("solve"):
             if profile_dir:
                 # xprof device trace around the solve — the hardware-counter
                 # analog of the reference's LIKWID markers (SURVEY.md §5);
                 # inspect with tensorboard/xprof.
                 with jax.profiler.trace(profile_dir):
-                    result = solve(setup, timers=timers, progress=milestone)
+                    result = solve(setup, method=method, timers=timers,
+                                   progress=milestone)
                 print(f"[profile] trace written to {profile_dir}",
                       file=sys.stderr)
             else:
-                result = solve(setup, timers=timers, progress=milestone)
+                result = solve(setup, method=method, timers=timers,
+                               progress=milestone)
+        if iter_times:
+            # measured per-iteration DEVICE walls: re-run the compiled
+            # fused loop under a trace and segment the op timeline
+            # (utils/xprof.py — the reference's time_per_iteration[],
+            # solver.hpp:166-171, without host-dispatch pollution)
+            if config.harness == "fused":
+                from .utils.xprof import attach_iteration_times
+                if attach_iteration_times(result, method):
+                    print("[iter-times] measured device walls attached",
+                          file=sys.stderr)
+                else:
+                    print("[iter-times] no device trace available on this "
+                          "backend; times unchanged", file=sys.stderr)
+            else:
+                print("[iter-times] host harness already records wall "
+                      "times per iteration", file=sys.stderr)
         with timers.time("postprocessing"):
             summary_output(result)
             roofline_report(setup, result)
