@@ -122,6 +122,15 @@ class SolverConfig:
     # cost ~0-2 extra iterations on the benchmark matrices); "float32" with
     # a float64 solve halves parity-mode traffic analogously.
     gmres_basis_dtype: Optional[str] = None
+    # GMRES basis storage layout.  "flat" = (m+1, N): a single-row write
+    # RMWs the (8/16)-sublane tiles (~0.17 ms/iter at 2.2M rows, bf16) but
+    # the projection contractions are plain MXU matmuls.  "tiled" =
+    # (m+1, N/128, 128): every basis vector owns its own tiles (pure row
+    # stores), but the in-solve 3-D contractions were MEASURED SLOWER
+    # (0.96 -> 1.47 ms/iter at rl=50 — dot_general relayouts its 3-D
+    # operands) — kept as an option for future hardware/compilers.
+    # "auto" = flat.
+    gmres_basis_layout: str = "auto"   # "auto" | "flat" | "tiled"
     # Per-kernel TIME attribution (the reference's TIME(timers->spmv, ...)
     # layer, methods/cg.hpp:16-52): host harness only — iterate runs eagerly
     # (one dispatch per kernel, synchronized) so spmv/precond/dot/sum/

@@ -55,6 +55,25 @@ class GMRESMethod:
             self.basis_dtype = jnp.bfloat16
         else:
             self.basis_dtype = jnp.dtype(bd)
+        lay = setup.config.gmres_basis_layout
+        n = setup.b.size
+        if lay not in ("auto", "flat", "tiled"):
+            raise ValueError(f"unknown gmres_basis_layout: {lay}")
+        #: tiled = V stored (m+1, N/128, 128): every basis vector owns its
+        #: own (8,128) tiles, so the per-iteration row write is a pure
+        #: store instead of a sublane-tile RMW (~0.17 ms/iter at 2.2M
+        #: rows).  NOT the default: the in-solve 3-D contractions measured
+        #: ~0.5 ms/iter slower at rl=50 (dot_general relayouts) — the RMW
+        #: saving loses to the contraction cost on this compiler.
+        self.tiled_basis = lay == "tiled"
+        if self.tiled_basis and n % 128:
+            raise ValueError(
+                "gmres_basis_layout='tiled' needs a lane-divisible vector "
+                f"size (got {n})")
+        self._vview = (n // 128, 128) if self.tiled_basis else (n,)
+        #: contraction axes over the basis-vector dims
+        self._vaxV = tuple(range(1, len(self._vview) + 1))
+        self._vaxR = tuple(range(len(self._vview)))
         self._restart_jit = jax.jit(self._restart_state)
         self._explicit_x_jit = jax.jit(self.explicit_x)
 
@@ -66,10 +85,10 @@ class GMRESMethod:
         # there, and the 2-D tensordot forms were measured ~0.6 ms/iter
         # slower at rl=50 (worse MXU mapping).  The flat<->2-D reshapes at
         # the w boundary are layout-elided at the benchmark sizes.
-        m, n = self.m, self.setup.b.size
+        m = self.m
         vdt = self.basis_dtype or dtype
-        v0 = (r_prec / beta).astype(vdt).reshape(n)
-        V = jnp.zeros((m + 1, n), dtype=vdt).at[0].set(v0)
+        v0 = (r_prec / beta).astype(vdt).reshape(self._vview)
+        V = jnp.zeros((m + 1,) + self._vview, dtype=vdt).at[0].set(v0)
         H = jnp.zeros((m + 1, m), dtype=dtype)
         Q = jnp.eye(m + 1, dtype=dtype)
         g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
@@ -139,11 +158,14 @@ class GMRESMethod:
                 rows = min((k + 1) * BUCKET, mp1)
 
                 def branch(V, w, vj):
-                    Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
-                    # storage-dtype matmul, solve-dtype accumulation (MXU
-                    # native for a bf16 basis)
-                    rhs = jnp.stack([w.astype(V.dtype), vj], axis=1)
-                    P = jnp.matmul(Vb, rhs, preferred_element_type=sdtype)
+                    Vb = jax.lax.slice_in_dim(V, 0, rows, axis=0)
+                    # storage-dtype contraction over the basis-vector dims
+                    # (== a plain matmul for the flat layout), solve-dtype
+                    # accumulation (MXU native for a bf16 basis)
+                    rhs = jnp.stack([w.astype(V.dtype), vj], axis=-1)
+                    P = jnp.tensordot(Vb, rhs,
+                                      axes=(self._vaxV, self._vaxR),
+                                      preferred_element_type=sdtype)
                     pad = jnp.zeros((mp1, 2), sdtype).at[:rows].set(P)
                     return pad[:, 0], pad[:, 1]
 
@@ -153,9 +175,10 @@ class GMRESMethod:
                 rows = min((k + 1) * BUCKET, mp1)
 
                 def branch(V, w, h):
-                    Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
-                    corr = jnp.matmul(h[:rows].astype(V.dtype), Vb,
-                                      preferred_element_type=sdtype)
+                    Vb = jax.lax.slice_in_dim(V, 0, rows, axis=0)
+                    corr = jnp.tensordot(h[:rows].astype(V.dtype), Vb,
+                                         axes=([0], [0]),
+                                         preferred_element_type=sdtype)
                     return w - corr
 
                 return branch
@@ -191,18 +214,24 @@ class GMRESMethod:
             def make_branch(k):
                 rows = min((k + 1) * BUCKET, mp1)
 
-                def mm(a, b):
-                    return jnp.matmul(a, b, preferred_element_type=sdtype)
+                def proj(Vb, v):       # (rows,) = Vb · v over vector dims
+                    return jnp.tensordot(Vb, v,
+                                         axes=(self._vaxV, self._vaxR),
+                                         preferred_element_type=sdtype)
+
+                def expand(h, Vb):     # vector = hᵀ · Vb
+                    return jnp.tensordot(h, Vb, axes=([0], [0]),
+                                         preferred_element_type=sdtype)
 
                 def branch(V, w):
                     # unconditional re-orthogonalization: a DGKS-style
                     # selective scheme was measured SLOWER here (the
                     # criterion's norm reductions serialize the pipeline)
-                    Vb = jax.lax.slice(V, (0, 0), (rows, V.shape[1]))
-                    h1 = mm(Vb, w.astype(V.dtype))
-                    w1 = w - mm(h1.astype(V.dtype), Vb)
-                    h2 = mm(Vb, w1.astype(V.dtype))
-                    w2 = w1 - mm(h2.astype(V.dtype), Vb)
+                    Vb = jax.lax.slice_in_dim(V, 0, rows, axis=0)
+                    h1 = proj(Vb, w.astype(V.dtype))
+                    w1 = w - expand(h1.astype(V.dtype), Vb)
+                    h2 = proj(Vb, w1.astype(V.dtype))
+                    w2 = w1 - expand(h2.astype(V.dtype), Vb)
                     h = jnp.zeros((mp1,), sdtype).at[:rows].set(h1 + h2)
                     return w2, h
 
@@ -295,8 +324,8 @@ class GMRESMethod:
                               jnp.zeros(m, dtype=g.dtype))
         # y entries at indices ≥ n_it are zero, so the full contraction equals
         # the reference's Σ_{k≤n_it} y_k V_k (gmres.hpp:358).
-        dx = jnp.matmul(y.astype(V.dtype), V[:m],
-                        preferred_element_type=y.dtype)
+        dx = jnp.tensordot(y.astype(V.dtype), V[:m], axes=([0], [0]),
+                           preferred_element_type=y.dtype)
         return state["x_old"] + dx.reshape(state["x_old"].shape)
 
     def _restart_state(self, state):

@@ -62,11 +62,15 @@ PRECOND_CHOICES = {
     "ilu0": "ILU0",
 }
 
-#: default measured iterations per method (the slow ms-scale rows need fewer
-#: iterations to amortize the single-dispatch overhead)
+#: default measured iterations per method.  The remote-compile tunnel adds
+#: a ~25-40 ms constant per DISPATCH (measured: CG@128^3 reads 0.237
+#: ms/iter over 200 iters but 0.119 over 1000 with identical device work);
+#: iteration counts are sized so that constant contributes <~5% — the
+#: reported rate is the steady-state per-iteration cost, which is what the
+#: reference's walls measure (its dispatch cost is ~0).
 DEFAULT_ITERS = {
-    "cg": 200, "jacobi": 200, "bicgstab": 200, "gmres": 150,
-    "gs": 100, "sgs": 100, "pcg": 100, "pgmres": 100, "pbicgstab": 100,
+    "cg": 1000, "jacobi": 1000, "bicgstab": 600, "gmres": 600,
+    "gs": 400, "sgs": 400, "pcg": 400, "pgmres": 300, "pbicgstab": 300,
 }
 
 
@@ -190,7 +194,7 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
 
 
 def run_general_row(bis, args, source="sband:500000,8,400",
-                    iters=100) -> dict:
+                    iters=400) -> dict:
     import time as _t
     t0 = _t.perf_counter()
     A = bis.generators.from_source(source)
@@ -324,7 +328,7 @@ def main():
             A384, _ = build_matrix(bis, "hpcg:384x384x384", args.format,
                                    mat_dt)
             args.matrix = "hpcg:384x384x384"
-            args.iters = 50
+            args.iters = 150
             rec = run_one(bis, "cg", args, A384, True)
             print(json.dumps(rec), flush=True)
             all_records.append(rec)
