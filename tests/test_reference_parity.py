@@ -12,6 +12,13 @@ sampled norms; the reference OVERWRITES its last entry with the explicit
 final residual (save_x_star, solver.hpp:153-159) while we APPEND it — so
 the comparable recurrence prefix is golden[:-1] vs ours[:len(golden)-1],
 and the explicit finals are compared separately.
+
+DELIBERATE ABSENCE — no ILU(0) parity case: the reference's active ILU(0)
+path requires the external SMAX library and silently leaves the plain L/U
+splits in place without it (/root/reference/utilities/LU_factors.hpp:
+765-781), so no reference golden can be generated from this snapshot.
+ILU(0) correctness here is pinned by the NumPy-oracle factorization tests
+(tests/test_factor.py) and convergence tests instead.
 """
 import json
 import pathlib
