@@ -40,27 +40,36 @@ from .types import PRECOND_CLI_NAMES, SOLVER_CLI_FLAGS, PrecondType
 from .utils.timers import Timers
 
 
-def parse_cli(argv) -> tuple:
-    if len(argv) < 2:
+def parse_cli(argv, bench_mode: bool = False) -> tuple:
+    """`bench_mode` mirrors the reference parser's benchmark-harness
+    variant (/root/reference/utilities/utilities.hpp:12-108): the method
+    flag is NOT consumed from argv — the harness supplies the method
+    itself (bench.py here) — so argv is `<matrix> [options...]`."""
+    min_args = 1 if bench_mode else 2
+    if len(argv) < min_args:
         print("ERROR: parse_cli: Not enough arguments given. A call should "
               "contain:\n  python -m basic_iterative_solvers_tpu "
               "<matrix> <method> [extra_features]", file=sys.stderr)
         raise SystemExit(2)
     matrix_source = argv[0]
-    method_flag = argv[1]
-    if method_flag not in SOLVER_CLI_FLAGS:
-        print("ERROR: parse_cli: Please choose an available solver:"
-              "\n-j (Jacobi)\n-gs (Gauss-Seidel)"
-              "\n-sgs (Symmetric Gauss-Seidel)"
-              "\n-gm ([Preconditioned] GMRES)"
-              "\n-cg ([Preconditioned] Conjugate Gradient)"
-              "\n-bi ([Preconditioned] BiCGSTAB)", file=sys.stderr)
-        raise SystemExit(2)
-
-    opts = dict(method=SOLVER_CLI_FLAGS[method_flag],
-                preconditioner=PrecondType.NONE)
-    extras = {}
-    args = list(argv[2:])
+    if bench_mode:
+        opts = dict(preconditioner=PrecondType.NONE)
+        extras = {}
+        args = list(argv[1:])
+    else:
+        method_flag = argv[1]
+        if method_flag not in SOLVER_CLI_FLAGS:
+            print("ERROR: parse_cli: Please choose an available solver:"
+                  "\n-j (Jacobi)\n-gs (Gauss-Seidel)"
+                  "\n-sgs (Symmetric Gauss-Seidel)"
+                  "\n-gm ([Preconditioned] GMRES)"
+                  "\n-cg ([Preconditioned] Conjugate Gradient)"
+                  "\n-bi ([Preconditioned] BiCGSTAB)", file=sys.stderr)
+            raise SystemExit(2)
+        opts = dict(method=SOLVER_CLI_FLAGS[method_flag],
+                    preconditioner=PrecondType.NONE)
+        extras = {}
+        args = list(argv[2:])
     idx = 0
     while idx < len(args):
         arg = args[idx]

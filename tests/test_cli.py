@@ -171,3 +171,14 @@ def test_args_dataclass_new_knobs():
     assert cfg.gs_mode == "colored"
     assert cfg.orthog_mode == "lowsync"
     assert cfg.gmres_basis_dtype == "bfloat16"
+
+
+def test_parse_bench_mode():
+    """Reference parity: the benchmark-harness parser variant drops the
+    method flag (utilities.hpp:12-108 bench_mode parameter)."""
+    src, opts, extras = parse_cli(["hpcg:8x8x8", "-p", "sgs", "-rl", "30"],
+                                  bench_mode=True)
+    assert src == "hpcg:8x8x8"
+    assert "method" not in opts
+    assert opts["preconditioner"] == PrecondType.SYMMETRIC_GAUSS_SEIDEL
+    assert opts["restart_length"] == 30
