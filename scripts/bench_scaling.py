@@ -45,7 +45,12 @@ def main():
                     help="z-planes of the HPCG grid per device")
     ap.add_argument("--nx", type=int, default=128)
     ap.add_argument("--iters", type=int, default=50)
-    ap.add_argument("--mode", choices=("gspmd", "shard_map"), default="gspmd")
+    ap.add_argument("--mode", choices=("gspmd", "shard_map", "kernels"),
+                    default="kernels" if "--cpu" not in sys.argv else "gspmd",
+                    help="kernels = shard_map-wrapped Pallas (the "
+                         "performance mode: per-shard kernels + ppermute "
+                         "halos); gspmd = XLA-partitioned fallback; "
+                         "shard_map = the hand-written ShardedCG")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU with 8 virtual devices")
     args = ap.parse_args()
@@ -76,8 +81,20 @@ def main():
             method=bis.SolverType.CONJUGATE_GRADIENT,
             preconditioner=bis.PrecondType.JACOBI, dtype=np.float32,
             harness="fused", max_iters=args.iters, tolerance=0.0)
-        if args.mode == "gspmd":
-            setup = shard_setup(bis.preprocessing_device(A, cfg), mesh)
+        if args.mode in ("gspmd", "kernels"):
+            if args.mode == "kernels":
+                # the mesh-kernel mode: per-shard Pallas with ppermute
+                # halos (parallel/mesh_ops.py); matrix-free stencil format
+                from basic_iterative_solvers_tpu import stencil_op
+                from basic_iterative_solvers_tpu.ops import pallas_env
+                if jax.default_backend() != "tpu":
+                    pallas_env.INTERPRET = True   # CPU CI: interpret bodies
+                A_op = stencil_op.stencil_27pt_operator(
+                    args.nx, args.nx, nz, dtype=np.float32)
+                setup = shard_setup(bis.preprocessing_device(A_op, cfg),
+                                    mesh, mode="shard_map")
+            else:
+                setup = shard_setup(bis.preprocessing_device(A, cfg), mesh)
             from basic_iterative_solvers_tpu.solvers import make_method
             method = make_method(setup)
             bis.solve(setup, method=method)          # compile
