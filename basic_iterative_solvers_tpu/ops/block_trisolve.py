@@ -714,6 +714,48 @@ def _build_superblock_from_analysis(analysis, rows, cols, vals, n, D, spec,
                         dtype=dtype, need_d=need_d, fused=fused)
 
 
+def build_superblock_gs_pair_from_csr(A, D, spec, *, dtype=np.float32,
+                                      need_d: bool = False,
+                                      tile_rows: int = _TB):
+    """(L_blk, U_blk) for the GS family straight off the natural-order CSR
+    (identity permutation): the same two C passes as the ILU(0) fast path,
+    no triplet materialization.  Both triangles solve with the matrix
+    diagonal D; `need_d` stores D blocks on L (blocked_sgs's middle
+    multiply).  Raises BlockIneligibleError when inapplicable."""
+    from .. import _native
+    if FORCE_NUMPY or spec.kind != "grid":
+        raise BlockIneligibleError("csr-direct path needs a grid coloring")
+    nx, ny, nz, sx, sy, sz = spec.params
+    n = A.n_rows
+    if nx * ny * nz != n or n == 0:
+        raise BlockIneligibleError("grid spec dims do not match n_rows")
+    if ny % sy or nz % sz:
+        raise BlockIneligibleError("grid strides must divide the dims")
+    perm = np.arange(n, dtype=np.int32)
+    analysis = _native.sb_analyze_csr(A, perm, nx, ny, nz, sx, sy, sz,
+                                      _MAX_GROUPS + 1)
+    if analysis is None:
+        raise BlockIneligibleError(
+            "native CSR analysis unavailable or structurally ineligible")
+    fused = nx <= LANES and LANES % nx == 0
+    plan_L = _sb_plan(analysis, False, spec, tile_rows)
+    plan_U = _sb_plan(analysis, True, spec, tile_rows)
+    pc_lo = np.zeros((max(plan_L.Gc, 1), plan_L.R_b * LANES), dtype=dtype)
+    ps_lo = np.zeros((max(plan_L.Gs, 1), plan_L.R_b * LANES), dtype=dtype)
+    pc_up = np.zeros((max(plan_U.Gc, 1), plan_U.R_b * LANES), dtype=dtype)
+    ps_up = np.zeros((max(plan_U.Gs, 1), plan_U.R_b * LANES), dtype=dtype)
+    if _native.sb_scatter_csr(A, A.val, perm, nx, ny, nz, sx, sy, sz,
+                              analysis, plan_L.R_b * LANES,
+                              plan_U.R_b * LANES,
+                              pc_lo, ps_lo, pc_up, ps_up) is None:
+        raise RuntimeError("native library vanished mid-build")
+    L = _sb_assemble(plan_L, pc_lo, ps_lo, D, n, spec, upper=False,
+                     dtype=dtype, need_d=need_d, fused=fused)
+    U = _sb_assemble(plan_U, pc_up, ps_up, D, n, spec, upper=True,
+                     dtype=dtype, need_d=False, fused=fused)
+    return L, U
+
+
 def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
                                tile_rows: int = _TB):
     """(L_blk, U_blk, U_D) for colored-ILU(0) factors straight off the

@@ -204,40 +204,59 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
             U_strict_dev=from_csr(U_s, *fmt_args),
             color_arr=jnp.asarray(colors),
             n_colors=int(colors.max()) + 1, **kw)
-    if factors is None:
-        factors = factor_LU(A, ilu0=(pt == PrecondType.ILU0),
-                            pivot_tolerance=config.ilu0_pivot_tolerance,
-                            pivot_replacement=config.ilu0_pivot_replacement)
-    A_D = jnp.asarray(factors.A_D.astype(dtype))
-    A_D_inv = jnp.asarray(factors.A_D_inv.astype(dtype))
-    if pt == PrecondType.JACOBI:
-        return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
     if (pt in COLORED_PRECONDS
             and resolve_gs_mode(config, device_native=False) == "colored"):
         # host-CSR colored setup: spec coloring → blocked trisolves (the
         # color-split strict parts of A, streamed once per solve); greedy
-        # colors → masked sweeps with the full device operator (coloring.py)
+        # colors → masked sweeps with the full device operator (coloring.py).
+        # Only the DIAGONAL is needed here — peel it directly instead of
+        # the full factor_LU split (a ~1.4 GB host pass at HPCG-128).
+        from .factor import peel_diag
+        if factors is not None:
+            A_D_np, A_D_inv_np = factors.A_D, factors.A_D_inv
+        else:
+            A_D_np, A_D_inv_np = peel_diag(A)
+        A_D = jnp.asarray(A_D_np.astype(dtype))
+        A_D_inv = jnp.asarray(A_D_inv_np.astype(dtype))
         colors, spec = _colors_for_setup(A, config)
         if spec is not None:
             from .ops.block_trisolve import (BlockIneligibleError,
                                              ImproperColoringError,
                                              build_best_trisolve,
-                                             build_best_trisolve_pair)
+                                             build_best_trisolve_pair,
+                                             build_superblock_gs_pair_from_csr,
+                                             spec_colors_valid)
             try:
                 sym = pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL
-                if sym:
-                    # blocked_sgs chains L's output into U: one layout
-                    L_blk, U_blk = build_best_trisolve_pair(
-                        A, factors.A_D, factors.A_D, colors, spec,
-                        dtype=dtype, need_d=True)
-                elif pt == PrecondType.GAUSS_SEIDEL:
-                    L_blk, U_blk = build_best_trisolve(
-                        A, factors.A_D, colors, spec, upper=False,
-                        dtype=dtype), None
-                else:                     # BACKWARDS_GAUSS_SEIDEL
-                    L_blk, U_blk = None, build_best_trisolve(
-                        A, factors.A_D, colors, spec, upper=True,
-                        dtype=dtype)
+                L_blk = U_blk = None
+                if (spec.kind == "grid"
+                        and spec_colors_valid(colors, spec, A.n_rows)):
+                    # two-pass CSR-direct packing (csrc bis_sb_*_csr) —
+                    # no triplet materialization; analyzes/scatters BOTH
+                    # triangles at once
+                    try:
+                        L_blk, U_blk = build_superblock_gs_pair_from_csr(
+                            A, A_D_np, spec, dtype=dtype, need_d=sym)
+                        if pt == PrecondType.GAUSS_SEIDEL:
+                            U_blk = None
+                        elif pt == PrecondType.BACKWARDS_GAUSS_SEIDEL:
+                            L_blk = None
+                    except BlockIneligibleError:
+                        L_blk = U_blk = None
+                if L_blk is None and U_blk is None:
+                    if sym:
+                        # blocked_sgs chains L's output into U: one layout
+                        L_blk, U_blk = build_best_trisolve_pair(
+                            A, A_D_np, A_D_np, colors, spec,
+                            dtype=dtype, need_d=True)
+                    elif pt == PrecondType.GAUSS_SEIDEL:
+                        L_blk, U_blk = build_best_trisolve(
+                            A, A_D_np, colors, spec, upper=False,
+                            dtype=dtype), None
+                    else:                 # BACKWARDS_GAUSS_SEIDEL
+                        L_blk, U_blk = None, build_best_trisolve(
+                            A, A_D_np, colors, spec, upper=True,
+                            dtype=dtype)
                 return Preconditioner(
                     A_D=A_D, A_D_inv=A_D_inv,
                     L_block=L_blk, U_block=U_blk,
@@ -255,6 +274,14 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
             A_D=A_D, A_D_inv=A_D_inv, A_full_dev=A_dev,
             color_arr=jnp.asarray(colors),
             n_colors=int(colors.max()) + 1, **kw)
+    if factors is None:
+        factors = factor_LU(A, ilu0=(pt == PrecondType.ILU0),
+                            pivot_tolerance=config.ilu0_pivot_tolerance,
+                            pivot_replacement=config.ilu0_pivot_replacement)
+    A_D = jnp.asarray(factors.A_D.astype(dtype))
+    A_D_inv = jnp.asarray(factors.A_D_inv.astype(dtype))
+    if pt == PrecondType.JACOBI:
+        return Preconditioner(A_D=A_D, A_D_inv=A_D_inv, **kw)
     if pt == PrecondType.GAUSS_SEIDEL:
         return Preconditioner(
             A_D=A_D, A_D_inv=A_D_inv,

@@ -153,15 +153,19 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
                     "DIA/stencil formats.", GatherFallbackWarning,
                     stacklevel=2)
 
-    from ..precond import resolve_gs_mode
+    from ..precond import COLORED_PRECONDS, resolve_gs_mode
+    gs_colored = resolve_gs_mode(config, device_native=False) == "colored"
     ilu0_colored = (config.preconditioner == PrecondType.ILU0
-                    and resolve_gs_mode(config, device_native=False)
-                    == "colored")
-    # colored ILU(0) factors itself w.r.t. the colored ordering inside
-    # setup_preconditioner — the natural-order L/U split would be pure
+                    and gs_colored)
+    # colored ILU(0) factors itself w.r.t. the colored ordering and the
+    # colored GS family only needs the peeled diagonal — both inside
+    # setup_preconditioner; the natural-order L/U split would be pure
     # waste (a ~1.4 GB host pass at HPCG-128) unless the METHOD needs it
+    precond_self_sufficient = (
+        ilu0_colored
+        or (config.preconditioner in COLORED_PRECONDS and gs_colored))
     needs_factors = ((config.preconditioner != PrecondType.NONE
-                      and not ilu0_colored)
+                      and not precond_self_sufficient)
                      or config.method in (SolverType.JACOBI,
                                           SolverType.GAUSS_SEIDEL,
                                           SolverType.SYMMETRIC_GAUSS_SEIDEL))

@@ -127,11 +127,17 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
         color_spec=bis.generators.color_spec_for_source(args.matrix))
 
     A_dev_inject = None
-    if precond_name == "ILU0":
-        # ILU(0) factorization needs the host CSR; multicolor mode keeps
-        # the triangular applies parallel at scale (factor.py).  The
-        # solve-time operator stays MATRIX-FREE (stencil injection) — only
-        # the factors are materialized.
+    blocked_gs = (precond_name in ("GAUSS_SEIDEL", "BACKWARDS_GAUSS_SEIDEL",
+                                   "SYMMETRIC_GAUSS_SEIDEL")
+                  and cfg.color_spec is not None
+                  and cfg.color_spec.kind == "grid")
+    if precond_name == "ILU0" or blocked_gs:
+        # These preconditioners factor/pack on the host CSR; multicolor
+        # mode keeps the triangular applies parallel at scale, and a grid
+        # color spec upgrades them to the SUPERBLOCK blocked trisolves
+        # (factors stream ONCE per solve instead of once per color —
+        # ops/block_trisolve.py).  The solve-time operator stays
+        # MATRIX-FREE (stencil injection) — only the factors materialize.
         import dataclasses as _dc
         cfg = _dc.replace(cfg, gs_mode="colored")
         if is_gen:
@@ -141,7 +147,7 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
             if bis.stencil_op._GEN_RE.match(args.matrix):
                 A_dev_inject = bis.stencil_op.from_source_operator(
                     args.matrix, dtype=cfg.mat_dtype())
-            log(f"[{method_key}] host CSR for ILU(0): "
+            log(f"[{method_key}] host CSR for {precond_name}: "
                 f"{time.perf_counter() - t0:.1f}s "
                 f"(solve operator: "
                 f"{'matrix-free stencil' if A_dev_inject is not None else 'from_csr'})")

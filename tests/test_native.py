@@ -259,3 +259,23 @@ def test_ilu0_csr_direct_pair_matches_triplet_path():
                                          dtype=np.float64)
     _assert_sb_equal(M.L_block, L2)
     _assert_sb_equal(M.U_block, U2)
+
+
+@needs_native
+def test_gs_csr_direct_pair_matches_generic():
+    """The two-pass CSR-direct GS pair equals the generic builder pair."""
+    import basic_iterative_solvers_tpu.ops.block_trisolve as BT
+    src = "hpcg:8x6x8"
+    A = generators.from_source(src)
+    spec = generators.color_spec_for_source(src)
+    colors = BT.spec_colors_np(spec, A.n_rows)
+    rows = np.repeat(np.arange(A.n_rows), A.row_nnz())
+    D = np.zeros(A.n_rows)
+    D[rows[A.col == rows]] = A.val[A.col == rows]
+    Ln, Un = BT.build_superblock_gs_pair_from_csr(A, D, spec,
+                                                  dtype=np.float64,
+                                                  need_d=True)
+    Lg, Ug = BT.build_best_trisolve_pair(A, D, D, colors, spec,
+                                         dtype=np.float64, need_d=True)
+    _assert_sb_equal(Ln, Lg)
+    _assert_sb_equal(Un, Ug)
