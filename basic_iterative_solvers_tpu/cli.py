@@ -43,8 +43,9 @@ from .utils.timers import Timers
 def parse_cli(argv, bench_mode: bool = False) -> tuple:
     """`bench_mode` mirrors the reference parser's benchmark-harness
     variant (/root/reference/utilities/utilities.hpp:12-108): the method
-    flag is NOT consumed from argv — the harness supplies the method
-    itself (bench.py here) — so argv is `<matrix> [options...]`."""
+    flag is NOT consumed from argv (a harness embedding this parser
+    supplies the method itself), so argv is `<matrix> [options...]`.
+    Parity surface only — the in-tree bench.py uses its own argparse."""
     min_args = 1 if bench_mode else 2
     if len(argv) < min_args:
         print("ERROR: parse_cli: Not enough arguments given. A call should "

@@ -714,56 +714,11 @@ def _build_superblock_from_analysis(analysis, rows, cols, vals, n, D, spec,
                         dtype=dtype, need_d=need_d, fused=fused)
 
 
-def build_superblock_gs_pair_from_csr(A, D, spec, *, dtype=np.float32,
-                                      need_d: bool = False,
-                                      tile_rows: int = _TB):
-    """(L_blk, U_blk) for the GS family straight off the natural-order CSR
-    (identity permutation): the same two C passes as the ILU(0) fast path,
-    no triplet materialization.  Both triangles solve with the matrix
-    diagonal D; `need_d` stores D blocks on L (blocked_sgs's middle
-    multiply).  Raises BlockIneligibleError when inapplicable."""
-    from .. import _native
-    if FORCE_NUMPY or spec.kind != "grid":
-        raise BlockIneligibleError("csr-direct path needs a grid coloring")
-    nx, ny, nz, sx, sy, sz = spec.params
-    n = A.n_rows
-    if nx * ny * nz != n or n == 0:
-        raise BlockIneligibleError("grid spec dims do not match n_rows")
-    if ny % sy or nz % sz:
-        raise BlockIneligibleError("grid strides must divide the dims")
-    perm = np.arange(n, dtype=np.int32)
-    analysis = _native.sb_analyze_csr(A, perm, nx, ny, nz, sx, sy, sz,
-                                      _MAX_GROUPS + 1)
-    if analysis is None:
-        raise BlockIneligibleError(
-            "native CSR analysis unavailable or structurally ineligible")
-    fused = nx <= LANES and LANES % nx == 0
-    plan_L = _sb_plan(analysis, False, spec, tile_rows)
-    plan_U = _sb_plan(analysis, True, spec, tile_rows)
-    pc_lo = np.zeros((max(plan_L.Gc, 1), plan_L.R_b * LANES), dtype=dtype)
-    ps_lo = np.zeros((max(plan_L.Gs, 1), plan_L.R_b * LANES), dtype=dtype)
-    pc_up = np.zeros((max(plan_U.Gc, 1), plan_U.R_b * LANES), dtype=dtype)
-    ps_up = np.zeros((max(plan_U.Gs, 1), plan_U.R_b * LANES), dtype=dtype)
-    if _native.sb_scatter_csr(A, A.val, perm, nx, ny, nz, sx, sy, sz,
-                              analysis, plan_L.R_b * LANES,
-                              plan_U.R_b * LANES,
-                              pc_lo, ps_lo, pc_up, ps_up) is None:
-        raise RuntimeError("native library vanished mid-build")
-    L = _sb_assemble(plan_L, pc_lo, ps_lo, D, n, spec, upper=False,
-                     dtype=dtype, need_d=need_d, fused=fused)
-    U = _sb_assemble(plan_U, pc_up, ps_up, D, n, spec, upper=True,
-                     dtype=dtype, need_d=False, fused=fused)
-    return L, U
-
-
-def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
-                               tile_rows: int = _TB):
-    """(L_blk, U_blk, U_D) for colored-ILU(0) factors straight off the
-    color-PERMUTED CSR: two C passes (csrc bis_sb_{analyze,scatter}_csr),
-    no original-ordering triplet arrays at all.  L solves with a unit
-    diagonal, U with the peeled factor diagonal — the apply pair of
-    blocked_ilu0.  Raises BlockIneligibleError when the fast path does not
-    apply (callers fall back to the triplet pipeline)."""
+def _sb_pack_pair_from_csr(Ap, vals, perm, spec, *, D_L, D_U,
+                           need_d_L, dtype, tile_rows):
+    """Shared CSR-direct pair packing: analyze + scatter BOTH triangles in
+    two C passes over the (possibly permuted) CSR, then assemble the
+    (lower, upper) SuperBlockTriSolve pair.  Returns (L, U, U_D_peeled)."""
     from .. import _native
     if FORCE_NUMPY or spec.kind != "grid":
         raise BlockIneligibleError("csr-direct path needs a grid coloring")
@@ -785,17 +740,47 @@ def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
     ps_lo = np.zeros((max(plan_L.Gs, 1), plan_L.R_b * LANES), dtype=dtype)
     pc_up = np.zeros((max(plan_U.Gc, 1), plan_U.R_b * LANES), dtype=dtype)
     ps_up = np.zeros((max(plan_U.Gs, 1), plan_U.R_b * LANES), dtype=dtype)
-    U_D = _native.sb_scatter_csr(Ap, lu_val, perm, nx, ny, nz, sx, sy, sz,
+    U_D = _native.sb_scatter_csr(Ap, vals, perm, nx, ny, nz, sx, sy, sz,
                                  analysis, plan_L.R_b * LANES,
                                  plan_U.R_b * LANES,
                                  pc_lo, ps_lo, pc_up, ps_up)
     if U_D is None:
         raise RuntimeError("native library vanished mid-build")
-    L = _sb_assemble(plan_L, pc_lo, ps_lo, None, n, spec, upper=False,
-                     dtype=dtype, need_d=False, fused=fused)
-    U = _sb_assemble(plan_U, pc_up, ps_up, U_D, n, spec, upper=True,
+    # D_L=None → unit-diagonal L (ILU(0)); D_U=None → the scatter pass's
+    # peeled diagonal (the ILU(0) U factor's U_D)
+    L = _sb_assemble(plan_L, pc_lo, ps_lo, D_L, n, spec, upper=False,
+                     dtype=dtype, need_d=need_d_L, fused=fused)
+    U = _sb_assemble(plan_U, pc_up, ps_up,
+                     D_U if D_U is not None else U_D, n, spec, upper=True,
                      dtype=dtype, need_d=False, fused=fused)
     return L, U, U_D
+
+
+def build_superblock_gs_pair_from_csr(A, D, spec, *, dtype=np.float32,
+                                      need_d: bool = False,
+                                      tile_rows: int = _TB):
+    """(L_blk, U_blk) for the GS family straight off the natural-order CSR
+    (identity permutation).  Both triangles solve with the matrix diagonal
+    D; `need_d` stores D blocks on L (blocked_sgs's middle multiply).
+    Raises BlockIneligibleError when inapplicable."""
+    perm = np.arange(A.n_rows, dtype=np.int32)
+    L, U, _ = _sb_pack_pair_from_csr(A, A.val, perm, spec, D_L=D, D_U=D,
+                                     need_d_L=need_d, dtype=dtype,
+                                     tile_rows=tile_rows)
+    return L, U
+
+
+def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
+                               tile_rows: int = _TB):
+    """(L_blk, U_blk, U_D) for colored-ILU(0) factors straight off the
+    color-PERMUTED CSR: no original-ordering triplet arrays at all.
+    L solves with a unit diagonal, U with the peeled factor diagonal —
+    the apply pair of blocked_ilu0.  Raises BlockIneligibleError when the
+    fast path does not apply (callers fall back to the triplet pipeline).
+    """
+    return _sb_pack_pair_from_csr(Ap, lu_val, perm, spec, D_L=None,
+                                  D_U=None, need_d_L=False, dtype=dtype,
+                                  tile_rows=tile_rows)
 
 
 def _permute_super(B: SuperBlockTriSolve, y: jax.Array):

@@ -176,7 +176,7 @@ def mesh_stencil_spmv(A: MeshStencil, xp: jax.Array, dots=(),
     """
     from ..stencil_op import from_planar_vec, to_planar_vec
     St = A.inner
-    flat = xp.shape[0] == St.n_rows
+    flat = xp.ndim == 1            # planar-resident vectors are 2-D
     if flat:
         xp = to_planar_vec(St, xp)
         if aux is not None:

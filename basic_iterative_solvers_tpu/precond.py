@@ -139,7 +139,13 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
                                              build_superblock_ilu0_pair,
                                              spec_colors_valid)
             from .permute import permute_csr
+            from . import _native
             try:
+                # gate on the native library BEFORE the expensive
+                # permute+factor work — otherwise the triplet fallback
+                # would redo both from scratch
+                if not _native.available() or A.n_rows >= 2**31:
+                    raise BlockIneligibleError("native library unavailable")
                 if not spec_colors_valid(colors, spec, A.n_rows):
                     raise BlockIneligibleError("non-spec colors")
                 perm, inv = colors_to_perm(colors)

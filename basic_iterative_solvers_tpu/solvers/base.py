@@ -370,7 +370,7 @@ def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
             # the f64 evaluation runs on the XLA flat path (no f64 Pallas);
             # mesh flat-vector setups carry a planar-flagged operator over
             # FLAT vectors — only the diag needs decoding there
-            if x.shape[0] != A.n_rows:
+            if x.ndim == 2:        # planar-resident vectors are 2-D
                 x = from_planar_vec(A, x)
                 b = from_planar_vec(A, b)
             A = _dc.replace(

@@ -135,6 +135,10 @@ def attach_iteration_times(result, method):
     reference's genuinely-measured series, solver.hpp:166-171); returns
     True on success.  Only meaningful for res_check_len == 1 fused runs
     (one history sample per iteration)."""
+    if result.res_check_len != 1:
+        # the history has one row per res_check_len iterations — the
+        # per-iteration slot mapping below would misattribute the walls
+        return False
     times = measure_iteration_times(method, n_iters=result.iter_count)
     if times is None or times.size == 0:
         return False

@@ -74,8 +74,11 @@ def main():
     results = []
     for nd in counts:
         nz = args.per_device_nz * nd
-        A = bis.dia.stencil_27pt_device(args.nx, args.nx, nz,
-                                        dtype=np.float32)
+
+        def build_dia():
+            return bis.dia.stencil_27pt_device(args.nx, args.nx, nz,
+                                               dtype=np.float32)
+
         mesh = make_mesh(nd)
         cfg = bis.SolverConfig(
             method=bis.SolverType.CONJUGATE_GRADIENT,
@@ -94,7 +97,11 @@ def main():
                 setup = shard_setup(bis.preprocessing_device(A_op, cfg),
                                     mesh, mode="shard_map")
             else:
-                setup = shard_setup(bis.preprocessing_device(A, cfg), mesh)
+                # mode='gspmd' EXPLICITLY: auto would take the shard_map
+                # kernel path on eligible TPU setups and mislabel the run
+                A = build_dia()
+                setup = shard_setup(bis.preprocessing_device(A, cfg), mesh,
+                                    mode="gspmd")
             from basic_iterative_solvers_tpu.solvers import make_method
             method = make_method(setup)
             bis.solve(setup, method=method)          # compile
@@ -103,6 +110,7 @@ def main():
             dt = res.solve_seconds / max(1, res.iter_count)
         else:
             from basic_iterative_solvers_tpu.dia import dia_split
+            A = build_dia()
             _, _, _, D_inv = dia_split(A)
             b = jnp.full(A.n_rows, 1.0, dtype=jnp.float32)
             cg = make_sharded_cg(A, b, mesh, D_inv=D_inv)
@@ -114,9 +122,10 @@ def main():
                 state = step(state)
             jax.block_until_ready(state)
             dt = (time.perf_counter() - t0) / args.iters
-        nnz_rate = 27.0 * A.n_rows / dt
-        results.append((nd, A.n_rows, dt, nnz_rate))
-        log(f"devices={nd} rows={A.n_rows} {dt*1e3:.3f} ms/iter "
+        n_rows = args.nx * args.nx * nz
+        nnz_rate = 27.0 * n_rows / dt
+        results.append((nd, n_rows, dt, nnz_rate))
+        log(f"devices={nd} rows={n_rows} {dt*1e3:.3f} ms/iter "
             f"{nnz_rate/1e9:.2f} Gnnz/s")
 
     base = results[0]
