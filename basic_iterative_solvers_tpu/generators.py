@@ -8,6 +8,10 @@ Here the generators are built in, pure NumPy, dependency-free:
 * ``anderson``       — 3-D Anderson localization model (SCAMAC's headline
                        generator): H = diag(eps_i) - t * (6-neighbor hopping),
                        eps_i ~ U[-ranpot/2, ranpot/2].
+* ``free_fermion_chain`` / ``hubbard`` — SCAMAC quantum-model families
+                       (fixed-particle-number fermion bases with exact
+                       Jordan-Wigner sign bookkeeping), via
+                       ``scamac:FreeFermionChain,...`` / ``scamac:Hubbard,...``.
 * ``stencil_27pt``   — the HPCG benchmark matrix (26 on the diagonal, -1 on
                        all 26 geometric neighbors of a 3-D grid); this is the
                        matrix behind the reference's published baselines
@@ -220,7 +224,6 @@ def free_fermion_chain(n_sites: int, n_fermions: int, t: float = 1.0,
     ascending occupation bitmask).  Adjacent hops carry no Jordan-Wigner
     sign; the periodic wrap bond carries (-1)^(n_fermions-1).
     """
-    import itertools
     from math import comb
     if not 0 < n_fermions <= n_sites:
         raise ValueError("need 0 < n_fermions <= n_sites")
@@ -228,34 +231,116 @@ def free_fermion_chain(n_sites: int, n_fermions: int, t: float = 1.0,
     if dim > (1 << 22):
         raise ValueError(
             f"FreeFermionChain basis dimension {dim} too large (> 2^22)")
+    masks = _fermion_sector_masks(n_sites, n_fermions)
+    src, tgt, amp = _chain_hop_table(masks, n_sites, n_fermions, t,
+                                     boundary)
+    rows_all = np.arange(dim, dtype=np.int64)
+    # explicit (possibly zero) diagonal so solvers find a stored diagonal
+    coo = MatrixCOO.from_arrays(
+        np.concatenate([src, tgt, rows_all]),
+        np.concatenate([tgt, src, rows_all]),
+        np.concatenate([amp, amp, np.zeros(dim)]),
+        n_rows=dim, n_cols=dim, is_symmetric=True)
+    return convert_coo_to_csr(coo)
+
+
+def _fermion_sector_masks(n_sites: int, n_fermions: int) -> np.ndarray:
+    """Sorted occupation bitmasks of the fixed-particle-number sector."""
+    import itertools
+    from math import comb
+    if not 0 < n_fermions <= n_sites:
+        raise ValueError("need 0 < n_fermions <= n_sites")
+    dim = comb(n_sites, n_fermions)
     masks = np.fromiter(
         (sum(1 << i for i in c)
          for c in itertools.combinations(range(n_sites), n_fermions)),
         dtype=np.int64, count=dim)
     masks.sort()
+    return masks
+
+
+def _chain_hop_table(masks: np.ndarray, n_sites: int, n_fermions: int,
+                     t: float, boundary: str):
+    """One-directional hop transitions (src, tgt, amp) for -t nearest-
+    neighbor hopping on a 1-D chain in the sector `masks`.  Adjacent hops
+    carry no Jordan-Wigner sign; the periodic wrap bond carries
+    (-1)^(n_fermions-1).  Callers symmetrize (amp is real)."""
     bonds = [(i, i + 1, 1.0) for i in range(n_sites - 1)]
     if boundary == "periodic" and n_sites > 2:
         bonds.append((n_sites - 1, 0, (-1.0) ** (n_fermions - 1)))
     elif boundary not in ("open", "periodic"):
         raise ValueError(f"unknown boundary: {boundary}")
-    I_all, J_all, V_all = [], [], []
-    rows_all = np.arange(dim, dtype=np.int64)
+    rows_all = np.arange(masks.size, dtype=np.int64)
+    src_l, tgt_l, amp_l = [], [], []
     for (i, j, sign) in bonds:
         bi, bj = np.int64(1 << i), np.int64(1 << j)
         movers = ((masks & bi) != 0) & ((masks & bj) == 0)   # hop i -> j
-        src = rows_all[movers]
-        tgt = np.searchsorted(masks, masks[movers] ^ (bi | bj))
-        amp = np.full(src.size, -t * sign)
-        I_all += [src, tgt]
-        J_all += [tgt, src]
-        V_all += [amp, amp]
-    # explicit (possibly zero) diagonal so solvers find a stored diagonal
-    I_all.append(rows_all)
-    J_all.append(rows_all)
-    V_all.append(np.zeros(dim))
-    coo = MatrixCOO.from_arrays(np.concatenate(I_all), np.concatenate(J_all),
-                                np.concatenate(V_all), n_rows=dim,
-                                n_cols=dim, is_symmetric=True)
+        src_l.append(rows_all[movers])
+        tgt_l.append(np.searchsorted(masks, masks[movers] ^ (bi | bj)))
+        amp_l.append(np.full(int(movers.sum()), -t * sign))
+    return (np.concatenate(src_l), np.concatenate(tgt_l),
+            np.concatenate(amp_l))
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized population count of a non-negative int64 array."""
+    x = x - ((x >> 1) & 0x5555555555555555)
+    x = (x & 0x3333333333333333) + ((x >> 2) & 0x3333333333333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
+    return (x * 0x0101010101010101) >> 56
+
+
+def hubbard(n_sites: int = 10, n_fermions: int = 5, t: float = 1.0,
+            U: float = 1.0, ranpot: float = 0.0, seed: int = 1,
+            boundary: str = "open") -> MatrixCSR:
+    """1-D fermionic Hubbard chain (SCAMAC 'Hubbard' analog,
+    dependency-free; the reference forwards such argstrings to the external
+    SCAMAC library, /root/reference/sparse_matrix.hpp:560-735).
+
+    H = -t Σ_{i,σ} (c†_{iσ} c_{i+1,σ} + h.c.) + U Σ_i n_{i↑} n_{i↓}
+        + Σ_{i,σ} eps_i n_{iσ},   eps_i ~ U[-ranpot/2, ranpot/2]
+
+    with ``n_fermions`` particles PER spin species.  Jordan-Wigner mode
+    order is (up_0..up_{L-1}, down_0..down_{L-1}), so same-species adjacent
+    hops are sign-free and the periodic wrap carries (-1)^(n_fermions-1)
+    per species (pinned against a full-Fock-space oracle in
+    tests/test_generators.py).  Basis: row = a·D_dn + b where a/b index the
+    ascending-sorted up/down occupation bitmasks.
+    """
+    from math import comb
+    dim_s = comb(n_sites, n_fermions)
+    dim = dim_s * dim_s
+    if dim > (1 << 22):
+        raise ValueError(
+            f"Hubbard basis dimension {dim} too large (> 2^22)")
+    masks = _fermion_sector_masks(n_sites, n_fermions)
+    src, tgt, amp = _chain_hop_table(masks, n_sites, n_fermions, t,
+                                     boundary)
+    D = np.int64(dim_s)
+    rows_all = np.arange(dim, dtype=np.int64)
+    other = np.arange(dim_s, dtype=np.int64)
+    # up-spin hops act on the major index (same down config rides along);
+    # down-spin hops act on the minor index
+    I_up = (src[:, None] * D + other[None, :]).ravel()
+    J_up = (tgt[:, None] * D + other[None, :]).ravel()
+    V_up = np.broadcast_to(amp[:, None], (amp.size, dim_s)).ravel()
+    I_dn = (other[:, None] * D + src[None, :]).ravel()
+    J_dn = (other[:, None] * D + tgt[None, :]).ravel()
+    V_dn = np.broadcast_to(amp[None, :], (dim_s, amp.size)).ravel()
+    # diagonal: U · #doubly-occupied sites + random on-site potential
+    # (same eps_i for both species — Anderson-Hubbard convention)
+    rng = np.random.default_rng(seed)
+    eps = rng.uniform(-ranpot / 2.0, ranpot / 2.0, size=n_sites)
+    occ = ((masks[:, None] >> np.arange(n_sites)[None, :]) & 1)
+    pot = occ.astype(np.float64) @ eps                     # (dim_s,)
+    doublons = _popcount64(masks[:, None] & masks[None, :]).astype(
+        np.float64)                                        # (dim_s, dim_s)
+    diag = (U * doublons + pot[:, None] + pot[None, :]).ravel()
+    coo = MatrixCOO.from_arrays(
+        np.concatenate([I_up, J_up, I_dn, J_dn, rows_all]),
+        np.concatenate([J_up, I_up, J_dn, I_dn, rows_all]),
+        np.concatenate([V_up, V_up, V_dn, V_dn, diag]),
+        n_rows=dim, n_cols=dim, is_symmetric=True)
     return convert_coo_to_csr(coo)
 
 
@@ -264,7 +349,7 @@ _GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|sband|anderson):(.*)$",
 
 #: SCAMAC model zoo implemented natively (the reference accepts arbitrary
 #: model argstrings and forwards them to the external library)
-SCAMAC_MODELS = ("Anderson", "FreeFermionChain")
+SCAMAC_MODELS = ("Anderson", "FreeFermionChain", "Hubbard")
 
 
 def _split_scamac_spec(spec: str):
@@ -293,6 +378,23 @@ def _parse_ffc_kwargs(spec: str) -> dict:
     return kwargs
 
 
+def _parse_hubbard_kwargs(spec: str) -> dict:
+    _, parts = _split_scamac_spec(spec)
+    kwargs = {}
+    for p in parts:
+        k, v = p.split("=", 1)
+        k = k.strip()
+        if k in ("n_sites", "n_fermions", "seed"):
+            kwargs[k] = int(v)
+        elif k in ("t", "U", "ranpot"):
+            kwargs[k] = float(v)
+        elif k == "boundary":
+            kwargs[k] = v.strip()
+        else:
+            raise ValueError(f"unknown Hubbard parameter: {k}")
+    return kwargs
+
+
 def scamac_matrix(spec: str) -> MatrixCSR:
     """Dispatch a 'scamac:<Model>,k=v,...' argstring to the native model
     implementations, erroring cleanly on unknown models (the reference
@@ -302,6 +404,8 @@ def scamac_matrix(spec: str) -> MatrixCSR:
         return anderson(**_parse_anderson_kwargs(spec))
     if model == "freefermionchain":
         return free_fermion_chain(**_parse_ffc_kwargs(spec))
+    if model == "hubbard":
+        return hubbard(**_parse_hubbard_kwargs(spec))
     raise ValueError(
         f"unknown SCAMAC model {model!r}; supported models: "
         + ", ".join(SCAMAC_MODELS))

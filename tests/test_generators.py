@@ -76,7 +76,97 @@ def test_ffc_param_validation():
 
 def test_scamac_unknown_model_clean_error():
     with pytest.raises(ValueError, match="supported models"):
-        generators.from_source("scamac:Hubbard,n_sites=4")
+        generators.from_source("scamac:SpinChainXXZ,n_sites=4")
+
+
+# -- Hubbard ------------------------------------------------------------------
+
+def _popcount(x):
+    return bin(int(x)).count("1")
+
+
+def _hubbard_fock_oracle(L, Nf, t, U, eps, boundary):
+    """Dense Hubbard Hamiltonian built in the FULL 2L-mode Fock space with
+    explicit Jordan-Wigner sign bookkeeping (modes 0..L-1 = up,
+    L..2L-1 = down), projected onto the (Nf, Nf) sector in the generator's
+    row order (up-major, ascending bitmasks).  Independent of every
+    shortcut the generator takes (kron structure, precomputed wrap sign)."""
+    from itertools import combinations
+    up_masks = sorted(sum(1 << i for i in c)
+                      for c in combinations(range(L), Nf))
+    states = [a | (b << L) for a in up_masks for b in up_masks]
+    index = {s: k for k, s in enumerate(states)}
+    bonds = [(i, i + 1) for i in range(L - 1)]
+    if boundary == "periodic" and L > 2:
+        bonds.append((L - 1, 0))
+    H = np.zeros((len(states), len(states)))
+    for s in states:
+        row = index[s]
+        for i in range(L):
+            n_up = (s >> i) & 1
+            n_dn = (s >> (L + i)) & 1
+            H[row, row] += U * n_up * n_dn + eps[i] * (n_up + n_dn)
+        for (i, j) in bonds:
+            for spin in (0, L):
+                for (p, q) in ((i + spin, j + spin), (j + spin, i + spin)):
+                    # -t * c†_p c_q |s>
+                    if not ((s >> q) & 1) or ((s >> p) & 1):
+                        continue
+                    sign = (-1) ** _popcount(s & ((1 << q) - 1))
+                    s1 = s ^ (1 << q)
+                    sign *= (-1) ** _popcount(s1 & ((1 << p) - 1))
+                    H[index[s1 | (1 << p)], row] += -t * sign
+    return H
+
+
+@pytest.mark.parametrize("boundary", ["open", "periodic"])
+def test_hubbard_matches_fock_oracle(boundary):
+    L, Nf, t, U, ranpot, seed = 4, 2, 0.9, 1.7, 1.3, 3
+    A = generators.hubbard(L, Nf, t=t, U=U, ranpot=ranpot, seed=seed,
+                           boundary=boundary)
+    from math import comb
+    assert A.n_rows == comb(L, Nf) ** 2
+    H = _dense(A)
+    np.testing.assert_allclose(H, H.T, atol=1e-14)
+    eps = np.random.default_rng(seed).uniform(-ranpot / 2, ranpot / 2, L)
+    H_ref = _hubbard_fock_oracle(L, Nf, t, U, eps, boundary)
+    np.testing.assert_allclose(H, H_ref, atol=1e-12)
+
+
+def test_hubbard_atomic_limit():
+    """t = 0: H is diagonal with entries U·(#doubly occupied sites)."""
+    A = generators.hubbard(4, 2, t=0.0, U=2.5)
+    H = _dense(A)
+    assert np.allclose(H, np.diag(np.diag(H)))
+    vals = np.unique(np.diag(H))
+    np.testing.assert_allclose(vals, [0.0, 2.5, 5.0])
+
+
+def test_hubbard_from_source_and_validation():
+    from math import comb
+    A = generators.from_source(
+        "scamac:Hubbard,n_sites=6,n_fermions=2,t=1.0,U=4.0,boundary=periodic")
+    assert A.n_rows == comb(6, 2) ** 2
+    with pytest.raises(ValueError, match="parameter"):
+        generators.from_source("scamac:Hubbard,n_sites=4,bogus=1")
+    with pytest.raises(ValueError, match="too large"):
+        generators.hubbard(14, 7)
+
+
+def test_hubbard_gmres_solve():
+    """End-to-end: one full-cycle GMRES solve on a small Hubbard matrix
+    (indefinite, so Krylov methods rather than CG)."""
+    import basic_iterative_solvers_tpu as bis
+    A = generators.hubbard(4, 2, t=1.0, U=2.0, ranpot=0.8, seed=5)
+    cfg = bis.SolverConfig(method=bis.SolverType.GMRES,
+                           restart_length=A.n_rows + 2,
+                           tolerance=1e-10, max_iters=200,
+                           dtype=np.float64)
+    res = bis.solve(bis.preprocessing(A, cfg))
+    assert res.converged
+    x = np.asarray(res.x_star)
+    np.testing.assert_allclose(
+        _dense(A) @ x, np.full(A.n_rows, 1.0), atol=1e-7)
 
 
 def test_scamac_anderson_still_default():
