@@ -111,7 +111,12 @@ class SolverConfig:
     # folded into an (m+1)² Gram-matrix correction (h2 = (I−G)h1, G = V·Vᵀ
     # maintained incrementally) — streams the basis TWICE per iteration
     # instead of four times, halving the cost of the basis-streaming-bound
-    # iteration at CGS2-grade stability.
+    # iteration at CGS2-grade stability; "fused" = lowsync with both basis
+    # passes running as explicit-DMA Pallas kernels over a tiled scaled-raw
+    # basis (ops/gmres_basis.py) — kills the XLA path's fixed costs (row-
+    # write tile RMW, normalize/cast passes, layout conversions); needs a
+    # Pallas-capable backend + f32 solve dtype, else falls back to lowsync
+    # with a warning.
     orthog_mode: str = "mgs"
     # GMRES basis storage dtype (None = solve dtype).  The iteration is
     # basis-streaming-bound; storing V narrower halves its HBM stream while

@@ -28,6 +28,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from ..ops import gmres_basis, pallas_env
 from ..ops.blas1 import dot, euclidean_vec_norm, subtract_vectors
 from ..ops.spmv import spmv
 from ..precond import apply_preconditioner
@@ -46,7 +47,7 @@ class GMRESMethod:
         self.m = setup.config.restart_length
         self.use_pallas = setup.config.use_pallas
         self.orthog = setup.config.orthog_mode
-        if self.orthog not in ("mgs", "cgs2", "lowsync"):
+        if self.orthog not in ("mgs", "cgs2", "lowsync", "fused"):
             raise ValueError(f"unknown orthog_mode: {self.orthog}")
         bd = setup.config.gmres_basis_dtype
         if bd is None:
@@ -55,6 +56,20 @@ class GMRESMethod:
             self.basis_dtype = jnp.bfloat16
         else:
             self.basis_dtype = jnp.dtype(bd)
+        self._plan = None
+        if self.orthog == "fused":
+            # "fused" = lowsync orthogonalization whose two basis passes run
+            # as the explicit-DMA Pallas kernels of ops/gmres_basis.py, with
+            # the scaled-raw row storage those kernels are built around.
+            # Degrades (loudly) to the XLA lowsync path when the kernels
+            # can't run or the geometry doesn't fit.
+            why = self._fused_plan(setup)
+            if why:
+                import warnings
+                warnings.warn(
+                    f"orthog_mode='fused' unavailable ({why}); "
+                    "falling back to 'lowsync'", stacklevel=2)
+                self.orthog = "lowsync"
         lay = setup.config.gmres_basis_layout
         n = setup.b.size
         if lay not in ("auto", "flat", "tiled"):
@@ -77,6 +92,38 @@ class GMRESMethod:
         self._restart_jit = jax.jit(self._restart_state)
         self._explicit_x_jit = jax.jit(self.explicit_x)
 
+    def _fused_plan(self, setup) -> str:
+        """Resolve the fused-orthog BasisPlan; returns a non-empty reason
+        string when the mode can't apply (caller falls back to lowsync)."""
+        try:
+            from ..parallel.mesh_ops import MeshDIA, MeshStencil
+            if isinstance(setup.A, (MeshDIA, MeshStencil)):
+                return ("mesh operators run orthogonalization as "
+                        "GSPMD-partitioned XLA ops")
+        except ImportError:          # pragma: no cover
+            pass
+        if not self.use_pallas:
+            return "config.use_pallas is False"
+        if not pallas_env.pallas_capable():
+            return "no Pallas-capable backend (TPU or interpret mode)"
+        if setup.b.dtype != jnp.float32:
+            return f"needs a float32 solve dtype (got {setup.b.dtype})"
+        bshape = tuple(setup.b.shape)
+        if len(bshape) == 2:
+            vshape = bshape
+        elif setup.b.size % 128 == 0:
+            vshape = (setup.b.size // 128, 128)
+        else:
+            return f"vector size {setup.b.size} not lane-divisible"
+        vdt = self.basis_dtype or jnp.dtype(jnp.float32)
+        plan = gmres_basis.plan_for(vshape, self.m, vdt)
+        if plan is None:
+            return (f"no kernel geometry for vectors {vshape} "
+                    f"with basis dtype {jnp.dtype(vdt).name}")
+        self._plan = plan
+        self._fused_vshape = vshape
+        return ""
+
     # -- state ---------------------------------------------------------------
 
     def _krylov_reset(self, x, r_prec, beta, dtype):
@@ -87,6 +134,8 @@ class GMRESMethod:
         # the w boundary are layout-elided at the benchmark sizes.
         m = self.m
         vdt = self.basis_dtype or dtype
+        if self.orthog == "fused":
+            return self._krylov_reset_fused(x, r_prec, beta, dtype, vdt)
         v0 = (r_prec / beta).astype(vdt).reshape(self._vview)
         V = jnp.zeros((m + 1,) + self._vview, dtype=vdt).at[0].set(v0)
         H = jnp.zeros((m + 1, m), dtype=dtype)
@@ -105,6 +154,34 @@ class GMRESMethod:
             state["G"] = jnp.zeros((m + 1, m + 1), dtype=dtype).at[0, 0].set(
                 1.0)
         return state
+
+    def _krylov_reset_fused(self, x, r_prec, beta, dtype, vdt):
+        """Krylov reset for the fused-kernel basis (ops/gmres_basis.py).
+
+        Rows are stored SCALED-RAW: V[i] = c_i·v_i with v_i the unit Arnoldi
+        vector, plus a carried scale vector s_i = 1/c_i chosen as
+        1/‖stored row‖ of the ROUNDED values, so s_i·V[i] is exactly unit
+        in storage (the Gram diagonal stays 1 without a normalization pass
+        over the vector — c_{i} falls out of the correction kernel's free
+        norm accumulation).  Row 0 is the rounded preconditioned residual
+        itself (magnitude β — no growth: every later row's magnitude is its
+        own h_{i+1,i} relative to a unit input, since the operator is
+        applied to s_j-scaled v_cur).
+        """
+        m, plan = self.m, self._plan
+        v0 = r_prec.reshape(self._fused_vshape).astype(vdt)
+        v0f = v0.astype(jnp.float32)
+        c0sq = jnp.sum(v0f * v0f)
+        s0 = jnp.where(c0sq > 0, jax.lax.rsqrt(c0sq), 0.0)
+        V = jnp.zeros((plan.m_pad,) + self._fused_vshape,
+                      dtype=vdt).at[0].set(v0)
+        s = jnp.zeros((plan.m_pad,), jnp.float32).at[0].set(s0)
+        H = jnp.zeros((m + 1, m), dtype=dtype)
+        Q = jnp.eye(m + 1, dtype=dtype)
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        G = jnp.zeros((m + 1, m + 1), dtype=dtype).at[0, 0].set(1.0)
+        return {"x_old": x, "V": V, "H": H, "Q": Q, "g": g, "beta": beta,
+                "j": jnp.int32(0), "v_cur": v0f, "G": G, "s": s}
 
     def init_state(self):
         x = self.setup.x0
@@ -135,7 +212,46 @@ class GMRESMethod:
         sdtype = w.dtype                     # solve dtype (small quantities)
         w = w.reshape(vj.shape)              # basis math runs flat
 
-        if self.orthog == "lowsync":
+        if self.orthog == "fused":
+            # The lowsync scheme below, with both basis passes running as
+            # the explicit-DMA kernels of ops/gmres_basis.py over the
+            # scaled-raw (m_pad, R, L) basis (see _krylov_reset_fused).
+            # Per-pass raw reductions are mapped back to unit-basis terms
+            # by the (m+1)-sized scale vector s:  h1_i = s_i·<Vraw_i, w>,
+            # G[i,j] = s_i·s_j·<Vraw_i, Vraw_j>, correction coefficients
+            # h̃_i = h_i·s_i.  w is pre-scaled by s_j (folded by XLA into
+            # the preconditioner's last elementwise op), so every H entry
+            # is in conventional unit-basis terms.  The new row's norm
+            # falls out of the correction kernel: no separate normalize /
+            # cast / row-write passes, and the row write is tile-aligned
+            # (no RMW) because every basis row owns its tiles.
+            plan = self._plan
+            s, G = state["s"], state["G"]
+            mp1 = m + 1
+            sj = jnp.take(s, j)
+            wf = w * sj
+
+            def orthog(V, wf, vj, G, s):
+                Pw, Pv = gmres_basis.project_gram(V, wf, vj, j, plan=plan)
+                h1 = (s * Pw)[:mp1]
+                gc = (s * (sj * Pv))[:mp1]
+                G = G.at[:, j].set(gc).at[j, :].set(gc)
+                h2 = h1 - G @ h1              # lowsync Gram correction
+                h = h1 + h2
+                ht = jnp.zeros((plan.m_pad,), jnp.float32).at[:mp1].set(
+                    h * s[:mp1])
+                V, v_next, nrm2 = gmres_basis.correct_write(
+                    V, wf, ht, j, plan=plan)
+                return V, v_next, nrm2, h, G
+
+            from ..utils.ktimers import ktime
+            V, v_next, nrm2, h, G = ktime("orthog", orthog, V, wf, vj, G, s)
+            h_next = jnp.sqrt(nrm2)
+            H = H.at[:, j].set(h).at[j + 1, j].set(h_next)
+            s = s.at[j + 1].set(
+                jnp.where(nrm2 > 0, jax.lax.rsqrt(
+                    jnp.where(nrm2 > 0, nrm2, 1.0)), 0.0))
+        elif self.orthog == "lowsync":
             # Low-synchronization CGS2 (Gram-corrected reorthogonalization,
             # one-reduce style): classical CGS2's second projection is
             # h2 = V·w1 = (I − G)·h1 with G = V·Vᵀ — an (m+1)² correction
@@ -255,20 +371,24 @@ class GMRESMethod:
             from ..utils.ktimers import ktime
             w, H = ktime("orthog", lambda w, H: jax.lax.fori_loop(
                 0, j + 1, mgs_body, (w, H)), w, H)
-        h_next = euclidean_vec_norm(w)            # H[j+1, j] (gmres.hpp:36-38)
-        H = H.at[j + 1, j].set(h_next)
-        # Happy breakdown (h_next == 0): the next basis vector is undefined;
-        # store a zero row instead of w/0 = NaN so explicit_x's full-basis
-        # contraction stays finite (the residual is 0, so the solve stops
-        # before the row is ever used as a direction).
-        v_next = jnp.where(h_next > 0, w / jnp.where(h_next > 0, h_next, 1.0),
-                           0.0)
-        v_next = v_next.astype(V.dtype)
-        V = V.at[j + 1].set(v_next)                   # gmres.hpp:43-46
+        if self.orthog != "fused":
+            h_next = euclidean_vec_norm(w)        # H[j+1, j] (gmres.hpp:36-38)
+            H = H.at[j + 1, j].set(h_next)
+            # Happy breakdown (h_next == 0): the next basis vector is
+            # undefined; store a zero row instead of w/0 = NaN so
+            # explicit_x's full-basis contraction stays finite (the residual
+            # is 0, so the solve stops before the row is ever used as a
+            # direction).
+            v_next = jnp.where(h_next > 0,
+                               w / jnp.where(h_next > 0, h_next, 1.0), 0.0)
+            v_next = v_next.astype(V.dtype)
+            V = V.at[j + 1].set(v_next)               # gmres.hpp:43-46
 
         extra = {}
         if self.orthog == "lowsync":
             extra["G"] = G   # v_{j+1}'s exact column lands next iteration
+        elif self.orthog == "fused":
+            extra.update(G=G, s=s)
 
         # Givens least squares (gmres.hpp:55-121): rotate column j of H by the
         # accumulated Q, derive the new rotation, fold it into Q.
@@ -322,6 +442,9 @@ class GMRESMethod:
 
         y = jax.lax.fori_loop(0, m, back_body,
                               jnp.zeros(m, dtype=g.dtype))
+        if self.orthog == "fused":
+            # scaled-raw rows: v_k = s_k·Vraw_k
+            y = y * state["s"][:m].astype(y.dtype)
         # y entries at indices ≥ n_it are zero, so the full contraction equals
         # the reference's Σ_{k≤n_it} y_k V_k (gmres.hpp:358).
         dx = jnp.tensordot(y.astype(V.dtype), V[:m], axes=([0], [0]),
@@ -358,6 +481,9 @@ class GMRESMethod:
         # rows 0..j-1 are the established basis; row j was just produced as
         # w/H[j+1,j] and is numerically meaningless at (happy) breakdown.
         V = np.asarray(state["V"])[:j].reshape(j, -1)
+        if self.orthog == "fused":
+            # scaled-raw rows: the orthonormal set is diag(s)·Vraw
+            V = V * np.asarray(state["s"])[:j, None]
         if V.shape[0] == 0:
             return
         # Tolerance scales with the state dtype: a fixed fp64-calibrated

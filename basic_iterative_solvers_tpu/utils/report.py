@@ -114,7 +114,8 @@ def iteration_traffic_bytes(setup) -> int:
         # average j over a restart cycle = m/2.  Basis rows may be stored
         # narrower than the solve dtype (gmres_basis_dtype).
         m = config.restart_length
-        passes = {"lowsync": 2, "cgs2": 4, "mgs": 2}[config.orthog_mode]
+        passes = {"lowsync": 2, "cgs2": 4, "mgs": 2,
+                  "fused": 2}[config.orthog_mode]
         bd = config.gmres_basis_dtype
         bvec = vec if bd is None else setup.b.size * 2 \
             if str(bd) in ("bfloat16", "bf16") else \

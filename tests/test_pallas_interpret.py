@@ -130,3 +130,72 @@ def test_rankspace_trisolve_kernel_interpret(interpret, rng):
         np.asarray(blocked_trisolve(B, y, use_pallas=True)),
         np.asarray(blocked_trisolve(B, y, use_pallas=False)),
         rtol=2e-5, atol=1e-5)
+
+
+def test_gmres_basis_kernels_interpret(interpret, rng):
+    """The fused GMRES basis kernels (project_gram, correct_write) against
+    NumPy oracles, on a multi-chunk plan (exercises the cross-grid-step
+    DMA prefetch).  bf16 storage is covered end-to-end by
+    test_gmres_fused_bf16_basis_debug_checks."""
+    from basic_iterative_solvers_tpu.ops import gmres_basis as gb
+    R, L, m = 512, 512, 10
+    plan = gb.plan_for((R, L), m, jnp.float32)
+    assert plan is not None and plan.n_chunks > 1
+    V = rng.standard_normal((plan.m_pad, R, L)).astype(np.float32)
+    Vd = jnp.asarray(V)
+    Vnp = V
+    w = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
+    vc = jnp.asarray(rng.standard_normal((R, L)).astype(np.float32))
+    for j in (0, m - 1):
+        nb = (j + 8) // 8
+        rows = min(nb * 8, plan.m_pad)
+        Pw, Pv = gb.project_gram(Vd, w, vc, j, plan=plan)
+        ew = np.tensordot(Vnp[:rows], np.asarray(w), axes=([1, 2], [0, 1]))
+        ev = np.tensordot(Vnp[:rows], np.asarray(vc), axes=([1, 2], [0, 1]))
+        np.testing.assert_allclose(np.asarray(Pw)[:rows], ew,
+                                   rtol=1e-4, atol=1e-2)
+        np.testing.assert_allclose(np.asarray(Pv)[:rows], ev,
+                                   rtol=1e-4, atol=1e-2)
+        ht = np.zeros(plan.m_pad, np.float32)
+        ht[: j + 1] = rng.standard_normal(j + 1).astype(np.float32)
+        Vn, vnext, nrm2 = gb.correct_write(Vd, w, jnp.asarray(ht), j,
+                                           plan=plan)
+        wc_r = np.asarray(w) - np.tensordot(ht[:rows], Vnp[:rows],
+                                            axes=([0], [0]))
+        vnext = np.asarray(vnext)
+        np.testing.assert_allclose(vnext, wc_r, rtol=0, atol=1e-5)
+        np.testing.assert_allclose(float(nrm2), float(np.sum(vnext ** 2)),
+                                   rtol=1e-5)
+        Vn_np = np.asarray(Vn.astype(jnp.float32))
+        # the written row is exactly the returned vector; all other rows
+        # (incl. the streamed-but-unwritten ones) are preserved bit-exact
+        np.testing.assert_array_equal(Vn_np[j + 1], vnext)
+        others = [i for i in range(plan.m_pad) if i != j + 1]
+        np.testing.assert_array_equal(Vn_np[others], Vnp[others])
+
+
+def test_gmres_fused_matches_lowsync(interpret):
+    """orthog_mode='fused' (scaled-raw basis + explicit-DMA kernels) must
+    reproduce the lowsync trajectory, including across restarts."""
+    kw = dict(method="gm", dtype=np.float32, tolerance=1e-5, max_iters=300,
+              restart_length=8, harness="fused")
+    rf = bis.solve_system("hpcg:16x16x16", orthog_mode="fused", **kw)
+    rl = bis.solve_system("hpcg:16x16x16", orthog_mode="lowsync", **kw)
+    assert rf.converged and rl.converged
+    assert rf.gmres_restart_count >= 1       # exercises the s/G reset
+    assert abs(rf.iter_count - rl.iter_count) <= 2
+    np.testing.assert_allclose(rf.x_star, rl.x_star, rtol=0, atol=1e-4)
+
+
+def test_gmres_fused_bf16_basis_debug_checks(interpret):
+    """Fused mode with a bf16 scaled-raw basis converges equivalently, and
+    the per-iteration V-orthonormality SanityChecker passes on the host
+    harness (the diag(s)·Vraw basis is unit to storage precision)."""
+    kw = dict(method="gm", dtype=np.float32, tolerance=1e-5, max_iters=200,
+              restart_length=20)
+    rb = bis.solve_system("hpcg:16x16x16", orthog_mode="fused",
+                          gmres_basis_dtype="bfloat16", harness="fused", **kw)
+    rh = bis.solve_system("hpcg:16x16x16", orthog_mode="fused",
+                          harness="host", debug_checks=True, **kw)
+    assert rb.converged and rh.converged
+    assert abs(rb.iter_count - rh.iter_count) <= 3

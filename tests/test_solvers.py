@@ -410,3 +410,18 @@ def test_gmres_bf16_basis_convergence_equivalent():
     assert abs(rbf.iter_count - r32.iter_count) <= 3
     # the recovered solutions agree to basis precision
     np.testing.assert_allclose(rbf.x_star, r32.x_star, rtol=0, atol=2e-2)
+
+
+def test_gmres_fused_fallback_warns():
+    """Without a Pallas-capable backend (plain CPU), orthog_mode='fused'
+    degrades to lowsync with a warning — never a hard failure."""
+    import warnings
+
+    import basic_iterative_solvers_tpu as bis
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        res = bis.solve_system("fdm:16", method="gm", orthog_mode="fused",
+                               dtype=np.float32, restart_length=16,
+                               tolerance=1e-4, harness="fused")
+    assert res.converged
+    assert any("falling back to 'lowsync'" in str(w.message) for w in rec)
