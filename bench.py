@@ -78,6 +78,45 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def wait_for_backend(max_minutes: float, probe_timeout: int = 240):
+    """Block until the accelerator backend initializes in a THROWAWAY
+    subprocess (or the budget runs out).  The remote-TPU tunnel has
+    transient outages, and a failed in-process init can poison the JAX
+    backend cache for the whole run — so the probe is a subprocess and the
+    real import happens only after a probe succeeds.  Returns silently on
+    success, on budget exhaustion (the import then surfaces the real
+    error), and on CPU-only configurations (the probe succeeds there)."""
+    import os
+    import subprocess
+    if max_minutes <= 0:
+        return
+    deadline = time.monotonic() + 60.0 * max_minutes
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; jax.devices(); "
+                 "print(float(jnp.arange(4.0).sum()))"],
+                timeout=probe_timeout, env=dict(os.environ),
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            if attempt > 1:
+                log(f"backend probe: up after {attempt} attempts")
+            return
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            log("backend probe: budget exhausted; proceeding anyway")
+            return
+        log(f"backend probe: attempt {attempt} failed (backend "
+            f"unavailable); retrying for {remaining / 60.0:.0f} more min")
+        time.sleep(min(120.0, max(1.0, remaining)))
+
+
 def build_matrix(bis, source: str, fmt: str, mat_dt):
     """Build the benchmark operator on device (no O(nnz) host passes)."""
     import jax
@@ -263,7 +302,7 @@ def main():
     ap.add_argument("--restart-length", type=int, default=50)
     ap.add_argument("--precond-inner-iters", type=int, default=1)
     ap.add_argument("--orthog", default="lowsync",
-                    choices=("mgs", "cgs2", "lowsync"),
+                    choices=("mgs", "cgs2", "lowsync", "fused"),
                     help="GMRES orthogonalization (lowsync = Gram-corrected "
                          "CGS2, two basis passes/iter; cgs2 = four)")
     ap.add_argument("--gmres-basis", default="bfloat16",
@@ -278,8 +317,13 @@ def main():
     ap.add_argument("--no-general-row", action="store_true",
                     help="skip the general-sparsity (scattered-band, "
                          "lane-ELL kernel) CG row")
+    ap.add_argument("--backend-wait-mins", type=float, default=30.0,
+                    help="wait up to this long for the TPU backend before "
+                         "giving up (the remote-TPU tunnel has transient "
+                         "outages; 0 = no probe, import directly)")
     args = ap.parse_args()
 
+    wait_for_backend(args.backend_wait_mins)
     import jax
     import basic_iterative_solvers_tpu as bis
 
