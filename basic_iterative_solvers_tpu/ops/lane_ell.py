@@ -169,15 +169,20 @@ def lane_ell_spmv_xla(M: DeviceLaneELL, x: jax.Array) -> jax.Array:
     return y.reshape(-1)[:M.n_rows]
 
 
-def lane_ell_spmv_pallas(M: DeviceLaneELL, x: jax.Array) -> jax.Array:
-    """Pallas kernel: clamped 3-block x window + per-shift lane gathers."""
+def _lane_ell_kernel_call(M: DeviceLaneELL, vals: jax.Array, idx: jax.Array,
+                          xsrc: jax.Array, win_maps, grid_n: int) -> jax.Array:
+    """Shared pallas_call for the lane-gather kernel.
+
+    `vals`/`idx` are (K, grid_n·TB, 128) slot planes; `xsrc` is the window
+    source array and `win_maps` three (TB, 128)-block index maps into it
+    selecting the 3-tile x window of each output tile (clamped self-windows
+    on the single-device path, halo-padded windows on the mesh path).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    TB, S, K, R = M.TB, M.S, M.K, M.R
-    x2 = _pad_x2(M, x)
-    grid_n = R // TB
-    last = grid_n - 1
+    TB, S, K = M.TB, M.S, M.K
+    R_out = grid_n * TB
 
     def kernel(vals_ref, idx_ref, w0, w1, w2, y_ref):
         from jax._src.config import enable_x64 as _x64_ctx
@@ -210,32 +215,70 @@ def lane_ell_spmv_pallas(M: DeviceLaneELL, x: jax.Array) -> jax.Array:
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((K, TB, LANES), lambda i: (jnp.int32(0), i, jnp.int32(0)),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, LANES), lambda i: (jnp.maximum(i - 1, 0),
-                                             jnp.int32(0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((TB, LANES), lambda i: (jnp.minimum(i + 1,
-                                                         jnp.int32(last)),
-                                             jnp.int32(0)),
-                     memory_space=pltpu.VMEM),
-    ]
-    itemsize = x.dtype.itemsize
-    y2 = pl.pallas_call(
+    ] + [pl.BlockSpec((TB, LANES), m, memory_space=pltpu.VMEM)
+         for m in win_maps]
+    itemsize = xsrc.dtype.itemsize
+    return pl.pallas_call(
         kernel, grid=(grid_n,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, LANES), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((R_out, LANES), xsrc.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=2 * K * R * LANES,
-            bytes_accessed=(K * R * LANES * (itemsize + 4)
-                            + 2 * R * LANES * itemsize),
+            flops=2 * K * R_out * LANES,
+            bytes_accessed=(K * R_out * LANES * (itemsize + 4)
+                            + 2 * R_out * LANES * itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=pallas_env.INTERPRET,
-    )(M.vals, M.idx, x2, x2, x2)
+    )(vals, idx, xsrc, xsrc, xsrc)
+
+
+def lane_ell_spmv_pallas(M: DeviceLaneELL, x: jax.Array) -> jax.Array:
+    """Pallas kernel: clamped 3-block x window + per-shift lane gathers."""
+    TB, R = M.TB, M.R
+    x2 = _pad_x2(M, x)
+    grid_n = R // TB
+    last = grid_n - 1
+    maps = (lambda i: (jnp.maximum(i - 1, 0), jnp.int32(0)),
+            lambda i: (i, jnp.int32(0)),
+            lambda i: (jnp.minimum(i + 1, jnp.int32(last)), jnp.int32(0)))
+    y2 = _lane_ell_kernel_call(M, M.vals, M.idx, x2, maps, grid_n)
     return y2.reshape(-1)[:M.n_rows]
+
+
+def lane_ell_spmv_halo(M: DeviceLaneELL, vals: jax.Array, idx: jax.Array,
+                       x2pad: jax.Array, grid_n: int) -> jax.Array:
+    """Shard-local SpMV over a halo-padded x window (parallel/mesh_ops.py).
+
+    `x2pad` is (grid_n·TB + 2·TB, 128): one neighbor tile each side of the
+    shard's local rows (ppermute'd; zeros at the global edges — those rows
+    feed only zero-valued pad slots, since rowoff never crosses the matrix
+    boundary).  `vals`/`idx` are the shard's (K, grid_n·TB, 128) planes.
+    """
+    maps = (lambda i: (i, jnp.int32(0)),
+            lambda i: (i + jnp.int32(1), jnp.int32(0)),
+            lambda i: (i + jnp.int32(2), jnp.int32(0)))
+    return _lane_ell_kernel_call(M, vals, idx, x2pad, maps, grid_n)
+
+
+def lane_ell_extend_rows(M: DeviceLaneELL, R_new: int) -> DeviceLaneELL:
+    """Pad the slot planes with inert rows (val 0, per-slot in-range index)
+    so R divides a mesh's per-shard tile count.  O(pad) one-time device
+    work; y rows beyond the original R are exact zeros."""
+    if R_new == M.R:
+        return M
+    if R_new < M.R or R_new % M.TB:
+        raise ValueError(f"bad extension {M.R} -> {R_new} (TB={M.TB})")
+    K, pad = M.K, R_new - M.R
+    vals = jnp.concatenate(
+        [M.vals, jnp.zeros((K, pad, LANES), M.vals.dtype)], axis=1)
+    ranges = M.slot_ranges or ((0, 0),) * K
+    los = jnp.asarray([(lo + M.S) * LANES for lo, _ in ranges],
+                      jnp.int32).reshape(K, 1, 1)
+    idx = jnp.concatenate(
+        [M.idx, jnp.broadcast_to(los, (K, pad, LANES))], axis=1)
+    return dataclasses.replace(M, vals=vals, idx=idx, R=R_new)
 
 
 def lane_ell_spmv(M: DeviceLaneELL, x: jax.Array,

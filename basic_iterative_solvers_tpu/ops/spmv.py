@@ -66,12 +66,15 @@ def _spmv_impl(A, x: jax.Array, use_pallas: bool = False) -> jax.Array:
     from ..stencil_op import DeviceStencil, stencil_spmv
     if isinstance(A, DeviceStencil):
         return stencil_spmv(A, x, use_pallas=use_pallas)
-    from ..parallel.mesh_ops import (MeshDIA, MeshStencil, mesh_dia_spmv,
+    from ..parallel.mesh_ops import (MeshDIA, MeshLaneELL, MeshStencil,
+                                     mesh_dia_spmv, mesh_lane_ell_spmv,
                                      mesh_stencil_spmv)
     if isinstance(A, MeshStencil):
         return mesh_stencil_spmv(A, x)
     if isinstance(A, MeshDIA):
         return mesh_dia_spmv(A, x)
+    if isinstance(A, MeshLaneELL):
+        return mesh_lane_ell_spmv(A, x)
     raise TypeError(f"unsupported device matrix type: {type(A)}")
 
 

@@ -278,10 +278,44 @@ def mesh_dia_spmv(A: MeshDIA, x: jax.Array) -> jax.Array:
     return y[:n] if n != npad else y
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["inner"], meta_fields=["mesh", "axis"])
+@dataclasses.dataclass
+class MeshLaneELL:
+    """A DeviceLaneELL bound to a 1-D row mesh: slot planes sharded
+    P(None, axis, None) with R a multiple of TB·n_devices, SpMV as the
+    per-shard lane-gather kernel over a one-tile ppermute'd halo window
+    (S ≤ TB by the format invariant, so neighbor tiles always suffice)."""
+
+    inner: "DeviceLaneELL"
+    mesh: jax.sharding.Mesh
+    axis: str
+
+    @property
+    def dtype(self):
+        return self.inner.dtype
+
+    @property
+    def n_rows(self):
+        return self.inner.n_rows
+
+    @property
+    def n_cols(self):
+        return self.inner.n_cols
+
+    @property
+    def nnz_stored(self):
+        return self.inner.nnz_stored
+
+    @property
+    def n_devices(self):
+        return int(self.mesh.shape[self.axis])
+
+
 def unwrap(A):
     """The underlying single-device operator of a mesh wrapper (identity
     for plain operators)."""
-    if isinstance(A, (MeshStencil, MeshDIA)):
+    if isinstance(A, (MeshStencil, MeshDIA, MeshLaneELL)):
         return A.inner
     return A
 
@@ -298,6 +332,52 @@ def wrap_stencil(St: DeviceStencil, mesh, axis: str) -> MeshStencil:
     if not _planar_ok(St):
         raise ValueError("stencil legs exceed the planar kernel's window")
     return MeshStencil(inner=St, mesh=mesh, axis=axis)
+
+
+def wrap_lane_ell(M, mesh, axis: str, dtype) -> MeshLaneELL:
+    """Pad the lane-ELL row dimension to TB·n_devices (inert rows) and
+    bind to the mesh; raises when the kernel cannot execute here."""
+    from ..ops.lane_ell import lane_ell_extend_rows
+    if not mesh_pallas_capable(dtype):
+        raise ValueError("lane-ELL mesh kernels cannot execute here")
+    n_dev = int(mesh.shape[axis])
+    chunk = M.TB * n_dev
+    R2 = -(-M.R // chunk) * chunk
+    M = lane_ell_extend_rows(M, R2)
+    sh = jax.sharding.NamedSharding(mesh, P(None, axis, None))
+    M = dataclasses.replace(M, vals=jax.device_put(M.vals, sh),
+                            idx=jax.device_put(M.idx, sh))
+    return MeshLaneELL(inner=M, mesh=mesh, axis=axis)
+
+
+def mesh_lane_ell_spmv(A: MeshLaneELL, x: jax.Array) -> jax.Array:
+    """y = A @ x: per-shard windowed lane-gather kernel; the 3-tile x
+    window is rebuilt per shard from the local rows plus one ppermute'd
+    neighbor tile each side (ops/lane_ell.lane_ell_spmv_halo) — the
+    general-sparsity analog of the reference's row-parallel native_spmv
+    (/root/reference/kernels.hpp:22-42) without the GSPMD all-gather."""
+    from ..ops.lane_ell import lane_ell_spmv_halo
+    M = A.inner
+    n, R, TB, LANES = M.n_rows, M.R, M.TB, M.vals.shape[2]
+    n_dev = A.n_devices
+    R_local = R // n_dev
+    grid_n = R_local // TB
+    axis = A.axis
+    npad = R * LANES
+    xfull = x if n == npad else jnp.pad(x, (0, npad - n))
+    x2 = xfull.reshape(R, LANES)
+
+    def local(vals_l, idx_l, xl):
+        top, bot = _halo_blocks(xl, TB, axis)
+        x2pad = jnp.concatenate([top, xl, bot], axis=0)
+        return lane_ell_spmv_halo(M, vals_l, idx_l, x2pad, grid_n)
+
+    f = jax.shard_map(local, mesh=A.mesh,
+                      in_specs=(P(None, axis, None), P(None, axis, None),
+                                P(axis, None)),
+                      out_specs=P(axis, None), check_vma=False)
+    y2 = f(M.vals, M.idx, x2)
+    return y2.reshape(-1)[:n]
 
 
 def wrap_dia(D: DeviceDIA, mesh, axis: str, dtype) -> MeshDIA:

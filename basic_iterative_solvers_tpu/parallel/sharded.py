@@ -495,6 +495,52 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
             b=re_vec(setup.b), x0=re_vec(setup.x0),
             A_D=re_vec(setup.A_D), color_arr=re_vec(setup.color_arr))
 
+    from ..ops.lane_ell import DeviceLaneELL as _LE
+    if isinstance(A, _LE):
+        from .mesh_ops import wrap_lane_ell
+        n = setup.b.shape[0]
+        if n % n_dev:
+            raise _MeshIneligible(
+                f"vector length {n} not divisible by {n_dev} devices")
+        if setup.x_decode is not None:
+            raise _MeshIneligible(
+                "unexpected vector-layout decode on lane-ELL")
+        if setup.color_arr is not None or M.color_arr is not None:
+            raise _MeshIneligible(
+                "greedy color arrays don't shard with spec kernels")
+
+        def wrap_place(Mt):
+            try:
+                if isinstance(Mt, _LE):
+                    return wrap_lane_ell(Mt, mesh, axis, setup.b.dtype)
+                if isinstance(Mt, _DIA):
+                    from .mesh_ops import wrap_dia
+                    W = wrap_dia(Mt, mesh, axis, setup.b.dtype)
+                    inner = _dc.replace(W.inner, data=jax.device_put(
+                        W.inner.data, NamedSharding(mesh, P(None, axis))))
+                    return _dc.replace(W, inner=inner)
+            except ValueError as e:
+                raise _MeshIneligible(str(e)) from e
+            raise _MeshIneligible("mixed matrix families in setup")
+
+        def re_mat(Mt):
+            return None if Mt is None else wrap_place(Mt)
+
+        re_vec = lambda v: None if v is None else vec_put(v)  # noqa: E731
+        A_new = wrap_place(A)
+        M_sh = _dc.replace(
+            M,
+            A_D=re_vec(M.A_D), A_D_inv=re_vec(M.A_D_inv),
+            L_strict_dev=re_mat(M.L_strict_dev),
+            U_strict_dev=re_mat(M.U_strict_dev),
+            A_full_dev=re_mat(M.A_full_dev),
+            L_block=_mesh_blocks(M.L_block, mesh, axis),
+            U_block=_mesh_blocks(M.U_block, mesh, axis))
+        return _dc.replace(
+            setup, A=A_new, M=M_sh,
+            b=re_vec(setup.b), x0=re_vec(setup.x0),
+            A_D=re_vec(setup.A_D))
+
     raise _MeshIneligible(f"no mesh kernels for {type(A).__name__}")
 
 
