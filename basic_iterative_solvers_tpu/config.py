@@ -102,6 +102,30 @@ class SolverConfig:
     # residual sampling (reference solver_harness.hpp semantics); "fused" =
     # whole solve in one lax.while_loop on device (performance mode).
     harness: str = "host"
+    # CG recurrence variant.  "classic" = the reference's PCG (cg.hpp:6-54):
+    # two reduction points per iteration ((t,p) after the SpMV, (r',z')
+    # after the vector updates).  "pipelined" = Ghysels-Vanroose pipelined
+    # PCG: auxiliary recurrences (w = A·u, plus s/q/z companions) move ALL
+    # reductions ((r,u), (w,u), ||r||²) to a single point on
+    # already-available vectors — on a device mesh that is one fused psum
+    # per iteration instead of two serialized all-reduces, and the
+    # reduction latency overlaps the next SpMV/M⁻¹.  Costs ~2 extra vector
+    # streams per iteration, so "classic" stays the single-chip default;
+    # "pipelined" is the latency-bound multi-chip mode.  Same convergence
+    # up to rounding (the recurrences are algebraically identical).
+    cg_flavor: str = "classic"      # "classic" | "pipelined"
+    # Pipelined-CG residual replacement period: every k-th iteration the
+    # recurrence vectors (r, u, w and the p-companions s, q, z) are
+    # recomputed from x and p directly (r = b − A·x, etc.).  The pipelined
+    # recurrences drift — without replacement the attainable accuracy
+    # stalls ~2-3 decades above classic CG's (a known property; Cools &
+    # Vanroose), which matters at the reference's tol = 1e-14.  The
+    # replacement must fire BEFORE the drift stalls the recurrence (a
+    # stalled search direction p is not repaired by replacement), so the
+    # default period is a conservative 25 — measured to recover classic's
+    # iteration count within ~10% at tol = 1e-14 where period 50 stalls.
+    # Amortized cost: 3 extra SpMV + 2 M⁻¹ every k iterations.  0 disables.
+    cg_rr_period: int = 25
     # GMRES orthogonalization: "mgs" = modified Gram-Schmidt, the reference's
     # scheme (gmres.hpp:6-53) — a j-deep chain of dependent dot+axpy passes;
     # "cgs2" = classical Gram-Schmidt with full re-orthogonalization — two
@@ -184,6 +208,7 @@ class Args:
     matrix_format: str = "auto"
     orthog_mode: str = "mgs"
     gmres_basis_dtype: Optional[str] = None
+    cg_flavor: str = "classic"
 
     def to_config(self, dtype: Optional[np.dtype] = None) -> SolverConfig:
         import jax
@@ -210,4 +235,5 @@ class Args:
             matrix_format=self.matrix_format,
             orthog_mode=self.orthog_mode,
             gmres_basis_dtype=self.gmres_basis_dtype,
+            cg_flavor=self.cg_flavor,
         )

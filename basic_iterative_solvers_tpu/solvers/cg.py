@@ -93,3 +93,159 @@ class ConjugateGradientMethod:
     def solve_fused(self):
         return fused_solve(self.setup, self.init_state, self.iterate,
                            self.sample_norm, self.final_x, cache_on=self)
+
+
+class PipelinedCGMethod:
+    """Ghysels–Vanroose pipelined PCG (config.cg_flavor="pipelined").
+
+    Algebraically the same Krylov iteration as ConjugateGradientMethod
+    (reference cg.hpp:6-54) re-expressed so every reduction reads vectors
+    already available at the TOP of the iteration:
+
+        γ = (r, u)    δ = (w, u)    ‖r‖²          [ONE reduction point]
+        m = M⁻¹·w ;  n = A·m
+        β = γ/γ_old ;  α = γ / (δ − β·γ/α_old)
+        z ← n + β·z ;  q ← m + β·q ;  s ← w + β·s ;  p ← u + β·p
+        x ← x + α·p ;  r ← r − α·s ;  u ← u − α·q ;  w ← w − α·z
+
+    with u = M⁻¹r and w = A·u maintained by recurrence.  Classic PCG has
+    two serialized reduction points per iteration ((t,p) after the SpMV and
+    (r',z') after the updates); here all three scalars fuse into one psum
+    whose latency overlaps the next M⁻¹/SpMV — the latency-bound multi-chip
+    mode.  The price is the s/q/z companion recurrences (~2 extra vector
+    streams per iteration), so classic stays the single-chip default.
+
+    First iteration: γ_old = ∞ makes β exactly 0 (finite/∞), reducing
+    α to γ/δ — no special-casing inside the fused while_loop.
+
+    Residual replacement (config.cg_rr_period): the extra recurrences
+    drift, stalling the attainable residual ~2-3 decades above classic
+    CG's — fatal at the reference's tol = 1e-14.  Every k-th iteration
+    the vectors are recomputed from x and p directly (r = b − A·x,
+    u = M⁻¹r, w = A·u; s = A·p, q = M⁻¹s, z = A·q — Cools & Vanroose's
+    standard fix), restoring classic-grade attainable accuracy for
+    3 SpMV + 2 M⁻¹ every k iterations.
+    """
+
+    supports_fused = True
+
+    def __init__(self, setup: SolverSetup):
+        self.setup = setup
+        self.A = setup.A
+        self.M = setup.M
+        self.b = setup.b
+        self.use_pallas = setup.config.use_pallas
+        self.rr_period = int(setup.config.cg_rr_period)
+        from ..types import PrecondType
+        # With identity M: u ≡ r and the q/s recurrences coincide — carry
+        # only x, r, w, p, s, z (γ = ‖r‖² comes off the carried norm).
+        self._identity_M = self.M.ptype == PrecondType.NONE
+
+    def _scalars(self, dtype):
+        inf = jnp.asarray(jnp.inf, dtype=dtype)
+        one = jnp.asarray(1.0, dtype=dtype)
+        return inf, one
+
+    def init_state(self):
+        x = self.setup.x0
+        r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
+        rn = euclidean_vec_norm(r)
+        inf, one = self._scalars(rn.dtype)
+        k = jnp.asarray(0, jnp.int32)
+        if self._identity_M:
+            w = spmv(self.A, r, self.use_pallas)
+            zero = jnp.zeros_like(r)
+            return {"x": x, "r": r, "w": w, "p": zero, "s": zero,
+                    "z": zero, "gamma_old": inf, "alpha_old": one,
+                    "k": k, "residual_norm": rn}
+        u = apply_preconditioner(self.M, r)
+        w = spmv(self.A, u, self.use_pallas)
+        zero = jnp.zeros_like(r)
+        return {"x": x, "r": r, "u": u, "w": w, "p": zero, "s": zero,
+                "q": zero, "z": zero, "gamma_old": inf, "alpha_old": one,
+                "k": k, "residual_norm": rn}
+
+    def initial_residual_norm(self, state):
+        return state["residual_norm"]
+
+    def iterate(self, state):
+        import jax
+
+        if self._identity_M:
+            x, r, w = state["x"], state["r"], state["w"]
+            p, s, z = state["p"], state["s"], state["z"]
+            rn = state["residual_norm"]
+            gamma = rn * rn                      # (r, u) = ‖r‖², M = I
+            delta = dot(w, r)
+            n = spmv(self.A, w, self.use_pallas)  # m = w when M = I
+            beta = gamma / state["gamma_old"]
+            alpha = gamma / (delta - beta * gamma / state["alpha_old"])
+            z = sum_vectors(n, z, beta)
+            s = sum_vectors(w, s, beta)
+            p = sum_vectors(r, p, beta)
+            x = sum_vectors(x, p, alpha)
+            r = subtract_vectors(r, s, alpha)
+            w = subtract_vectors(w, z, alpha)
+            k = state["k"] + jnp.int32(1)
+            if self.rr_period:
+                def _rep(_):
+                    r2 = subtract_vectors(
+                        self.b, spmv(self.A, x, self.use_pallas))
+                    w2 = spmv(self.A, r2, self.use_pallas)
+                    s2 = spmv(self.A, p, self.use_pallas)
+                    z2 = spmv(self.A, s2, self.use_pallas)
+                    return r2, w2, s2, z2
+
+                r, w, s, z = jax.lax.cond(
+                    k % jnp.int32(self.rr_period) == 0,
+                    _rep, lambda _: (r, w, s, z), None)
+            return {"x": x, "r": r, "w": w, "p": p, "s": s, "z": z,
+                    "gamma_old": gamma, "alpha_old": alpha, "k": k,
+                    "residual_norm": euclidean_vec_norm(r)}
+        x, r, u, w = state["x"], state["r"], state["u"], state["w"]
+        p, s, q, z = state["p"], state["s"], state["q"], state["z"]
+        gamma = dot(r, u)
+        delta = dot(w, u)
+        m = apply_preconditioner(self.M, w)
+        n = spmv(self.A, m, self.use_pallas)
+        beta = gamma / state["gamma_old"]
+        alpha = gamma / (delta - beta * gamma / state["alpha_old"])
+        z = sum_vectors(n, z, beta)
+        q = sum_vectors(m, q, beta)
+        s = sum_vectors(w, s, beta)
+        p = sum_vectors(u, p, beta)
+        x = sum_vectors(x, p, alpha)
+        r = subtract_vectors(r, s, alpha)
+        u = subtract_vectors(u, q, alpha)
+        w = subtract_vectors(w, z, alpha)
+        k = state["k"] + jnp.int32(1)
+        if self.rr_period:
+            def _rep(_):
+                r2 = subtract_vectors(
+                    self.b, spmv(self.A, x, self.use_pallas))
+                u2 = apply_preconditioner(self.M, r2)
+                w2 = spmv(self.A, u2, self.use_pallas)
+                s2 = spmv(self.A, p, self.use_pallas)
+                q2 = apply_preconditioner(self.M, s2)
+                z2 = spmv(self.A, q2, self.use_pallas)
+                return r2, u2, w2, s2, q2, z2
+
+            r, u, w, s, q, z = jax.lax.cond(
+                k % jnp.int32(self.rr_period) == 0,
+                _rep, lambda _: (r, u, w, s, q, z), None)
+        return {"x": x, "r": r, "u": u, "w": w, "p": p, "s": s, "q": q,
+                "z": z, "gamma_old": gamma, "alpha_old": alpha, "k": k,
+                "residual_norm": euclidean_vec_norm(r)}
+
+    def sample_norm(self, state):
+        return state["residual_norm"]
+
+    def check_restart(self, state, iter_count, residual_norm, stopping):
+        return state, False, residual_norm
+
+    def final_x(self, state):
+        return state["x"]
+
+    def solve_fused(self):
+        return fused_solve(self.setup, self.init_state, self.iterate,
+                           self.sample_norm, self.final_x, cache_on=self)

@@ -21,6 +21,14 @@ _METHODS = {
 
 
 def make_method(setup: SolverSetup):
+    cfg = setup.config
+    if cfg.method == SolverType.CONJUGATE_GRADIENT:
+        if cfg.cg_flavor == "pipelined":
+            from .cg import PipelinedCGMethod
+            return PipelinedCGMethod(setup)
+        if cfg.cg_flavor != "classic":
+            raise ValueError(f"unknown cg_flavor: {cfg.cg_flavor!r} "
+                             "(expected 'classic' or 'pipelined')")
     try:
         cls = _METHODS[setup.config.method]
     except KeyError:

@@ -246,3 +246,18 @@ def test_mesh_lane_ell_two_stage_bicgstab(interpret):
     assert isinstance(setup8.M.L_strict_dev, MeshLaneELL)
     res8 = bis.solve(setup8)
     _check(res8, res1)
+
+
+def test_mesh_pipelined_cg(interpret):
+    """Pipelined PCG (single fused reduction point — the multi-chip
+    latency mode) through the per-shard stencil kernels."""
+    A = stencil_op.stencil_27pt_operator(8, 8, 8, dtype=np.float64)
+    cfg = _cfg(SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI,
+               planar_vectors="on", cg_flavor="pipelined")
+    setup1 = bis.preprocessing_device(A, cfg)
+    res1 = bis.solve(setup1)
+    setup8 = shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8),
+                         mode="shard_map")
+    assert isinstance(setup8.A, MeshStencil)
+    res8 = bis.solve(setup8)
+    _check(res8, res1)

@@ -425,3 +425,42 @@ def test_gmres_fused_fallback_warns():
                                tolerance=1e-4, harness="fused")
     assert res.converged
     assert any("falling back to 'lowsync'" in str(w.message) for w in rec)
+
+
+def test_pipelined_cg_matches_classic():
+    """Ghysels–Vanroose pipelined PCG (cg_flavor="pipelined") is
+    algebraically the same iteration as classic PCG: identical iteration
+    counts and matching solutions across preconditioners and harnesses."""
+    import basic_iterative_solvers_tpu as bis
+    for prec in (None, "j", "sgs"):
+        for harness in ("fused", "host"):
+            kw = dict(method="cg", preconditioner=prec, dtype=np.float64,
+                      tolerance=1e-11, harness=harness)
+            rc = bis.solve_system("hpcg:8x8x8", cg_flavor="classic", **kw)
+            rp = bis.solve_system("hpcg:8x8x8", cg_flavor="pipelined", **kw)
+            assert rc.converged and rp.converged
+            assert abs(rp.iter_count - rc.iter_count) <= 1, (prec, harness)
+            np.testing.assert_allclose(rp.x_star, rc.x_star, rtol=1e-8,
+                                       atol=1e-10)
+
+
+def test_pipelined_cg_unknown_flavor_errors():
+    import basic_iterative_solvers_tpu as bis
+    with pytest.raises(ValueError, match="cg_flavor"):
+        bis.solve_system("fdm:16", method="cg", cg_flavor="nope")
+
+
+def test_pipelined_cg_residual_replacement_at_tight_tol():
+    """At the reference's default tol = 1e-14·||r0|| the RAW pipelined
+    recurrences stall above the criterion (drift); the default periodic
+    residual replacement restores classic-grade attainable accuracy."""
+    import basic_iterative_solvers_tpu as bis
+    kw = dict(method="cg", preconditioner="j", dtype=np.float64,
+              harness="fused")          # default tol = 1e-14
+    rc = bis.solve_system("hpcg:16x16x16", **kw)
+    rp = bis.solve_system("hpcg:16x16x16", cg_flavor="pipelined", **kw)
+    assert rc.converged and rp.converged
+    assert rp.iter_count <= rc.iter_count + 8
+    r0 = bis.solve_system("hpcg:16x16x16", cg_flavor="pipelined",
+                          cg_rr_period=0, max_iters=120, **kw)
+    assert not r0.converged            # the drift stall, unreplaced
