@@ -53,6 +53,15 @@ def main():
                          "shard_map = the hand-written ShardedCG")
     ap.add_argument("--cpu", action="store_true",
                     help="force CPU with 8 virtual devices")
+    ap.add_argument("--flavor", choices=("classic", "pipelined"),
+                    default="classic",
+                    help="CG recurrence: pipelined = single fused "
+                         "reduction point/iter (latency-bound mesh mode)")
+    ap.add_argument("--format", choices=("stencil", "lane_ell"),
+                    default="stencil", dest="fmt",
+                    help="kernels-mode operator: matrix-free stencil or "
+                         "windowed lane-ELL (scattered general sparsity, "
+                         "same per-device row count)")
     args = ap.parse_args()
 
     import jax
@@ -83,19 +92,28 @@ def main():
         cfg = bis.SolverConfig(
             method=bis.SolverType.CONJUGATE_GRADIENT,
             preconditioner=bis.PrecondType.JACOBI, dtype=np.float32,
-            harness="fused", max_iters=args.iters, tolerance=0.0)
+            harness="fused", max_iters=args.iters, tolerance=0.0,
+            cg_flavor=args.flavor)
         if args.mode in ("gspmd", "kernels"):
             if args.mode == "kernels":
                 # the mesh-kernel mode: per-shard Pallas with ppermute
-                # halos (parallel/mesh_ops.py); matrix-free stencil format
+                # halos (parallel/mesh_ops.py)
                 from basic_iterative_solvers_tpu import stencil_op
                 from basic_iterative_solvers_tpu.ops import pallas_env
                 if jax.default_backend() != "tpu":
                     pallas_env.INTERPRET = True   # CPU CI: interpret bodies
-                A_op = stencil_op.stencil_27pt_operator(
-                    args.nx, args.nx, nz, dtype=np.float32)
-                setup = shard_setup(bis.preprocessing_device(A_op, cfg),
-                                    mesh, mode="shard_map")
+                if args.fmt == "lane_ell":
+                    import dataclasses as _dc
+                    n = args.nx * args.nx * nz
+                    A_csr = bis.generators.scattered_band(n, 6, 300, seed=5)
+                    cfg_le = _dc.replace(cfg, matrix_format="lane_ell")
+                    setup = shard_setup(bis.preprocessing(A_csr, cfg_le),
+                                        mesh, mode="shard_map")
+                else:
+                    A_op = stencil_op.stencil_27pt_operator(
+                        args.nx, args.nx, nz, dtype=np.float32)
+                    setup = shard_setup(bis.preprocessing_device(A_op, cfg),
+                                        mesh, mode="shard_map")
             else:
                 # mode='gspmd' EXPLICITLY: auto would take the shard_map
                 # kernel path on eligible TPU setups and mislabel the run
@@ -123,14 +141,22 @@ def main():
             jax.block_until_ready(state)
             dt = (time.perf_counter() - t0) / args.iters
         n_rows = args.nx * args.nx * nz
-        nnz_rate = 27.0 * n_rows / dt
+        nnz_per_row = 27.0
+        if args.mode == "kernels" and args.fmt == "lane_ell":
+            nnz_per_row = setup.A.nnz_stored / max(1, n_rows)
+        nnz_rate = nnz_per_row * n_rows / dt
         results.append((nd, n_rows, dt, nnz_rate))
         log(f"devices={nd} rows={n_rows} {dt*1e3:.3f} ms/iter "
             f"{nnz_rate/1e9:.2f} Gnnz/s")
 
     base = results[0]
+    metric = f"cg_weak_scaling_{args.mode}"
+    if args.flavor != "classic":
+        metric += f"_{args.flavor}"
+    if args.mode == "kernels" and args.fmt != "stencil":
+        metric += f"_{args.fmt}"
     print(json.dumps({
-        "metric": f"cg_weak_scaling_{args.mode}",
+        "metric": metric,
         "per_device_rows": args.nx * args.nx * args.per_device_nz,
         "points": [{"devices": nd, "rows": rows, "ms_per_iter": dt * 1e3,
                     "gnnz_per_s": rate / 1e9,
