@@ -23,8 +23,11 @@ TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --harness host|fused      (default fused on TPU, host on CPU)
     --format auto|dia|lane_ell|ell|stencil
     --orthog mgs|cgs2|lowsync   GMRES orthogonalization scheme
-    --cg-flavor classic|pipelined  pipelined = single fused reduction point
-                                per iteration (multi-chip latency mode)
+    --cg-flavor classic|pipelined  pipelined = the alpha/beta reductions
+                                overlap the SpMV (multi-chip latency mode)
+    --cg-rr N       pipelined-CG residual-replacement period (default 25;
+                    0 disables — attainable accuracy then stalls ~2-3
+                    decades above classic's)
     --gmres-basis DT            GMRES basis storage dtype (e.g. bfloat16)
     --iter-times                measured per-iteration DEVICE walls for the
                                 fused harness (xprof trace segmentation —
@@ -111,6 +114,8 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             extras["orthog_mode"] = need_value()
         elif arg == "--cg-flavor":
             extras["cg_flavor"] = need_value()
+        elif arg == "--cg-rr":
+            extras["cg_rr_period"] = int(need_value())
         elif arg == "--gmres-basis":
             extras["gmres_basis_dtype"] = need_value()
         elif arg == "--dtype":

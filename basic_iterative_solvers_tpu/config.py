@@ -102,17 +102,18 @@ class SolverConfig:
     # residual sampling (reference solver_harness.hpp semantics); "fused" =
     # whole solve in one lax.while_loop on device (performance mode).
     harness: str = "host"
-    # CG recurrence variant.  "classic" = the reference's PCG (cg.hpp:6-54):
-    # two reduction points per iteration ((t,p) after the SpMV, (r',z')
-    # after the vector updates).  "pipelined" = Ghysels-Vanroose pipelined
-    # PCG: auxiliary recurrences (w = A·u, plus s/q/z companions) move ALL
-    # reductions ((r,u), (w,u), ||r||²) to a single point on
-    # already-available vectors — on a device mesh that is one fused psum
-    # per iteration instead of two serialized all-reduces, and the
-    # reduction latency overlaps the next SpMV/M⁻¹.  Costs ~2 extra vector
-    # streams per iteration, so "classic" stays the single-chip default;
-    # "pipelined" is the latency-bound multi-chip mode.  Same convergence
-    # up to rounding (the recurrences are algebraically identical).
+    # CG recurrence variant.  "classic" = the reference's PCG (cg.hpp:6-54),
+    # whose (t,p) reduction sits between the SpMV and the vector updates —
+    # a serialized mid-iteration sync nothing can overlap.  "pipelined" =
+    # Ghysels-Vanroose pipelined PCG: auxiliary recurrences (w = A·u, plus
+    # s/q/z companions) move the α/β reductions ((r,u), (w,u)) to the top
+    # of the iteration on already-available vectors, so on a device mesh
+    # their fused psum overlaps the iteration's SpMV/M⁻¹ instead of
+    # serializing against it (the end-of-iteration stopping-test norm
+    # remains, as in classic).  Costs ~2 extra vector streams per
+    # iteration, so "classic" stays the single-chip default; "pipelined"
+    # is the latency-bound multi-chip mode.  Same convergence up to
+    # rounding (the recurrences are algebraically identical).
     cg_flavor: str = "classic"      # "classic" | "pipelined"
     # Pipelined-CG residual replacement period: every k-th iteration the
     # recurrence vectors (r, u, w and the p-companions s, q, z) are
@@ -209,6 +210,7 @@ class Args:
     orthog_mode: str = "mgs"
     gmres_basis_dtype: Optional[str] = None
     cg_flavor: str = "classic"
+    cg_rr_period: int = 25
 
     def to_config(self, dtype: Optional[np.dtype] = None) -> SolverConfig:
         import jax
@@ -236,4 +238,5 @@ class Args:
             orthog_mode=self.orthog_mode,
             gmres_basis_dtype=self.gmres_basis_dtype,
             cg_flavor=self.cg_flavor,
+            cg_rr_period=self.cg_rr_period,
         )

@@ -385,6 +385,14 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
         spec = P(axis, None) if v.ndim == 2 else P(axis)
         return jax.device_put(v, NamedSharding(mesh, spec))
 
+    def wrap_dia_placed(Mt):
+        """Mesh-wrap a DIA operator and shard its data rows (shared by the
+        DIA and lane-ELL branches); propagates wrap_dia's ValueError."""
+        W = wrap_dia(Mt, mesh, axis, setup.b.dtype)
+        inner = _dc.replace(W.inner, data=jax.device_put(
+            W.inner.data, NamedSharding(mesh, P(None, axis))))
+        return _dc.replace(W, inner=inner)
+
     if isinstance(A, _ST):
         from ..stencil_op import to_planar_matrix
         # vectors are planar-encoded iff device-native preprocessing set
@@ -465,12 +473,9 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
 
         def wrap_place(Mt):
             try:
-                W = wrap_dia(Mt, mesh, axis, setup.b.dtype)
+                return wrap_dia_placed(Mt)
             except ValueError as e:
                 raise _MeshIneligible(str(e)) from e
-            inner = _dc.replace(W.inner, data=jax.device_put(
-                W.inner.data, NamedSharding(mesh, P(None, axis))))
-            return _dc.replace(W, inner=inner)
 
         def re_mat(Mt):
             if Mt is None:
@@ -514,11 +519,7 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
                 if isinstance(Mt, _LE):
                     return wrap_lane_ell(Mt, mesh, axis, setup.b.dtype)
                 if isinstance(Mt, _DIA):
-                    from .mesh_ops import wrap_dia
-                    W = wrap_dia(Mt, mesh, axis, setup.b.dtype)
-                    inner = _dc.replace(W.inner, data=jax.device_put(
-                        W.inner.data, NamedSharding(mesh, P(None, axis))))
-                    return _dc.replace(W, inner=inner)
+                    return wrap_dia_placed(Mt)
             except ValueError as e:
                 raise _MeshIneligible(str(e)) from e
             raise _MeshIneligible("mixed matrix families in setup")

@@ -99,21 +99,24 @@ class PipelinedCGMethod:
     """Ghysels–Vanroose pipelined PCG (config.cg_flavor="pipelined").
 
     Algebraically the same Krylov iteration as ConjugateGradientMethod
-    (reference cg.hpp:6-54) re-expressed so every reduction reads vectors
+    (reference cg.hpp:6-54) re-expressed so the α/β reductions read vectors
     already available at the TOP of the iteration:
 
-        γ = (r, u)    δ = (w, u)    ‖r‖²          [ONE reduction point]
+        γ = (r, u)    δ = (w, u)        [overlappable reduction point]
         m = M⁻¹·w ;  n = A·m
         β = γ/γ_old ;  α = γ / (δ − β·γ/α_old)
         z ← n + β·z ;  q ← m + β·q ;  s ← w + β·s ;  p ← u + β·p
         x ← x + α·p ;  r ← r − α·s ;  u ← u − α·q ;  w ← w − α·z
 
-    with u = M⁻¹r and w = A·u maintained by recurrence.  Classic PCG has
-    two serialized reduction points per iteration ((t,p) after the SpMV and
-    (r',z') after the updates); here all three scalars fuse into one psum
-    whose latency overlaps the next M⁻¹/SpMV — the latency-bound multi-chip
-    mode.  The price is the s/q/z companion recurrences (~2 extra vector
-    streams per iteration), so classic stays the single-chip default.
+    with u = M⁻¹r and w = A·u maintained by recurrence.  Classic PCG's
+    (t,p) reduction sits BETWEEN the SpMV and the vector updates — nothing
+    overlaps it; here γ/δ depend on neither m nor n, so their fused psum
+    runs concurrently with the iteration's M⁻¹/SpMV.  The end-of-iteration
+    stopping-test norm ‖r'‖ remains, exactly as in classic (it feeds the
+    while-loop predicate) — the win is removing the serialized
+    mid-iteration sync, not all syncs.  The price is the s/q/z companion
+    recurrences (~2 extra vector streams per iteration), so classic stays
+    the single-chip default.
 
     First iteration: γ_old = ∞ makes β exactly 0 (finite/∞), reducing
     α to γ/δ — no special-casing inside the fused while_loop.

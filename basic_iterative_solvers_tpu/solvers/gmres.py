@@ -96,8 +96,8 @@ class GMRESMethod:
         """Resolve the fused-orthog BasisPlan; returns a non-empty reason
         string when the mode can't apply (caller falls back to lowsync)."""
         try:
-            from ..parallel.mesh_ops import MeshDIA, MeshStencil
-            if isinstance(setup.A, (MeshDIA, MeshStencil)):
+            from ..parallel.mesh_ops import MeshDIA, MeshLaneELL, MeshStencil
+            if isinstance(setup.A, (MeshDIA, MeshLaneELL, MeshStencil)):
                 return ("mesh operators run orthogonalization as "
                         "GSPMD-partitioned XLA ops")
         except ImportError:          # pragma: no cover

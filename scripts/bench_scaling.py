@@ -105,7 +105,15 @@ def main():
                 if args.fmt == "lane_ell":
                     import dataclasses as _dc
                     n = args.nx * args.nx * nz
+                    if n > 2_000_000:
+                        # scattered_band + csr_to_lane_ell are host-side
+                        # O(nnz) sorts — minutes per point on a throttled
+                        # host.  The stencil case builds on device; lane-ELL
+                        # setup is inherently host CSR, so bound the size.
+                        log(f"WARNING: lane_ell case builds {n} rows on the "
+                            "host; use smaller --nx/--per-device-nz")
                     A_csr = bis.generators.scattered_band(n, 6, 300, seed=5)
+                    true_nnz_per_row = A_csr.nnz / max(1, n)
                     cfg_le = _dc.replace(cfg, matrix_format="lane_ell")
                     setup = shard_setup(bis.preprocessing(A_csr, cfg_le),
                                         mesh, mode="shard_map")
@@ -141,9 +149,11 @@ def main():
             jax.block_until_ready(state)
             dt = (time.perf_counter() - t0) / args.iters
         n_rows = args.nx * args.nx * nz
+        # true nonzeros (not stored ELL slots) so the rate is comparable
+        # across formats and against the BASELINE.md nnz/s north star
         nnz_per_row = 27.0
         if args.mode == "kernels" and args.fmt == "lane_ell":
-            nnz_per_row = setup.A.nnz_stored / max(1, n_rows)
+            nnz_per_row = true_nnz_per_row
         nnz_rate = nnz_per_row * n_rows / dt
         results.append((nd, n_rows, dt, nnz_rate))
         log(f"devices={nd} rows={n_rows} {dt*1e3:.3f} ms/iter "
