@@ -93,11 +93,14 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
     if isinstance(A, (DeviceDIA, DeviceStencil)):
         return solve(preprocessing_device(A, config, b=b, x0=x0))
     if isinstance(A, str):
-        from .dia import _GEN_RE, from_source_device
+        from .dia import from_source_device
         if config.color_spec is None:
             config.color_spec = generators.color_spec_for_source(A)
         colored = resolve_gs_mode(config, device_native=True) == "colored"
-        device_ok = (_GEN_RE.match(A) is not None
+        # device_buildable, not a bare _GEN_RE match: non-Anderson SCAMAC
+        # models (Hubbard, SpinChainXXZ, ...) have no device builder and
+        # must take the host CSR pipeline
+        device_ok = (generators.device_buildable(A)
                      and (preconditioner in DEVICE_NATIVE_PRECONDS
                           or (preconditioner in COLORED_PRECONDS and colored))
                      and (method not in (_ST.GAUSS_SEIDEL,

@@ -8,10 +8,12 @@ Here the generators are built in, pure NumPy, dependency-free:
 * ``anderson``       — 3-D Anderson localization model (SCAMAC's headline
                        generator): H = diag(eps_i) - t * (6-neighbor hopping),
                        eps_i ~ U[-ranpot/2, ranpot/2].
-* ``free_fermion_chain`` / ``hubbard`` — SCAMAC quantum-model families
-                       (fixed-particle-number fermion bases with exact
-                       Jordan-Wigner sign bookkeeping), via
-                       ``scamac:FreeFermionChain,...`` / ``scamac:Hubbard,...``.
+* ``free_fermion_chain`` / ``hubbard`` / ``spin_chain_xxz`` — SCAMAC
+                       quantum-model families (fixed-quantum-number sector
+                       bases; exact Jordan-Wigner sign bookkeeping for the
+                       fermions, sign-free spin flips for XXZ), via
+                       ``scamac:FreeFermionChain,...`` / ``scamac:Hubbard,...``
+                       / ``scamac:SpinChainXXZ,...``.
 * ``stencil_27pt``   — the HPCG benchmark matrix (26 on the diagonal, -1 on
                        all 26 geometric neighbors of a 3-D grid); this is the
                        matrix behind the reference's published baselines
@@ -349,7 +351,7 @@ _GEN_RE = re.compile(r"^(scamac|hpcg|fdm|band|sband|anderson):(.*)$",
 
 #: SCAMAC model zoo implemented natively (the reference accepts arbitrary
 #: model argstrings and forwards them to the external library)
-SCAMAC_MODELS = ("Anderson", "FreeFermionChain", "Hubbard")
+SCAMAC_MODELS = ("Anderson", "FreeFermionChain", "Hubbard", "SpinChainXXZ")
 
 
 def _split_scamac_spec(spec: str):
@@ -406,9 +408,81 @@ def scamac_matrix(spec: str) -> MatrixCSR:
         return free_fermion_chain(**_parse_ffc_kwargs(spec))
     if model == "hubbard":
         return hubbard(**_parse_hubbard_kwargs(spec))
+    if model == "spinchainxxz":
+        return spin_chain_xxz(**_parse_xxz_kwargs(spec))
     raise ValueError(
         f"unknown SCAMAC model {model!r}; supported models: "
         + ", ".join(SCAMAC_MODELS))
+
+
+def spin_chain_xxz(n_sites: int = 16, n_up: int = 8, Jxy: float = 1.0,
+                   Jz: float = 1.0, Bz: float = 0.0,
+                   boundary: str = "open") -> MatrixCSR:
+    """Spin-½ XXZ chain in the fixed-magnetization sector (SCAMAC
+    'SpinChainXXZ' analog, dependency-free; the reference forwards such
+    argstrings to the external SCAMAC library,
+    /root/reference/sparse_matrix.hpp:560-735).
+
+        H = (Jxy/2) Σ_bonds (S⁺_i S⁻_j + S⁻_i S⁺_j)
+            + Jz Σ_bonds Sz_i Sz_j − Bz Σ_i Sz_i
+
+    Basis: ascending occupation bitmasks with popcount ``n_up`` (an up
+    spin = set bit, Sz eigenvalue = bit − ½), dimension C(n_sites, n_up).
+    Spin flips on a bond carry NO fermionic sign (spin operators on
+    different sites commute), so periodic chains need no wrap-sign —
+    unlike `free_fermion_chain`.  Pinned against a dense Pauli-kron
+    oracle in tests/test_generators.py.
+    """
+    from math import comb
+    dim = comb(n_sites, n_up)
+    if dim > (1 << 22):
+        raise ValueError(
+            f"SpinChainXXZ basis dimension {dim} too large (> 2^22)")
+    masks = _fermion_sector_masks(n_sites, n_up)
+    bonds = [(i, i + 1) for i in range(n_sites - 1)]
+    if boundary == "periodic" and n_sites > 2:
+        bonds.append((n_sites - 1, 0))
+    elif boundary not in ("open", "periodic"):
+        raise ValueError(f"unknown boundary: {boundary}")
+    rows_all = np.arange(dim, dtype=np.int64)
+    src_l, tgt_l = [], []
+    for (i, j) in bonds:
+        bi, bj = np.int64(1 << i), np.int64(1 << j)
+        movers = ((masks & bi) != 0) & ((masks & bj) == 0)   # flip ↑↓ → ↓↑
+        src_l.append(rows_all[movers])
+        tgt_l.append(np.searchsorted(masks, masks[movers] ^ (bi | bj)))
+    src = np.concatenate(src_l)
+    tgt = np.concatenate(tgt_l)
+    amp = np.full(src.size, Jxy / 2.0)
+    # diagonal: Jz Σ_bonds (b_i−½)(b_j−½) − Bz Σ_i (b_i−½)
+    occ = ((masks[:, None] >> np.arange(n_sites)[None, :]) & 1
+           ).astype(np.float64) - 0.5                       # (dim, n_sites)
+    diag = -Bz * occ.sum(axis=1)
+    for (i, j) in bonds:
+        diag = diag + Jz * occ[:, i] * occ[:, j]
+    coo = MatrixCOO.from_arrays(
+        np.concatenate([src, tgt, rows_all]),
+        np.concatenate([tgt, src, rows_all]),
+        np.concatenate([amp, amp, diag]),
+        n_rows=dim, n_cols=dim, is_symmetric=True)
+    return convert_coo_to_csr(coo)
+
+
+def _parse_xxz_kwargs(spec: str) -> dict:
+    _, parts = _split_scamac_spec(spec)
+    kwargs = {}
+    for p in parts:
+        k, v = p.split("=", 1)
+        k = k.strip()
+        if k in ("n_sites", "n_up"):
+            kwargs[k] = int(v)
+        elif k in ("Jxy", "Jz", "Bz"):
+            kwargs[k] = float(v)
+        elif k == "boundary":
+            kwargs[k] = v.strip()
+        else:
+            raise ValueError(f"unknown SpinChainXXZ parameter: {k}")
+    return kwargs
 
 
 def _parse_anderson_kwargs(spec: str) -> dict:

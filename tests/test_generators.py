@@ -76,7 +76,7 @@ def test_ffc_param_validation():
 
 def test_scamac_unknown_model_clean_error():
     with pytest.raises(ValueError, match="supported models"):
-        generators.from_source("scamac:SpinChainXXZ,n_sites=4")
+        generators.from_source("scamac:Exciton,L=4")
 
 
 # -- Hubbard ------------------------------------------------------------------
@@ -207,3 +207,69 @@ def test_ffc_solves():
     res = bis.solve(bis.preprocessing(A, cfg))
     assert res.converged
     assert res.final_residual_norm < res.stopping_criteria
+
+
+def _xxz_pauli_oracle(n, Jxy, Jz, Bz, boundary):
+    """Dense XXZ Hamiltonian built from explicit spin-½ operator krons in
+    the full 2^n space (site i = bit i; within a site, index 1 = up).
+    Independent of the generator's sector machinery."""
+    sp = np.array([[0.0, 0.0], [1.0, 0.0]])        # S+ |down> = |up>
+    sz = np.diag([-0.5, 0.5])
+    eye = np.eye(2)
+
+    def site_op(op, i):
+        out = np.array([[1.0]])
+        for k in range(n):                          # site 0 least significant
+            out = np.kron(op if k == i else eye, out)
+        return out
+
+    bonds = [(i, i + 1) for i in range(n - 1)]
+    if boundary == "periodic" and n > 2:
+        bonds.append((n - 1, 0))
+    H = np.zeros((2 ** n, 2 ** n))
+    for (i, j) in bonds:
+        Spi, Smi = site_op(sp, i), site_op(sp.T, i)
+        Spj, Smj = site_op(sp, j), site_op(sp.T, j)
+        H += (Jxy / 2.0) * (Spi @ Smj + Smi @ Spj)
+        H += Jz * site_op(sz, i) @ site_op(sz, j)
+    for i in range(n):
+        H -= Bz * site_op(sz, i)
+    return H
+
+
+@pytest.mark.parametrize("boundary", ["open", "periodic"])
+def test_xxz_matches_pauli_oracle(boundary):
+    n, nup, Jxy, Jz, Bz = 6, 3, 1.3, 0.7, 0.4
+    A = generators.spin_chain_xxz(n, nup, Jxy=Jxy, Jz=Jz, Bz=Bz,
+                                  boundary=boundary)
+    from math import comb
+    assert A.n_rows == comb(n, nup)
+    H = _dense(A)
+    np.testing.assert_allclose(H, H.T, atol=1e-14)
+    Hf = _xxz_pauli_oracle(n, Jxy, Jz, Bz, boundary)
+    sel = [s for s in range(2 ** n) if _popcount(s) == nup]  # ascending =
+    np.testing.assert_allclose(H, Hf[np.ix_(sel, sel)], atol=1e-12)
+
+
+def test_xxz_from_source_and_validation():
+    A = generators.from_source(
+        "scamac:SpinChainXXZ,n_sites=8,n_up=4,Jxy=1.0,Jz=0.5,Bz=0.2")
+    from math import comb
+    assert A.n_rows == comb(8, 4)
+    with pytest.raises(ValueError, match="SpinChainXXZ parameter"):
+        generators.from_source("scamac:SpinChainXXZ,n_sites=8,bogus=1")
+    with pytest.raises(ValueError, match="boundary"):
+        generators.spin_chain_xxz(6, 3, boundary="moebius")
+    with pytest.raises(ValueError, match="too large"):
+        generators.spin_chain_xxz(48, 24)
+
+
+def test_xxz_solves():
+    """XXZ sector matrix through the full pipeline (shifted to be SPD-ish
+    via Bz? no — use GMRES, the matrix is symmetric indefinite)."""
+    import basic_iterative_solvers_tpu as bis
+    res = bis.solve_system(
+        "scamac:SpinChainXXZ,n_sites=10,n_up=5,Jz=0.5,Bz=1.0", method="gm",
+        restart_length=80, dtype=np.float64, tolerance=1e-8,
+        harness="fused", max_iters=400)
+    assert res.converged
