@@ -1,0 +1,46 @@
+#!/bin/bash
+# TPU validation queue — run when the axon tunnel returns after an outage.
+# Each step amortizes compiles through the persistent cache; results land
+# in /tmp/tpu_queue/ so partial progress survives another outage.
+#
+#   bash scripts/tpu_queue.sh            # everything
+#   bash scripts/tpu_queue.sh ab         # just the GMRES orthog A/B
+#   bash scripts/tpu_queue.sh bench      # just the full bench table
+set -u
+cd "$(dirname "$0")/.."
+OUT=/tmp/tpu_queue
+mkdir -p "$OUT"
+STEP="${1:-all}"
+
+if [ "$STEP" = "ab" ] || [ "$STEP" = "all" ]; then
+  # GMRES fused-orthogonalization A/B at the benchmark shape (rl=50,
+  # hpcg:128^3, bf16 basis).  If fused wins materially, flip the bench
+  # default --orthog to fused and refresh README/CLAUDE notes.
+  for o in lowsync fused; do
+    echo "=== gmres orthog=$o ===" | tee -a "$OUT/ab.log"
+    timeout 3000 python bench.py --method gmres --orthog "$o" \
+      --backend-wait-mins 20 2>>"$OUT/ab.log" | tee -a "$OUT/ab.log"
+    echo "=== pgmres orthog=$o ===" | tee -a "$OUT/ab.log"
+    timeout 3000 python bench.py --method pgmres --orthog "$o" \
+      --backend-wait-mins 5 2>>"$OUT/ab.log" | tee -a "$OUT/ab.log"
+  done
+fi
+
+if [ "$STEP" = "pipe" ] || [ "$STEP" = "all" ]; then
+  # Pipelined-CG single-chip overhead check (expected: slower than classic
+  # on one chip — document the measured delta).
+  echo "=== cg classic vs pipelined (single chip) ===" | tee -a "$OUT/pipe.log"
+  timeout 3000 python bench.py --method cg --backend-wait-mins 20 \
+    2>>"$OUT/pipe.log" | tee -a "$OUT/pipe.log"
+  timeout 3000 python -m basic_iterative_solvers_tpu hpcg:128x128x128 -cg \
+    --cg-flavor pipelined --tol 0 --max-iters 400 2>&1 \
+    | grep -E "solve|iteration" | tee -a "$OUT/pipe.log"
+fi
+
+if [ "$STEP" = "bench" ] || [ "$STEP" = "all" ]; then
+  echo "=== full bench ===" | tee -a "$OUT/bench.log"
+  timeout 5400 python bench.py --backend-wait-mins 20 \
+    2>>"$OUT/bench.log" | tee -a "$OUT/bench.log"
+fi
+
+echo "queue done; results in $OUT"
