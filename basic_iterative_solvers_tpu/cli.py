@@ -8,7 +8,9 @@ and main.cpp:17-100):
     <matrix>        .mtx path or generator spec (hpcg:NxNxN, fdm:N,
                     scamac:Anderson,Lx=..,..., band:N,B)
     method flags    -j | -gs | -sgs | -cg | -gm | -bi
-    -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0
+    -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0 cheby
+                    (cheby = Chebyshev polynomial, communication-free;
+                    --cheby-degree K --cheby-ratio R tune it)
     -rl <int>       GMRES restart length (default 10)
     -scale <0|1>    symmetric diagonal equilibration
     -perm <mode>    matrix reordering: none|bfs|rcm|color|color_bal
@@ -98,7 +100,8 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
                       "\n-p sgs (Symmetric Gauss-Seidel)"
                       "\n-p 2st (2 Stage Gauss-Seidel)"
                       "\n-p s2st (Symmetric 2 Stage Gauss-Seidel)"
-                      "\n-p ilu0 (Incomplete LU with 0 fill-in)",
+                      "\n-p ilu0 (Incomplete LU with 0 fill-in)"
+                      "\n-p cheby (Chebyshev polynomial)",
                       file=sys.stderr)
                 raise SystemExit(2)
             opts["preconditioner"] = PRECOND_CLI_NAMES[val]
@@ -116,6 +119,10 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             extras["cg_flavor"] = need_value()
         elif arg == "--cg-rr":
             extras["cg_rr_period"] = int(need_value())
+        elif arg == "--cheby-degree":
+            extras["cheby_degree"] = int(need_value())
+        elif arg == "--cheby-ratio":
+            extras["cheby_eig_ratio"] = float(need_value())
         elif arg == "--gmres-basis":
             extras["gmres_basis_dtype"] = need_value()
         elif arg == "--dtype":

@@ -127,6 +127,18 @@ class SolverConfig:
     # iteration count within ~10% at tol = 1e-14 where period 50 stalls.
     # Amortized cost: 3 extra SpMV + 2 M⁻¹ every k iterations.  0 disables.
     cg_rr_period: int = 25
+    # Chebyshev preconditioner (-p cheby; no reference analog): z = p(B)D⁻¹y
+    # with B = D⁻¹A and p the degree-`cheby_degree` Chebyshev polynomial on
+    # [λmax/cheby_eig_ratio, λmax] — the optimal-weight form of the
+    # two-stage Richardson family, and COMMUNICATION-FREE: each apply is
+    # `cheby_degree` SpMVs + elementwise, no reductions, so on a mesh M⁻¹
+    # adds zero all-reduces (unlike GS/ILU0 trisolves).  λmax of B is
+    # estimated at setup with `cheby_power_iters` device-side power
+    # iterations (+10% headroom).  Assumes SPD A (CG-compatible: p > 0 on
+    # the spectrum ⇒ M SPD).
+    cheby_degree: int = 4
+    cheby_eig_ratio: float = 30.0
+    cheby_power_iters: int = 20
     # GMRES orthogonalization: "mgs" = modified Gram-Schmidt, the reference's
     # scheme (gmres.hpp:6-53) — a j-deep chain of dependent dot+axpy passes;
     # "cgs2" = classical Gram-Schmidt with full re-orthogonalization — two

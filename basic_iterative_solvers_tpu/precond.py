@@ -39,9 +39,10 @@ from .ops.trisolve import TriSolveLevels, build_trisolve, trisolve, two_stage_so
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A_D", "A_D_inv", "L_solve", "U_solve",
                       "L_strict_dev", "U_strict_dev", "A_full_dev",
-                      "color_arr", "L_block", "U_block"],
+                      "color_arr", "L_block", "U_block", "cheby_lmax"],
          meta_fields=["ptype", "outer_iters", "inner_iters", "use_pallas",
-                      "color_spec", "n_colors"])
+                      "color_spec", "n_colors", "cheby_degree",
+                      "cheby_ratio"])
 @dataclasses.dataclass
 class Preconditioner:
     ptype: PrecondType
@@ -65,6 +66,12 @@ class Preconditioner:
     U_block: Any = None
     color_spec: Any = None                     # ColorSpec (static, hashable)
     n_colors: int = 0
+    # Chebyshev polynomial preconditioner (SolverConfig.cheby_*): λmax of
+    # D⁻¹A (traced scalar, power-iteration estimate incl. headroom) and the
+    # static degree / eig-ratio defining the polynomial interval.
+    cheby_lmax: Optional[jax.Array] = None
+    cheby_degree: int = 0
+    cheby_ratio: float = 30.0
 
 
 #: preconditioner types a multicolor ordering can serve (exact sweeps in
@@ -280,6 +287,20 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
             A_D=A_D, A_D_inv=A_D_inv, A_full_dev=A_dev,
             color_arr=jnp.asarray(colors),
             n_colors=int(colors.max()) + 1, **kw)
+    if pt == PrecondType.CHEBYSHEV:
+        from .factor import peel_diag
+        A_D_np, A_D_inv_np = peel_diag(A)
+        if A_dev is None:
+            A_dev = from_csr(A, mat_dtype, config.matrix_format,
+                             config.dia_max_diags, config.dia_min_fill)
+        A_D = jnp.asarray(A_D_np.astype(dtype))
+        A_D_inv = jnp.asarray(A_D_inv_np.astype(dtype))
+        lmax = _power_lmax(A_dev, A_D_inv, A.n_rows,
+                           config.cheby_power_iters, config.use_pallas)
+        return Preconditioner(
+            A_D=A_D, A_D_inv=A_D_inv, A_full_dev=A_dev, cheby_lmax=lmax,
+            cheby_degree=config.cheby_degree,
+            cheby_ratio=config.cheby_eig_ratio, **kw)
     if factors is None:
         factors = factor_LU(A, ilu0=(pt == PrecondType.ILU0),
                             pivot_tolerance=config.ilu0_pivot_tolerance,
@@ -334,7 +355,53 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
 #: diagonal + Richardson forms, computable from on-device DIA splits alone.
 DEVICE_NATIVE_PRECONDS = (PrecondType.NONE, PrecondType.JACOBI,
                           PrecondType.TWO_STAGE_GS,
-                          PrecondType.SYMMETRIC_TWO_STAGE_GS)
+                          PrecondType.SYMMETRIC_TWO_STAGE_GS,
+                          PrecondType.CHEBYSHEV)
+
+
+def _power_lmax(A_dev, A_D_inv: jax.Array, n: int, iters: int,
+                use_pallas: bool) -> jax.Array:
+    """λmax estimate for B = D⁻¹A by device-side power iteration (+10%
+    headroom) — the Chebyshev interval's upper end.  A_D_inv may be
+    planar-encoded (halo 1.0); the iterate keeps vector halos exactly 0."""
+    from .ops.spmv import spmv as _spmv
+    from .stencil_op import DeviceStencil, to_planar_vec
+    v = jnp.ones(n, A_D_inv.dtype)
+    if (isinstance(A_dev, DeviceStencil) and A_dev.planar
+            and A_D_inv.ndim == 2):
+        v = to_planar_vec(A_dev, v)
+
+    def body(_, v):
+        w = A_D_inv * _spmv(A_dev, v, use_pallas)
+        return w / jnp.sqrt(jnp.sum(w * w))
+
+    v = jax.lax.fori_loop(0, max(1, iters), body,
+                          v / jnp.sqrt(jnp.sum(v * v)))
+    w = A_D_inv * _spmv(A_dev, v, use_pallas)
+    return 1.1 * jnp.sum(v * w) / jnp.sum(v * v)
+
+
+def _cheby_apply(M: Preconditioner, y: jax.Array) -> jax.Array:
+    """z = p(D⁻¹A) D⁻¹ y: Chebyshev semi-iteration on A z = y from z₀ = 0
+    with Jacobi scaling (the standard smoother recurrence; hypre-style).
+    `cheby_degree` SpMVs + elementwise — no reductions."""
+    lmax = M.cheby_lmax.astype(y.dtype)
+    lmin = lmax / M.cheby_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    dinv = M.A_D_inv
+    from .ops.spmv import spmv as _spmv
+    rho = 1.0 / sigma
+    d = (dinv * y) / theta
+    z = d
+    for _ in range(max(1, M.cheby_degree) - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        resid = y - _spmv(M.A_full_dev, z, M.use_pallas)
+        d = (rho_new * rho) * d + (2.0 * rho_new / delta) * (dinv * resid)
+        z = z + d
+        rho = rho_new
+    return z
 
 
 def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
@@ -364,6 +431,19 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
             f"preconditioner {pt} needs exact triangular solves in the "
             "natural ordering (gs_mode='levels'); build through the host "
             "CSR path (preprocessing) instead")
+    if pt == PrecondType.CHEBYSHEV:
+        D = (stencil_diag_vec(A_dev) if isinstance(A_dev, DeviceStencil)
+             else dia_diag(A_dev))
+        if bool(jnp.any(D == 0)):
+            raise ValueError("zero on the matrix diagonal")
+        D = D.astype(dtype)
+        D_inv = (1.0 / D).astype(dtype)
+        lmax = _power_lmax(A_dev, D_inv, A_dev.n_rows,
+                           config.cheby_power_iters, config.use_pallas)
+        return Preconditioner(
+            A_D=D, A_D_inv=D_inv, A_full_dev=A_dev, cheby_lmax=lmax,
+            cheby_degree=config.cheby_degree,
+            cheby_ratio=config.cheby_eig_ratio, **kw)
     if pt in COLORED_PRECONDS:
         # exact GS family as multicolor masked sweeps with the FULL
         # operator: only the diagonal is needed, and the structural
@@ -408,6 +488,8 @@ def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
     if pt == PrecondType.JACOBI:
         # reference: elemwise_div_vectors(output, input, A_D)  kernels.hpp:357
         return y / M.A_D
+    if pt == PrecondType.CHEBYSHEV:
+        return _cheby_apply(M, y)
     colored = M.n_colors > 0
     blocked = M.L_block is not None or M.U_block is not None
     if blocked:
@@ -534,5 +616,9 @@ def estimated_precond_passes(M: Preconditioner) -> float:
         PrecondType.TWO_STAGE_GS: 3.0 + 6.0 * k,   # k Richardson sweeps
         PrecondType.SYMMETRIC_TWO_STAGE_GS: 7.0 + 12.0 * k,
         PrecondType.ILU0: 16.0,
+        # degree-1 SpMVs (matrix stream folded into the caller's nnz
+        # accounting is NOT available here — approximate each inner
+        # SpMV+residual+update as ~6 vector passes) + the first d/z pass
+        PrecondType.CHEBYSHEV: 3.0 + 6.0 * max(0, M.cheby_degree - 1),
     }[M.ptype]
     return per * max(1, M.outer_iters)

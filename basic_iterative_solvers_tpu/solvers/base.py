@@ -163,7 +163,9 @@ def preprocessing(A: MatrixCSR, config: SolverConfig,
     # waste (a ~1.4 GB host pass at HPCG-128) unless the METHOD needs it
     precond_self_sufficient = (
         ilu0_colored
-        or (config.preconditioner in COLORED_PRECONDS and gs_colored))
+        or (config.preconditioner in COLORED_PRECONDS and gs_colored)
+        # Chebyshev needs only the diagonal + the device operator
+        or config.preconditioner == PrecondType.CHEBYSHEV)
     needs_factors = ((config.preconditioner != PrecondType.NONE
                       and not precond_self_sufficient)
                      or config.method in (SolverType.JACOBI,

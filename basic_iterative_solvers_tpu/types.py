@@ -28,6 +28,11 @@ class PrecondType(enum.Enum):
     TWO_STAGE_GS = "two-stage gauss-seidel"
     SYMMETRIC_TWO_STAGE_GS = "symmetric two-stage gauss-seidel"
     ILU0 = "incomplete LU(0)"
+    # TPU-native addition (no reference analog): Chebyshev polynomial in
+    # the Jacobi-scaled operator — a communication-free M⁻¹ (pure SpMV
+    # chain, zero reductions per apply; the optimal-weight version of the
+    # reference's two-stage Richardson, kernels.hpp:312-333).
+    CHEBYSHEV = "chebyshev polynomial"
 
 
 #: CLI flag → solver type, mirroring reference parse_cli
@@ -51,6 +56,7 @@ PRECOND_CLI_NAMES = {
     "2st": PrecondType.TWO_STAGE_GS,
     "s2st": PrecondType.SYMMETRIC_TWO_STAGE_GS,
     "ilu0": PrecondType.ILU0,
+    "cheby": PrecondType.CHEBYSHEV,
     "none": PrecondType.NONE,
 }
 

@@ -60,6 +60,7 @@ PRECOND_CHOICES = {
     "s2st": "SYMMETRIC_TWO_STAGE_GS",  # Richardson (pure SpMV chains)
     "j": "JACOBI",
     "ilu0": "ILU0",
+    "cheby": "CHEBYSHEV",              # polynomial (communication-free)
 }
 
 #: default measured iterations per method.  The remote-compile tunnel adds

@@ -261,3 +261,20 @@ def test_mesh_pipelined_cg(interpret):
     assert isinstance(setup8.A, MeshStencil)
     res8 = bis.solve(setup8)
     _check(res8, res1)
+
+
+def test_mesh_lane_ell_chebyshev(interpret):
+    """Chebyshev polynomial M⁻¹ on the mesh lane-ELL path: a strong
+    preconditioner for general sparsity that adds ZERO reductions per
+    apply (pure shard-local SpMV chain + halo exchanges)."""
+    from basic_iterative_solvers_tpu.parallel.mesh_ops import MeshLaneELL
+    A = generators.scattered_band(2048, 6, 200, seed=3)
+    cfg = _cfg(SolverType.CONJUGATE_GRADIENT, PrecondType.CHEBYSHEV,
+               matrix_format="lane_ell")
+    setup1 = bis.preprocessing(A, cfg)
+    res1 = bis.solve(setup1)
+    setup8 = shard_setup(bis.preprocessing(A, cfg), make_mesh(8),
+                         mode="shard_map")
+    assert isinstance(setup8.M.A_full_dev, MeshLaneELL)
+    res8 = bis.solve(setup8)
+    _check(res8, res1)
