@@ -322,9 +322,18 @@ def main():
                     help="wait up to this long for the TPU backend before "
                          "giving up (the remote-TPU tunnel has transient "
                          "outages; 0 = no probe, import directly)")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX platform (e.g. 'cpu' for a pipeline "
+                         "smoke run; numbers are then not TPU rates)")
     args = ap.parse_args()
 
-    wait_for_backend(args.backend_wait_mins)
+    if args.platform:
+        # must land before the first backend query — sitecustomize may have
+        # registered a TPU plugin and env vars alone are ignored by then
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    else:
+        wait_for_backend(args.backend_wait_mins)
     import jax
     import basic_iterative_solvers_tpu as bis
 
