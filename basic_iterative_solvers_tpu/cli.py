@@ -30,6 +30,11 @@ TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --cg-rr N       pipelined-CG residual-replacement period (default 25;
                     0 disables — attainable accuracy then stalls ~2-3
                     decades above classic's)
+    --refine K      mixed-precision iterative refinement: up to K outer
+                    float64 correction steps around the configured
+                    (f32/bf16) solver — reference-grade fp64 convergence
+                    at perf-mode streaming rates
+    --refine-inner-tol T   inner relative reduction per outer (default 1e-6)
     --gmres-basis DT            GMRES basis storage dtype (e.g. bfloat16)
     --iter-times                measured per-iteration DEVICE walls for the
                                 fused harness (xprof trace segmentation —
@@ -123,6 +128,10 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             extras["cheby_degree"] = int(need_value())
         elif arg == "--cheby-ratio":
             extras["cheby_eig_ratio"] = float(need_value())
+        elif arg == "--refine":
+            extras["refine_outer"] = int(need_value())
+        elif arg == "--refine-inner-tol":
+            extras["refine_inner_tol"] = float(need_value())
         elif arg == "--gmres-basis":
             extras["gmres_basis_dtype"] = need_value()
         elif arg == "--dtype":

@@ -127,6 +127,17 @@ class SolverConfig:
     # iteration count within ~10% at tol = 1e-14 where period 50 stalls.
     # Amortized cost: 3 extra SpMV + 2 M⁻¹ every k iterations.  0 disables.
     cg_rr_period: int = 25
+    # Mixed-precision iterative refinement (--refine K; no reference
+    # analog).  K > 0 wraps the configured solver in up to K outer
+    # correction steps: each outer computes the TRUE float64 residual
+    # r = b − A·x (device upcast, one fp64 SpMV), solves A·dx = r with the
+    # configured (f32/bf16 perf-mode) solver to `refine_inner_tol` relative
+    # reduction, and accumulates x += dx in float64.  Convergence is then
+    # judged against the reference's fp64 criterion tol·||r0|| — i.e.
+    # f64-grade final accuracy at f32 streaming rates.  Requires
+    # perm_mode="none" and num_scale=False.
+    refine_outer: int = 0
+    refine_inner_tol: float = 1e-6
     # Chebyshev preconditioner (-p cheby; no reference analog): z = p(B)D⁻¹y
     # with B = D⁻¹A and p the degree-`cheby_degree` Chebyshev polynomial on
     # [λmax/cheby_eig_ratio, λmax] — the optimal-weight form of the

@@ -351,21 +351,21 @@ def preprocessing_device(A_dev, config: SolverConfig,
         return setup
 
 
-def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
-    """||b − A·x*||₂ for the final report (save_x_star analog,
-    /root/reference/solver.hpp:153-159).  Uses the fp64 host oracle when a
-    host CSR is retained; on the device-native path it upcasts x*/b/A to
-    float64 for this one evaluation so the reported residual matches the
-    reference's fp64 accounting even in f32/bf16 perf modes."""
+def residual_f64(setup: SolverSetup, x: np.ndarray) -> np.ndarray:
+    """Flat float64 residual b − A·x in solve coordinates (x flat or
+    planar-encoded).  The fp64 oracle behind the final report and the
+    mixed-precision refinement driver: host CSR when retained, else the
+    device operator upcast to f64 on the XLA path (no f64 Pallas)."""
     if setup.A_host is not None:
-        return float(np.linalg.norm(
-            np.asarray(setup.b, dtype=np.float64)
-            - setup.A_host.spmv(np.asarray(x_star, dtype=np.float64))))
+        return (np.asarray(setup.b, dtype=np.float64)
+                - setup.A_host.spmv(np.asarray(x, dtype=np.float64)))
     import dataclasses as _dc
     from ..parallel.mesh_ops import unwrap
     from ..stencil_op import DeviceStencil, from_planar_vec
     A = unwrap(setup.A)
-    x = jnp.asarray(x_star, dtype=setup.b.dtype)
+    # straight to float64: casting x through the solve dtype would round
+    # away exactly the fp64 correction accuracy refinement accumulates
+    x = jnp.asarray(x, dtype=jnp.float64)
     b = setup.b
     if isinstance(A, DeviceStencil):
         if A.planar:
@@ -374,6 +374,7 @@ def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
             # FLAT vectors — only the diag needs decoding there
             if x.ndim == 2:        # planar-resident vectors are 2-D
                 x = from_planar_vec(A, x)
+            if b.ndim == 2:
                 b = from_planar_vec(A, b)
             A = _dc.replace(
                 A, planar=False,
@@ -385,7 +386,16 @@ def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
         A = _dc.replace(A, data=A.data.astype(jnp.float64))
     r = b.astype(jnp.float64) - spmv(A, x.astype(jnp.float64),
                                      use_pallas=False)
-    return float(jnp.sqrt(jnp.dot(r, r)))
+    return np.asarray(r)
+
+
+def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
+    """||b − A·x*||₂ for the final report (save_x_star analog,
+    /root/reference/solver.hpp:153-159).  Uses the fp64 host oracle when a
+    host CSR is retained; on the device-native path it upcasts x*/b/A to
+    float64 for this one evaluation so the reported residual matches the
+    reference's fp64 accounting even in f32/bf16 perf modes."""
+    return float(np.linalg.norm(residual_f64(setup, x_star)))
 
 
 def finalize_x(setup: SolverSetup, x_star: np.ndarray) -> np.ndarray:
@@ -418,6 +428,9 @@ class SolveResult:
     #: fused-harness runs record the solve-average per iteration, not
     #: measured per-iteration walls (the loop is one device dispatch)
     uniform_iteration_times: bool = False
+    #: mixed-precision refinement: number of outer fp64 correction steps
+    #: actually taken (0 = plain solve)
+    refine_outer_count: int = 0
 
 
 def _stopping(config: SolverConfig, r0_norm: float) -> float:
@@ -428,11 +441,93 @@ def _stopping(config: SolverConfig, r0_norm: float) -> float:
 def solve(setup: SolverSetup, method=None, timers: Optional[Timers] = None,
           progress: Optional[Callable[[int, float], None]] = None) -> SolveResult:
     """Run the solver harness."""
+    if setup.config.refine_outer > 0:
+        return _solve_refined(setup, timers or Timers())
     from .factory import make_method
     method = method or make_method(setup)
     if setup.config.harness == "fused" and method.supports_fused:
         return method.solve_fused()
     return _solve_host(setup, method, timers or Timers(), progress)
+
+
+def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
+    """Mixed-precision iterative refinement (config.refine_outer > 0).
+
+    Classic Wilkinson refinement around the configured solver: the inner
+    solves run at the perf dtype (f32/bf16 matrix) to a modest relative
+    reduction, while the outer loop computes the TRUE float64 residual and
+    accumulates the correction in float64 — so the reference's fp64
+    stopping criterion tol·||b − A·x₀|| (solver.hpp:173-175) is reachable
+    at f32 streaming rates.  No reference analog (the reference is fp64
+    throughout)."""
+    import dataclasses as _dc
+    import time as _time
+    cfg = setup.config
+    if setup.inv_perm is not None or setup.scale_vec is not None:
+        raise ValueError(
+            "iterative refinement requires perm_mode='none' and "
+            "num_scale=False (corrections accumulate in solve coordinates)")
+    from ..stencil_op import DeviceStencil, to_planar_vec
+    from ..parallel.mesh_ops import unwrap
+    A_un = unwrap(setup.A)
+    planar_vecs = (isinstance(A_un, DeviceStencil) and A_un.planar
+                   and setup.b.ndim == 2)
+
+    t0 = _time.perf_counter()
+    x0_flat = np.asarray(setup.x0, dtype=np.float64)
+    if setup.x_decode is not None:
+        x0_flat = np.asarray(setup.x_decode(setup.x0), dtype=np.float64)
+    x = x0_flat
+    r = residual_f64(setup, setup.x0)
+    r0_norm = float(np.linalg.norm(r))
+    stopping = _stopping(cfg, r0_norm)
+
+    inner_cfg = _dc.replace(cfg, refine_outer=0,
+                            tolerance=cfg.refine_inner_tol)
+    dtype = cfg.spec_dtype()
+    total_iters = 0
+    outer_norms = [r0_norm]
+    restarts = 0
+    last = None
+    converged = r0_norm <= stopping
+    outers = 0
+    for _ in range(cfg.refine_outer):
+        if converged:
+            break
+        b_inner = jnp.asarray(r.astype(dtype))
+        if planar_vecs:
+            b_inner = to_planar_vec(A_un, b_inner)
+        setup_k = _dc.replace(setup, config=inner_cfg, b=b_inner,
+                              x0=jnp.zeros_like(setup.x0))
+        last = solve(setup_k)
+        outers += 1
+        total_iters += last.iter_count
+        restarts += last.gmres_restart_count
+        dx = np.asarray(last.x_star, dtype=np.float64)
+        if not np.all(np.isfinite(dx)):
+            # inner solve broke down at the floating-point floor (a
+            # near-zero correction RHS underflows f32 norms) — keep the
+            # last good x; the convergence check below stands as is
+            break
+        x = x + dx
+        r = residual_f64(setup, x)
+        rn = float(np.linalg.norm(r))
+        outer_norms.append(rn)
+        converged = rn <= stopping
+    final_norm = outer_norms[-1]
+    dt = _time.perf_counter() - t0
+    n_hist = len(outer_norms)
+    return SolveResult(
+        x_star=x, iter_count=total_iters, converged=converged,
+        stopping_criteria=stopping,
+        residual_norms=np.asarray(outer_norms),
+        time_per_iteration=np.full(n_hist, dt / max(1, n_hist)),
+        final_residual_norm=final_norm,
+        gmres_restart_count=restarts, method=cfg.method,
+        preconditioner=cfg.preconditioner,
+        restart_length=cfg.restart_length, res_check_len=cfg.res_check_len,
+        solve_seconds=dt, uniform_iteration_times=True,
+        refine_outer_count=outers)
 
 
 def _solve_host(setup: SolverSetup, method, timers: Timers,

@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from basic_iterative_solvers_tpu import (
-    PrecondType, SolverConfig, SolverType, preprocessing, solve)
+    PrecondType, SolverConfig, SolverType, preprocessing,
+    preprocessing_device, solve)
 from basic_iterative_solvers_tpu.generators import anderson, banded, fdm_2d
 from tests.conftest import make_tridiag
 
@@ -464,3 +465,49 @@ def test_pipelined_cg_residual_replacement_at_tight_tol():
     r0 = bis.solve_system("hpcg:16x16x16", cg_flavor="pipelined",
                           cg_rr_period=0, max_iters=120, **kw)
     assert not r0.converged            # the drift stall, unreplaced
+
+
+def test_iterative_refinement_f32_reaches_f64_criterion():
+    """Mixed-precision refinement: f32 inner solves + fp64 outer
+    corrections reach the fp64 stopping criterion tol·||r0|| that a plain
+    f32 solve cannot honestly attain."""
+    import basic_iterative_solvers_tpu as bis
+    kw = dict(method="cg", preconditioner="j", dtype=np.float32,
+              harness="fused", tolerance=1e-12)
+    plain = bis.solve_system("hpcg:16x16x16", **kw)
+    assert plain.final_residual_norm > plain.stopping_criteria  # f32 lies
+    ref = bis.solve_system("hpcg:16x16x16", refine_outer=6, **kw)
+    assert ref.converged
+    assert ref.final_residual_norm <= ref.stopping_criteria
+    assert 0 < ref.refine_outer_count <= 6
+    # matches the all-f64 direct solve
+    r64 = bis.solve_system("hpcg:16x16x16", method="cg", preconditioner="j",
+                           dtype=np.float64, harness="fused",
+                           tolerance=1e-12)
+    np.testing.assert_allclose(ref.x_star, r64.x_star, rtol=0, atol=1e-9)
+
+
+def test_iterative_refinement_device_paths():
+    """Refinement over the device-native DIA and planar matrix-free
+    stencil paths (the fp64 residual upcasts the device operator)."""
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu import dia, stencil_op
+    for A_dev, planar in ((dia.stencil_27pt_device(10, 10, 10,
+                                                   dtype=np.float32), "off"),
+                          (stencil_op.from_source_operator(
+                              "hpcg:10x10x10", dtype=np.float32), "on")):
+        cfg = SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                           preconditioner=PrecondType.CHEBYSHEV,
+                           dtype=np.float32, tolerance=1e-12,
+                           harness="fused", planar_vectors=planar,
+                           refine_outer=6)
+        res = solve(preprocessing_device(A_dev, cfg))
+        assert res.converged and res.refine_outer_count >= 1
+        assert res.final_residual_norm <= res.stopping_criteria
+
+
+def test_iterative_refinement_rejects_transforms():
+    import basic_iterative_solvers_tpu as bis
+    with pytest.raises(ValueError, match="refinement requires"):
+        bis.solve_system("hpcg:8x8x8", method="cg", preconditioner="j",
+                         dtype=np.float32, refine_outer=2, perm_mode="rcm")
