@@ -96,6 +96,11 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
         from .dia import from_source_device
         if config.color_spec is None:
             config.color_spec = generators.color_spec_for_source(A)
+        if (preconditioner == _PT.MULTIGRID
+                and config.matrix_format == "auto"
+                and stencil_op.stencil_buildable(A)):
+            # -p mg lives on the matrix-free stencil path (same as the CLI)
+            config.matrix_format = "stencil"
         colored = resolve_gs_mode(config, device_native=True) == "colored"
         # device_buildable, not a bare _GEN_RE match: non-Anderson SCAMAC
         # models (Hubbard, SpinChainXXZ, ...) have no device builder and

@@ -8,9 +8,13 @@ and main.cpp:17-100):
     <matrix>        .mtx path or generator spec (hpcg:NxNxN, fdm:N,
                     scamac:Anderson,Lx=..,..., band:N,B)
     method flags    -j | -gs | -sgs | -cg | -gm | -bi
-    -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0 cheby
+    -p <type>       preconditioner: j gs bgs sgs 2st s2st ilu0 cheby mg
                     (cheby = Chebyshev polynomial, communication-free;
-                    --cheby-degree K --cheby-ratio R tune it)
+                    --cheby-degree K --cheby-ratio R tune it;
+                    mg = geometric-multigrid V-cycle over the stencil
+                    hierarchy — grid-independent CG iteration counts;
+                    --mg-levels L --mg-smooth K --mg-coarse K
+                    --mg-transfer linear|injection tune it)
     -rl <int>       GMRES restart length (default 10)
     -scale <0|1>    symmetric diagonal equilibration
     -perm <mode>    matrix reordering: none|bfs|rcm|color|color_bal
@@ -106,7 +110,8 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
                       "\n-p 2st (2 Stage Gauss-Seidel)"
                       "\n-p s2st (Symmetric 2 Stage Gauss-Seidel)"
                       "\n-p ilu0 (Incomplete LU with 0 fill-in)"
-                      "\n-p cheby (Chebyshev polynomial)",
+                      "\n-p cheby (Chebyshev polynomial)"
+                      "\n-p mg (Geometric multigrid V-cycle)",
                       file=sys.stderr)
                 raise SystemExit(2)
             opts["preconditioner"] = PRECOND_CLI_NAMES[val]
@@ -128,6 +133,16 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             extras["cheby_degree"] = int(need_value())
         elif arg == "--cheby-ratio":
             extras["cheby_eig_ratio"] = float(need_value())
+        elif arg == "--mg-levels":
+            extras["mg_levels"] = int(need_value())
+        elif arg == "--mg-smooth":
+            extras["mg_smooth_degree"] = int(need_value())
+        elif arg == "--mg-coarse":
+            extras["mg_coarse_degree"] = int(need_value())
+        elif arg == "--mg-transfer":
+            extras["mg_transfer"] = need_value()
+        elif arg == "--mg-coarse-op":
+            extras["mg_coarse_op"] = need_value()
         elif arg == "--refine":
             extras["refine_outer"] = int(need_value())
         elif arg == "--refine-inner-tol":
@@ -214,6 +229,14 @@ def run(argv=None) -> int:
     from .precond import (COLORED_PRECONDS, DEVICE_NATIVE_PRECONDS,
                           resolve_gs_mode)
     from .types import SolverType as _ST
+    # -p mg lives on the matrix-free stencil path; pick it automatically
+    # for stencil-capable generator sources so plain `hpcg:... -cg -p mg`
+    # works (an explicit --format wins).
+    if (config.preconditioner == PrecondType.MULTIGRID
+            and config.matrix_format == "auto"):
+        from .stencil_op import stencil_buildable
+        if stencil_buildable(matrix_source):
+            config.matrix_format = "stencil"
     colored = resolve_gs_mode(config, device_native=True) == "colored"
     device_path = (
         generators.device_buildable(matrix_source)

@@ -150,6 +150,21 @@ class SolverConfig:
     cheby_degree: int = 4
     cheby_eig_ratio: float = 30.0
     cheby_power_iters: int = 20
+    # Geometric multigrid preconditioner (-p mg; no reference analog, mg.py):
+    # one V(nu, nu) cycle over the rediscretized/Galerkin stencil hierarchy
+    # with Chebyshev smoothing — CG iteration counts become grid-size-
+    # independent, the decisive regime for the capacity benchmarks.
+    # Requires the matrix-free stencil format (constant coefficients).
+    mg_levels: int = 0                # 0 = auto (coarsen while min dim >= 8)
+    mg_transfer: str = "linear"       # "linear" (full weighting) | "injection"
+    mg_coarse_op: str = "auto"        # "auto" | "galerkin" | "rediscretize"
+    mg_smooth_degree: int = 2         # Chebyshev degree of pre/post smoothing
+    mg_coarse_degree: int = 16        # Chebyshev degree of the coarsest solve
+    # Smoothing interval [lmax/mg_smooth_ratio, lmax]: the smoother only
+    # damps the upper spectrum (hypre-style); the coarsest solve covers the
+    # full spectrum with the wide mg_coarse_ratio interval.
+    mg_smooth_ratio: float = 4.0
+    mg_coarse_ratio: float = 200.0
     # GMRES orthogonalization: "mgs" = modified Gram-Schmidt, the reference's
     # scheme (gmres.hpp:6-53) — a j-deep chain of dependent dot+axpy passes;
     # "cgs2" = classical Gram-Schmidt with full re-orthogonalization — two

@@ -39,10 +39,12 @@ from .ops.trisolve import TriSolveLevels, build_trisolve, trisolve, two_stage_so
 @partial(jax.tree_util.register_dataclass,
          data_fields=["A_D", "A_D_inv", "L_solve", "U_solve",
                       "L_strict_dev", "U_strict_dev", "A_full_dev",
-                      "color_arr", "L_block", "U_block", "cheby_lmax"],
+                      "color_arr", "L_block", "U_block", "cheby_lmax",
+                      "mg_data"],
          meta_fields=["ptype", "outer_iters", "inner_iters", "use_pallas",
                       "color_spec", "n_colors", "cheby_degree",
-                      "cheby_ratio"])
+                      "cheby_ratio", "mg_smooth_degree", "mg_coarse_degree",
+                      "mg_ratio", "mg_coarse_ratio", "mg_transfer"])
 @dataclasses.dataclass
 class Preconditioner:
     ptype: PrecondType
@@ -72,6 +74,14 @@ class Preconditioner:
     cheby_lmax: Optional[jax.Array] = None
     cheby_degree: int = 0
     cheby_ratio: float = 30.0
+    # Geometric multigrid (mg.py): the level tuple (MGLevel pytrees) plus
+    # the static V-cycle shape (SolverConfig.mg_*).
+    mg_data: Any = None
+    mg_smooth_degree: int = 0
+    mg_coarse_degree: int = 0
+    mg_ratio: float = 4.0
+    mg_coarse_ratio: float = 200.0
+    mg_transfer: str = "linear"
 
 
 #: preconditioner types a multicolor ordering can serve (exact sweeps in
@@ -126,6 +136,12 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
               use_pallas=config.use_pallas)
     if pt == PrecondType.NONE:
         return Preconditioner(**kw)
+    if pt == PrecondType.MULTIGRID:
+        raise ValueError(
+            "multigrid requires the matrix-free stencil operator (a "
+            "generator source with matrix_format='stencil'); explicit CSR "
+            "matrices take the host path — use '-p cheby' or '-p ilu0' "
+            "there")
     if (pt == PrecondType.ILU0
             and resolve_gs_mode(config, device_native=False) == "colored"):
         # Multicolor exact ILU(0): factor w.r.t. the color-sorted ordering,
@@ -356,7 +372,7 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
 DEVICE_NATIVE_PRECONDS = (PrecondType.NONE, PrecondType.JACOBI,
                           PrecondType.TWO_STAGE_GS,
                           PrecondType.SYMMETRIC_TWO_STAGE_GS,
-                          PrecondType.CHEBYSHEV)
+                          PrecondType.CHEBYSHEV, PrecondType.MULTIGRID)
 
 
 def _power_lmax(A_dev, A_D_inv: jax.Array, n: int, iters: int,
@@ -431,6 +447,18 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
             f"preconditioner {pt} needs exact triangular solves in the "
             "natural ordering (gs_mode='levels'); build through the host "
             "CSR path (preprocessing) instead")
+    if pt == PrecondType.MULTIGRID:
+        from .mg import build_mg_hierarchy
+        levels = build_mg_hierarchy(A_dev, config)
+        lev0 = levels[0]
+        return Preconditioner(
+            A_D=(1.0 / lev0.D_inv).astype(dtype), A_D_inv=lev0.D_inv,
+            mg_data=levels,
+            mg_smooth_degree=config.mg_smooth_degree,
+            mg_coarse_degree=config.mg_coarse_degree,
+            mg_ratio=config.mg_smooth_ratio,
+            mg_coarse_ratio=config.mg_coarse_ratio,
+            mg_transfer=config.mg_transfer, **kw)
     if pt == PrecondType.CHEBYSHEV:
         D = (stencil_diag_vec(A_dev) if isinstance(A_dev, DeviceStencil)
              else dia_diag(A_dev))
@@ -490,6 +518,11 @@ def _apply_once(M: Preconditioner, y: jax.Array) -> jax.Array:
         return y / M.A_D
     if pt == PrecondType.CHEBYSHEV:
         return _cheby_apply(M, y)
+    if pt == PrecondType.MULTIGRID:
+        from .mg import mg_vcycle
+        return mg_vcycle(M.mg_data, y, M.mg_smooth_degree,
+                         M.mg_coarse_degree, M.mg_ratio, M.mg_coarse_ratio,
+                         M.mg_transfer, M.use_pallas)
     colored = M.n_colors > 0
     blocked = M.L_block is not None or M.U_block is not None
     if blocked:
@@ -573,6 +606,11 @@ def estimated_precond_passes(M: Preconditioner) -> float:
     """Estimated HBM cost of one apply in units of one full vector stream
     (for the roofline report; static estimate from the apply structure)."""
     k = M.inner_iters
+    if M.ptype == PrecondType.MULTIGRID:
+        from .mg import estimated_vcycle_passes
+        return (estimated_vcycle_passes(M.mg_data, M.mg_smooth_degree,
+                                        M.mg_coarse_degree)
+                * max(1, M.outer_iters))
     if M.L_block is not None or M.U_block is not None:
         # blocked trisolves: each factor plane streams once + window reads
         # (~3 per (level, source) pair) + permute/vector passes

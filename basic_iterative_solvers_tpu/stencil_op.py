@@ -777,6 +777,19 @@ def anderson_operator(Lx: int, Ly: int = None, Lz: int = None, t: float = 1.0,
 _GEN_RE = re.compile(r"^(scamac|hpcg|fdm|anderson):(.*)$", re.IGNORECASE)
 
 
+def stencil_buildable(source: str) -> bool:
+    """True when `from_source_operator` can build this spec (used by the
+    CLI/solve_system to auto-upgrade matrix_format for '-p mg')."""
+    m = _GEN_RE.match(source)
+    if not m:
+        return False
+    kind = m.group(1).lower()
+    if kind == "scamac":
+        from .generators import _split_scamac_spec
+        return _split_scamac_spec(m.group(2))[0] == "anderson"
+    return kind in ("anderson", "hpcg", "fdm")
+
+
 def from_source_operator(source: str, dtype=jnp.float32) -> DeviceStencil:
     """Matrix-free operator for a generator spec (banded has random
     per-diagonal data → not constant-stencil; use DIA)."""

@@ -33,6 +33,11 @@ class PrecondType(enum.Enum):
     # chain, zero reductions per apply; the optimal-weight version of the
     # reference's two-stage Richardson, kernels.hpp:312-333).
     CHEBYSHEV = "chebyshev polynomial"
+    # TPU-native addition (no reference analog): geometric-multigrid V-cycle
+    # over the constant-coefficient stencil hierarchy (mg.py) — the
+    # grid-size-independent-iteration-count preconditioner the reference's
+    # menu (kernels.hpp:336-414, topping out at ILU(0)) cannot express.
+    MULTIGRID = "geometric multigrid"
 
 
 #: CLI flag → solver type, mirroring reference parse_cli
@@ -57,6 +62,7 @@ PRECOND_CLI_NAMES = {
     "s2st": PrecondType.SYMMETRIC_TWO_STAGE_GS,
     "ilu0": PrecondType.ILU0,
     "cheby": PrecondType.CHEBYSHEV,
+    "mg": PrecondType.MULTIGRID,
     "none": PrecondType.NONE,
 }
 

@@ -55,7 +55,11 @@ def _dense_expected(pt, A_dense, y, inner=0):
     raise ValueError(pt)
 
 
-@pytest.mark.parametrize("pt", list(PrecondType))
+# MULTIGRID has no host-CSR path (stencil hierarchies only — its dense
+# SPD/oracle coverage lives in tests/test_mg.py, and the refusal itself in
+# test_mg_host_csr_path_refused)
+@pytest.mark.parametrize("pt", [p for p in PrecondType
+                                if p != PrecondType.MULTIGRID])
 @pytest.mark.parametrize("inner", [0, 2])
 def test_apply_matches_dense(pt, inner, rng):
     A = banded(18, bandwidth=2, seed=11)
