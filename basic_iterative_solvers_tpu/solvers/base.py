@@ -491,15 +491,31 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
     last = None
     converged = r0_norm <= stopping
     outers = 0
+    x0_inner = jnp.zeros_like(setup.x0)   # one object: stays a shared const
+    # Re-solves of the SAME setup (benchmark repeats) reuse the compiled
+    # inner method too — without this every solve() call re-traces once
+    cached = getattr(setup, "_refine_cache", None)
+    method_k = cached[1] if (cached is not None and cached[0] is cfg) else None
     for _ in range(cfg.refine_outer):
         if converged:
             break
         b_inner = jnp.asarray(r.astype(dtype))
         if planar_vecs:
             b_inner = to_planar_vec(A_un, b_inner)
-        setup_k = _dc.replace(setup, config=inner_cfg, b=b_inner,
-                              x0=jnp.zeros_like(setup.x0))
-        last = solve(setup_k)
+        # Only b changes between outers.  Re-point the already-compiled
+        # fused runner at the new RHS (FusedRunner.rebind_b) instead of
+        # rebuilding the method: a rebuild re-traces and re-lowers the
+        # whole while-loop every outer — seconds of host work per fp64
+        # correction over the remote-compile tunnel.
+        runner = getattr(method_k, "_fused_runner", None)
+        if runner is not None and runner.rebind_b(b_inner):
+            method_k.setup = runner.setup
+        else:
+            setup_k = _dc.replace(setup, config=inner_cfg, b=b_inner,
+                                  x0=x0_inner)
+            from .factory import make_method
+            method_k = make_method(setup_k)
+        last = solve(method_k.setup, method=method_k)
         outers += 1
         total_iters += last.iter_count
         restarts += last.gmres_restart_count
@@ -514,6 +530,8 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
         rn = float(np.linalg.norm(r))
         outer_norms.append(rn)
         converged = rn <= stopping
+    if method_k is not None:
+        setup._refine_cache = (cfg, method_k)
     final_norm = outer_norms[-1]
     dt = _time.perf_counter() - t0
     n_hist = len(outer_norms)

@@ -52,11 +52,33 @@ def _lift_consts(fn, *example):
         out_flat = _core.eval_jaxpr(closed.jaxpr, consts, *flat_args)
         return jax.tree.unflatten(out_tree, out_flat)
 
-    consts = closed.consts
+    consts = list(closed.consts)
 
     def runner(*args):
         flat, _ = jax.tree.flatten(args)
         return call(consts, flat)
+
+    def swap_consts(old, new) -> int:
+        """Replace every closed-over const that IS `old` (object identity)
+        with `new`.  The jit cache keys on abstract values, so a same-
+        shape/dtype swap re-dispatches the EXISTING executable with the new
+        operand — no re-trace, no re-lower, no re-compile (the refinement
+        driver uses this to change the inner right-hand side per outer).
+        Returns the number of replacements (0 = `old` was not captured
+        by identity; caller must rebuild)."""
+        hits = 0
+        for i, c in enumerate(consts):
+            if c is old:
+                if (tuple(new.shape) != tuple(c.shape)
+                        or new.dtype != c.dtype):
+                    raise ValueError(
+                        f"swap_consts shape/dtype mismatch: "
+                        f"{c.shape}/{c.dtype} -> {new.shape}/{new.dtype}")
+                consts[i] = new
+                hits += 1
+        return hits
+
+    runner.swap_consts = swap_consts
 
     # let callers chain lifts without re-tracing (e.g. run's example state)
     runner.out_shape = jax.tree.unflatten(
@@ -195,6 +217,20 @@ class FusedRunner:
         # ARGUMENTS instead.
         self._init_jit = _lift_consts(init_state)
         self._run_jit = _lift_consts(run, self._init_jit.out_shape)
+
+    def rebind_b(self, new_b) -> bool:
+        """Point the compiled executables at a new right-hand side without
+        re-tracing (same shape/dtype/layout as setup.b).  Returns False when
+        the traced closures did not capture setup.b by identity (derived/
+        cast arrays) — the caller must rebuild the method then."""
+        import dataclasses as _dc
+        old = self.setup.b
+        hits = self._init_jit.swap_consts(old, new_b)
+        hits += self._run_jit.swap_consts(old, new_b)
+        if hits == 0:
+            return False
+        self.setup = _dc.replace(self.setup, b=new_b)
+        return True
 
     def run(self) -> SolveResult:
         setup, config = self.setup, self.setup.config

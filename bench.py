@@ -61,6 +61,7 @@ PRECOND_CHOICES = {
     "j": "JACOBI",
     "ilu0": "ILU0",
     "cheby": "CHEBYSHEV",              # polynomial (communication-free)
+    "mg": "MULTIGRID",                 # geometric V-cycle (stencil sources)
 }
 
 #: default measured iterations per method.  The remote-compile tunnel adds
@@ -278,6 +279,53 @@ def run_general_row(bis, args, source="sband:500000,8,400",
     }
 
 
+def run_mg_tts(bis, args, A) -> dict:
+    """Time-to-solution row: CG + multigrid V-cycle + fp64 refinement to
+    the reference's DEFAULT stopping tolerance 1e-14 * ||b - A x0||
+    (TOL=1e-14, /root/reference/CMakeLists.txt:20-27; the convergence
+    figure's 1e-15 sits exactly at the fp64 attainable floor — refinement
+    lands at ~1.1e-15*r0, a hair above).  Whole-solve, matched-accuracy
+    comparison: vs_baseline = the reference's BEST total solve time
+    (plain CG on the figure: 100 iters / 1.12 s to 1e-15; pro-rated to
+    1e-14 as 1.12 * 14/15 = 1.05 s — CG gains decades ~linearly in
+    iterations; its preconditioned rows all LOSE on total time) over
+    ours."""
+    import jax.numpy as jnp
+    dtype = np.dtype(args.dtype)
+    cfg = bis.SolverConfig(
+        method=bis.SolverType.CONJUGATE_GRADIENT,
+        preconditioner=bis.PrecondType.MULTIGRID,
+        dtype=dtype, matrix_dtype=args.matrix_dtype, harness="fused",
+        max_iters=300, tolerance=1e-14, refine_outer=8)
+    n = A.n_rows
+    setup = bis.preprocessing_device(
+        A, cfg, b=jnp.full(n, 2.0, dtype=dtype),
+        x0=jnp.full(n, 1.0, dtype=dtype))
+    res = bis.solve(setup)   # warmup: compiles the fused inner solver
+    log(f"[cg+mg tts] warmup: {res.solve_seconds:.3f}s total, "
+        f"{res.iter_count} inner iters / {res.refine_outer_count} outers, "
+        f"converged={res.converged}, ||r||={res.final_residual_norm:.3e}")
+    best = float("inf")
+    for rep in range(args.repeats):
+        res = bis.solve(setup)
+        log(f"[cg+mg tts] measured[{rep}]: {res.solve_seconds:.3f}s, "
+            f"{res.iter_count} inner iters / {res.refine_outer_count} "
+            f"outers, ||r||={res.final_residual_norm:.3e}")
+        best = min(best, res.solve_seconds)
+    if not res.converged:
+        raise RuntimeError(
+            f"cg+mg+refine did not reach 1e-14*r0 "
+            f"(||r||={res.final_residual_norm:.3e} vs "
+            f"{res.stopping_criteria:.3e})")
+    matrix_tag = args.matrix.replace(":", "_")
+    return {
+        "metric": f"cg_mg_refine_seconds_{matrix_tag}",
+        "value": round(best, 4),
+        "unit": "seconds_to_1e-14_r0",
+        "vs_baseline": round(1.05 / best, 3),
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--matrix", default="hpcg:128x128x128")
@@ -379,6 +427,30 @@ def main():
             all_records.append(rec)
         except Exception as e:
             log(f"[pcg+ilu0] FAILED: {e}")
+
+    # multigrid rows (stencil-capable generator sources only): pcg_mg =
+    # per-iteration rate of CG + V-cycle vs the reference's PCG row;
+    # cg_mg_refine = TOTAL time-to-solution at the reference's fp64
+    # criterion — the metric multigrid exists for (grid-independent
+    # iteration counts make it the fastest path to high accuracy)
+    if args.precond is None and bis.stencil_op.stencil_buildable(args.matrix):
+        try:
+            import copy
+            a2 = copy.copy(args)
+            a2.precond = "mg"
+            rec = run_one(bis, "pcg", a2, A, is_gen)
+            assert rec["metric"].startswith("pcg_")
+            rec["metric"] = "pcg_mg_" + rec["metric"][len("pcg_"):]
+            print(json.dumps(rec), flush=True)
+            all_records.append(rec)
+        except Exception as e:
+            log(f"[pcg+mg] FAILED: {e}")
+        try:
+            rec = run_mg_tts(bis, args, A)
+            print(json.dumps(rec), flush=True)
+            all_records.append(rec)
+        except Exception as e:
+            log(f"[cg+mg tts] FAILED: {e}")
 
     # capacity row: 56.6M-row CG on one chip — 27x the reference's
     # benchmark size (the reference never showed anything beyond 2.1M rows)

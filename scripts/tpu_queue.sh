@@ -37,6 +37,20 @@ if [ "$STEP" = "pipe" ] || [ "$STEP" = "all" ]; then
     | grep -E "solve|iteration" | tee -a "$OUT/pipe.log"
 fi
 
+if [ "$STEP" = "mg" ] || [ "$STEP" = "all" ]; then
+  # Multigrid validation: pcg row with -p mg (per-iteration V-cycle rate)
+  # and the CLI convergence path at the benchmark shape.  The full bench
+  # step below also emits the pcg_mg + cg_mg_refine (time-to-solution)
+  # rows — this step exists to get an early read on iteration counts.
+  echo "=== pcg precond=mg ===" | tee -a "$OUT/mg.log"
+  timeout 3000 python bench.py --method pcg --precond mg \
+    --backend-wait-mins 20 2>>"$OUT/mg.log" | tee -a "$OUT/mg.log"
+  echo "=== cli cg -p mg tol 1e-8 ===" | tee -a "$OUT/mg.log"
+  timeout 3000 python -m basic_iterative_solvers_tpu hpcg:128x128x128 -cg \
+    -p mg --tol 1e-8 --max-iters 100 2>&1 \
+    | grep -E "converged|residual|solve|total" | tee -a "$OUT/mg.log"
+fi
+
 if [ "$STEP" = "bench" ] || [ "$STEP" = "all" ]; then
   echo "=== full bench ===" | tee -a "$OUT/bench.log"
   timeout 5400 python bench.py --backend-wait-mins 20 \

@@ -511,3 +511,25 @@ def test_iterative_refinement_rejects_transforms():
     with pytest.raises(ValueError, match="refinement requires"):
         bis.solve_system("hpcg:8x8x8", method="cg", preconditioner="j",
                          dtype=np.float32, refine_outer=2, perm_mode="rcm")
+
+
+def test_iterative_refinement_reuses_compiled_runner(monkeypatch):
+    """Each fp64 outer correction re-dispatches the SAME fused executable
+    with the new RHS swapped in (FusedRunner.rebind_b) — the runner is
+    traced/lowered exactly once, so refinement stays dispatch-bound on the
+    remote-compile tunnel instead of re-tracing per outer."""
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu.solvers import fused as _f
+    builds = []
+    orig = _f.FusedRunner.__init__
+
+    def counting(self, *a, **kw):
+        builds.append(1)
+        orig(self, *a, **kw)
+
+    monkeypatch.setattr(_f.FusedRunner, "__init__", counting)
+    res = bis.solve_system("hpcg:12x12x12", method="cg", preconditioner="j",
+                           dtype=np.float32, harness="fused",
+                           tolerance=1e-12, refine_outer=6)
+    assert res.converged and res.refine_outer_count >= 2
+    assert len(builds) == 1, f"runner rebuilt {len(builds)} times"
