@@ -93,6 +93,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_permute_csr.restype = None
     lib.bis_permute_csr.argtypes = [ctypes.c_int32, _i64p, _i32p, _f64p,
                                     _i32p, _i32p, _i64p, _i32p, _f64p]
+    lib.bis_permute_factor_csr.restype = ctypes.c_longlong
+    lib.bis_permute_factor_csr.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _f64p, _i32p, _i32p,
+        ctypes.c_double, ctypes.c_double, _i64p, _i32p, _f64p]
     lib.bis_hpcg_csr.restype = None
     lib.bis_hpcg_csr.argtypes = [ctypes.c_int32, ctypes.c_int32,
                                  ctypes.c_int32, ctypes.c_double,
@@ -277,6 +281,33 @@ def bfs_perm(A, reverse: bool, sort_by_degree: bool):
     lib.bis_bfs_perm(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
                      1 if reverse else 0, 1 if sort_by_degree else 0, perm)
     return perm
+
+
+def permute_factor_csr(A, perm, inv_perm, pivot_tolerance: float,
+                       pivot_replacement: float):
+    """Fused P A P^T + in-pattern ILU(0): (Ap, lu_val) where Ap is the
+    permuted CSR whose .val IS the factored value array — one C sweep
+    instead of permute + copy + factor (3x the memory passes on the
+    throttled host).  None when the library is unavailable; raises
+    MissingDiagonalError like ilu0."""
+    lib = _load()
+    if lib is None or A.n_rows != A.n_cols:
+        return None
+    from .matrix import MatrixCSR
+    row_ptr = np.empty(A.n_rows + 1, dtype=np.int64)
+    col = np.empty(A.nnz, dtype=np.int32)
+    lu_val = np.empty(A.nnz, dtype=np.float64)
+    perm = _as(perm, np.int32)
+    rc = lib.bis_permute_factor_csr(
+        A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
+        _as(A.val, np.float64), perm, _as(inv_perm, np.int32),
+        pivot_tolerance, pivot_replacement, row_ptr, col, lu_val)
+    if rc < 0:
+        from .factor import MissingDiagonalError
+        raise MissingDiagonalError(
+            "ERROR: ILU(0) requires a full diagonal; missing in row "
+            f"{int(perm[int(-rc - 1000)])}")
+    return MatrixCSR(A.n_rows, A.n_cols, A.nnz, row_ptr, col, lu_val), lu_val
 
 
 def permute_csr(A, perm, inv_perm):

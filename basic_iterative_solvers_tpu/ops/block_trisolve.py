@@ -33,7 +33,7 @@ Eligibility (else callers fall back to masked sweeps / level scans):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Tuple
 
 import jax
@@ -96,23 +96,38 @@ def _group_inverse(key, key_range):
 
 
 def _grid_coords(idx, nx: int, ny: int):
-    """(x, y, z) grid coordinates of flat x-fastest row indices."""
-    return idx % nx, (idx // nx) % ny, idx // (nx * ny)
+    """(x, y, z) grid coordinates of flat x-fastest row indices.
+    Two divmods (4 array passes) instead of %,//,%,// (6) — these run over
+    full nnz-sized index arrays on the throttled host."""
+    q, x = np.divmod(idx, nx)
+    z, y = np.divmod(q, ny)
+    return x, y, z
+
+
+@lru_cache(maxsize=4)
+def _spec_colors_cached(spec, n: int) -> np.ndarray:
+    i = np.arange(n, dtype=np.int32 if n < 2**31 else np.int64)
+    if spec.kind == "mod":
+        out = (i % spec.params[0]).astype(np.int32)
+    elif spec.kind in ("parity", "grid"):
+        nx, ny = spec.params[0], spec.params[1]
+        x, y, z = _grid_coords(i, nx, ny)
+        if spec.kind == "parity":
+            out = ((x + y + z) % 2).astype(np.int32)
+        else:
+            sx, sy, sz = spec.params[3], spec.params[4], spec.params[5]
+            out = ((x % sx) + sx * ((y % sy) + sy * (z % sz))).astype(np.int32)
+    else:
+        raise ValueError(f"unknown color spec kind: {spec.kind}")
+    out.flags.writeable = False   # cached: shared across callers
+    return out
 
 
 def spec_colors_np(spec, n: int) -> np.ndarray:
-    """NumPy twin of coloring.color_ids for flat row indices."""
-    i = np.arange(n, dtype=np.int64)
-    if spec.kind == "mod":
-        return (i % spec.params[0]).astype(np.int32)
-    nx, ny = spec.params[0], spec.params[1]
-    x, y, z = _grid_coords(i, nx, ny)
-    if spec.kind == "parity":
-        return ((x + y + z) % 2).astype(np.int32)
-    if spec.kind == "grid":
-        sx, sy, sz = spec.params[3], spec.params[4], spec.params[5]
-        return ((x % sx) + sx * ((y % sy) + sy * (z % sz))).astype(np.int32)
-    raise ValueError(f"unknown color spec kind: {spec.kind}")
+    """NumPy twin of coloring.color_ids for flat row indices.  Memoized —
+    one setup computes the same structural coloring 2-3 times (validity
+    check, perm build, plane pack), each a multi-pass O(n) host sweep."""
+    return _spec_colors_cached(spec, n)
 
 
 def spec_colors_valid(colors, spec, n: int) -> bool:

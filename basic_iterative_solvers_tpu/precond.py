@@ -172,9 +172,18 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
                 if not spec_colors_valid(colors, spec, A.n_rows):
                     raise BlockIneligibleError("non-spec colors")
                 perm, inv = colors_to_perm(colors)
-                Ap = permute_csr(A, perm, inv)
-                lu_p = _ilu0_values(Ap, config.ilu0_pivot_tolerance,
-                                    config.ilu0_pivot_replacement)
+                # one fused C sweep: permute + factor (bis_permute_factor_csr)
+                # — the separate permute pass, value copy and factor re-read
+                # are the setup bottleneck on the throttled host
+                fused_pf = _native.permute_factor_csr(
+                    A, perm, inv, config.ilu0_pivot_tolerance,
+                    config.ilu0_pivot_replacement)
+                if fused_pf is not None:
+                    Ap, lu_p = fused_pf
+                else:
+                    Ap = permute_csr(A, perm, inv)
+                    lu_p = _ilu0_values(Ap, config.ilu0_pivot_tolerance,
+                                        config.ilu0_pivot_replacement)
                 L_blk, U_blk, _U_D = build_superblock_ilu0_pair(
                     Ap, lu_p, perm, spec, dtype=dtype)
                 return Preconditioner(

@@ -420,6 +420,81 @@ void bis_permute_csr(int32_t n_rows, const int64_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// Fused symmetric permutation + in-pattern ILU(0): emits the color-permuted
+// CSR pattern (out_ptr/out_col) and the FACTORED values (lu_val) in one
+// sweep over the natural-order matrix.  Output row r is row perm[r] of A
+// with columns remapped through inv_perm and sorted; each row is eliminated
+// in place the moment it is emitted (rows < r are already factored), so the
+// separate permute pass, the Python-side value copy and the second
+// full-matrix factor read of the bis_permute_csr -> bis_ilu0 pipeline all
+// collapse into this single pass — the dominant setup cost on the
+// throttled host (the colored-ILU(0) path of precond.setup_preconditioner).
+// Arithmetic is identical to bis_permute_csr followed by bis_ilu0
+// (the reference's elimination + pivot guards, LU_factors.hpp:337-430).
+// Square matrices only.  Returns 0, or -(1000+r) for a missing diagonal in
+// permuted row r (detected mid-stream; lu_val is garbage then).
+// ---------------------------------------------------------------------------
+long long bis_permute_factor_csr(int32_t n_rows, const int64_t* row_ptr,
+                                 const int32_t* col, const double* val,
+                                 const int32_t* perm, const int32_t* inv_perm,
+                                 double pivot_tol, double pivot_rep,
+                                 int64_t* out_ptr, int32_t* out_col,
+                                 double* lu_val) {
+    out_ptr[0] = 0;
+    for (int32_t ni = 0; ni < n_rows; ++ni) {
+        int32_t oi = perm[ni];
+        out_ptr[ni + 1] = out_ptr[ni] + (row_ptr[oi + 1] - row_ptr[oi]);
+    }
+    std::vector<int64_t> diag_pos((size_t)n_rows);
+    std::vector<int64_t> w_pos((size_t)n_rows, -1);
+    std::vector<std::pair<int32_t, double>> row;
+    for (int32_t ni = 0; ni < n_rows; ++ni) {
+        int32_t oi = perm[ni];
+        row.clear();
+        for (int64_t k = row_ptr[oi]; k < row_ptr[oi + 1]; ++k)
+            row.emplace_back(inv_perm[col[k]], val[k]);
+        // insertion sort by new column (rows are short)
+        for (size_t a = 1; a < row.size(); ++a) {
+            auto x = row[a];
+            size_t b = a;
+            while (b > 0 && row[b - 1].first > x.first) {
+                row[b] = row[b - 1];
+                --b;
+            }
+            row[b] = x;
+        }
+        int64_t s = out_ptr[ni], e = s + (int64_t)row.size();
+        int64_t dp = -1;
+        for (size_t a = 0; a < row.size(); ++a) {
+            out_col[s + (int64_t)a] = row[a].first;
+            lu_val[s + (int64_t)a] = row[a].second;
+            if (row[a].first == ni) dp = s + (int64_t)a;
+        }
+        if (dp < 0) return -(1000LL + ni);
+        diag_pos[(size_t)ni] = dp;
+        for (int64_t k = s; k < e; ++k) w_pos[(size_t)out_col[k]] = k;
+        for (int64_t p = s; p < e; ++p) {
+            int32_t k = out_col[p];
+            if (k >= ni) break;
+            double pivot = lu_val[diag_pos[(size_t)k]];
+            if (std::fabs(pivot) < 1e-16) continue;
+            double factor = lu_val[p] / pivot;
+            lu_val[p] = factor;
+            for (int64_t q = diag_pos[(size_t)k] + 1; q < out_ptr[k + 1];
+                 ++q) {
+                int64_t tgt = w_pos[(size_t)out_col[q]];
+                if (tgt >= 0) lu_val[tgt] -= factor * lu_val[q];
+            }
+        }
+        double d = lu_val[dp];
+        if (std::fabs(d) < pivot_tol)
+            lu_val[dp] = (d >= 0.0 ? 1.0 : -1.0) * pivot_rep;
+        for (int64_t k = s; k < e; ++k) w_pos[(size_t)out_col[k]] = -1;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
 // HPCG 27-point stencil CSR generator (the benchmark family's matrix,
 // /root/reference/README.md:3-6 figures; row-equivalent to
 // generators.stencil_27pt, which is the NumPy oracle).  Columns come out

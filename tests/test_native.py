@@ -279,3 +279,34 @@ def test_gs_csr_direct_pair_matches_generic():
                                          dtype=np.float64, need_d=True)
     _assert_sb_equal(Ln, Lg)
     _assert_sb_equal(Un, Ug)
+
+
+@needs_native
+def test_permute_factor_csr_matches_two_pass():
+    """The fused bis_permute_factor_csr (one sweep) is bit-identical to
+    bis_permute_csr followed by bis_ilu0 — pattern and factored values."""
+    from basic_iterative_solvers_tpu.coloring import (colors_to_perm,
+                                                      greedy_coloring)
+    from basic_iterative_solvers_tpu.factor import _ilu0_values
+    A = generators.anderson(6, 5, 4, ranpot=6.0, seed=11)
+    colors = greedy_coloring(A)
+    perm, inv = colors_to_perm(colors)
+    Ap_ref = _native.permute_csr(A, perm, inv)
+    lu_ref = _ilu0_values(Ap_ref, 1e-8, 1e-4)
+    Ap, lu = _native.permute_factor_csr(A, perm, inv, 1e-8, 1e-4)
+    np.testing.assert_array_equal(Ap.row_ptr, Ap_ref.row_ptr)
+    np.testing.assert_array_equal(Ap.col, Ap_ref.col)
+    np.testing.assert_array_equal(lu, lu_ref)          # exact: same op order
+    assert Ap.val is lu                                # no extra value copy
+
+
+@needs_native
+def test_permute_factor_csr_missing_diagonal():
+    from basic_iterative_solvers_tpu.factor import MissingDiagonalError
+    # 2x2 with no (1,1) entry; identity permutation
+    A = MatrixCSR(2, 2, 3, np.array([0, 2, 3], dtype=np.int64),
+                  np.array([0, 1, 0], dtype=np.int32),
+                  np.array([2.0, 1.0, 1.0]))
+    ident = np.arange(2, dtype=np.int32)
+    with pytest.raises(MissingDiagonalError, match="row 1"):
+        _native.permute_factor_csr(A, ident, ident, 1e-8, 1e-4)
