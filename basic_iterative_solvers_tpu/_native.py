@@ -97,6 +97,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_permute_factor_csr.argtypes = [
         ctypes.c_int32, _i64p, _i32p, _f64p, _i32p, _i32p,
         ctypes.c_double, ctypes.c_double, _i64p, _i32p, _f64p]
+    lib.bis_csr_pattern_stats.restype = ctypes.c_longlong
+    lib.bis_csr_pattern_stats.argtypes = [
+        ctypes.c_int32, ctypes.c_int32, _i64p, _i32p, ctypes.c_longlong,
+        _i64p, _i64p]
+    lib.bis_lane_ell_ranges.restype = ctypes.c_longlong
+    lib.bis_lane_ell_ranges.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, ctypes.c_int32, _i32p, _i32p]
+    lib.bis_lane_ell_pack.restype = None
+    lib.bis_lane_ell_pack.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _f64p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_longlong, _i32p, ctypes.c_int, ctypes.c_void_p, _i32p]
     lib.bis_hpcg_csr.restype = None
     lib.bis_hpcg_csr.argtypes = [ctypes.c_int32, ctypes.c_int32,
                                  ctypes.c_int32, ctypes.c_double,
@@ -281,6 +292,48 @@ def bfs_perm(A, reverse: bool, sort_by_degree: bool):
     lib.bis_bfs_perm(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
                      1 if reverse else 0, 1 if sort_by_degree else 0, perm)
     return perm
+
+
+def csr_pattern_stats(A, cap: int = 4096):
+    """One-pass pattern stats: (offsets | None-if-more-than-cap, span,
+    sorted_ok) — the fused form of analyze_diagonals + lane_ell_span.
+    None when the library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offs = np.empty(max(1, cap), dtype=np.int64)
+    stats = np.zeros(3, dtype=np.int64)
+    lib.bis_csr_pattern_stats(A.n_rows, A.n_cols, _as(A.row_ptr, np.int64),
+                              _as(A.col, np.int32), cap, offs, stats)
+    n_diags = int(stats[0])
+    return ((offs[:n_diags].copy() if n_diags >= 0 else None),
+            int(stats[1]), bool(stats[2]))
+
+
+def lane_ell_build(A, K: int, S: int, R_pad: int, dtype):
+    """Lane-ELL planes (vals, idx, slot_ranges) straight off the CSR in two
+    C sweeps (no global lexsort, no fancy scatter).  None when unavailable
+    or the columns are not ascending (NumPy path handles those)."""
+    lib = _load()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    lo = np.empty(K, dtype=np.int32)
+    hi = np.empty(K, dtype=np.int32)
+    if lib.bis_lane_ell_ranges(A.n_rows, _as(A.row_ptr, np.int64),
+                               _as(A.col, np.int32), K, lo, hi) != 0:
+        return None
+    vals = np.empty((K, R_pad, 128), dtype=dt)
+    idx = np.empty((K, R_pad, 128), dtype=np.int32)
+    lib.bis_lane_ell_pack(
+        A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
+        _as(A.val, np.float64), K, S, R_pad, lo,
+        1 if dt == np.dtype(np.float32) else 0,
+        vals.ctypes.data_as(ctypes.c_void_p), idx)
+    ranges = tuple((int(a), int(b)) for a, b in zip(lo, hi))
+    return vals, idx, ranges
 
 
 def permute_factor_csr(A, perm, inv_perm, pivot_tolerance: float,

@@ -83,10 +83,19 @@ class DeviceELL:
         return self.data.shape[0] * self.data.shape[1]
 
 
-def analyze_diagonals(A: MatrixCSR):
-    """Distinct diagonal offsets of A and the DIA fill ratio."""
+def analyze_diagonals(A: MatrixCSR, cap: int = 1 << 20):
+    """Distinct diagonal offsets of A and the DIA fill ratio.  One C sweep
+    when available (bis_csr_pattern_stats); NumPy repeat/unique otherwise.
+    Offsets beyond `cap` distinct diagonals return a truncated-size array
+    only through the NumPy path (callers only compare counts to small
+    thresholds, so the cap never changes a format decision)."""
     if A.nnz == 0:
         return np.zeros(0, dtype=np.int64), 1.0
+    from . import _native
+    stats = _native.csr_pattern_stats(A, cap=min(cap, A.n_rows + A.n_cols))
+    if stats is not None and stats[0] is not None:
+        uniq = stats[0]
+        return uniq, A.nnz / float(max(1, uniq.size * A.n_rows))
     rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
     offs = A.col.astype(np.int64) - rows
     uniq = np.unique(offs)

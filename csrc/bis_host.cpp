@@ -495,6 +495,138 @@ long long bis_permute_factor_csr(int32_t n_rows, const int64_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// One-pass CSR pattern statistics for device-format selection
+// (device_matrix.auto_format_choice / ops/lane_ell.py builders — these were
+// multi-pass NumPy sweeps over nnz-sized index arrays, the dominant setup
+// cost for general matrices on the throttled host).
+//   stats[0] = number of distinct diagonal offsets, or -1 if > cap
+//   stats[1] = lane-window span  max |col/128 - row/128|
+//   stats[2] = 1 iff every row's columns are strictly ascending
+// offs_out (size >= cap) receives the sorted distinct offsets when
+// stats[0] >= 0.  Returns 0.
+// ---------------------------------------------------------------------------
+long long bis_csr_pattern_stats(int32_t n_rows, int32_t n_cols,
+                                const int64_t* row_ptr, const int32_t* col,
+                                int64_t cap, int64_t* offs_out,
+                                int64_t* stats) {
+    const int64_t span_off = (int64_t)n_rows - 1;   // offset -> bitmap slot
+    std::vector<uint8_t> seen((size_t)(n_rows + n_cols - 1 > 0
+                                       ? n_rows + n_cols - 1 : 1), 0);
+    int64_t n_diags = 0, span = 0;
+    int sorted_ok = 1;
+    for (int32_t i = 0; i < n_rows; ++i) {
+        int32_t prev = -1;
+        const int64_t rb = (int64_t)i / 128;
+        for (int64_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
+            const int32_t c = col[k];
+            if (c <= prev) sorted_ok = 0;
+            prev = c;
+            const int64_t slot = (int64_t)c - i + span_off;
+            if (!seen[(size_t)slot]) { seen[(size_t)slot] = 1; ++n_diags; }
+            int64_t ro = (int64_t)c / 128 - rb;
+            if (ro < 0) ro = -ro;
+            if (ro > span) span = ro;
+        }
+    }
+    stats[1] = span;
+    stats[2] = sorted_ok;
+    if (n_diags > cap) { stats[0] = -1; return 0; }
+    stats[0] = n_diags;
+    int64_t w = 0;
+    for (int64_t s = 0; s < (int64_t)seen.size(); ++s)
+        if (seen[(size_t)s]) offs_out[w++] = s - span_off;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Lane-ELL slot shift ranges: lo/hi[k] = min/max rowoff over the k-th
+// entry (in ascending-column order) of every row.  Requires ascending
+// columns (the CSR invariant) so the within-row (rowoff, lane) order IS the
+// storage order — the NumPy builder's global lexsort disappears.  Returns
+// 0, or -1 when a row has more than K entries or columns are not ascending
+// (caller falls back to the NumPy path).
+// ---------------------------------------------------------------------------
+long long bis_lane_ell_ranges(int32_t n_rows, const int64_t* row_ptr,
+                              const int32_t* col, int32_t K,
+                              int32_t* lo, int32_t* hi) {
+    for (int32_t k = 0; k < K; ++k) { lo[k] = INT32_MAX; hi[k] = INT32_MIN; }
+    for (int32_t i = 0; i < n_rows; ++i) {
+        const int64_t s = row_ptr[i], e = row_ptr[i + 1];
+        if (e - s > K) return -1;
+        int32_t prev = -1;
+        const int32_t rb = i / 128;
+        for (int64_t k = s; k < e; ++k) {
+            const int32_t c = col[k];
+            if (c <= prev) return -1;
+            prev = c;
+            const int32_t ro = c / 128 - rb;
+            const int32_t kk = (int32_t)(k - s);
+            if (ro < lo[kk]) lo[kk] = ro;
+            if (ro > hi[kk]) hi[kk] = ro;
+        }
+    }
+    for (int32_t k = 0; k < K; ++k)
+        if (lo[k] == INT32_MAX) { lo[k] = 0; hi[k] = 0; }   // empty slot
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Lane-ELL plane pack: fill vals (f32/f64 by dtype32) and packed idx
+// (K, R_pad, 128) planes in one sequential sweep — 128-row blocks buffered
+// in cache, every plane element written exactly once (callers allocate
+// with np.empty; no 1-GB calloc, no nnz-sized fancy scatter, no per-slot
+// pad-fix passes).  Pad slots get idx (lo[k]+S)*128, matching the NumPy
+// builder bit for bit (including its idx==0 real-zero-entry corner).
+// Assumes ascending columns (checked by bis_lane_ell_ranges first).
+// ---------------------------------------------------------------------------
+void bis_lane_ell_pack(int32_t n_rows, const int64_t* row_ptr,
+                       const int32_t* col, const double* val,
+                       int32_t K, int32_t S, int64_t R_pad,
+                       const int32_t* lo, int dtype32,
+                       void* vals_out, int32_t* idx_out) {
+    float* vf = (float*)vals_out;
+    double* vd = (double*)vals_out;
+    std::vector<double> bufv((size_t)K * 128);
+    std::vector<int32_t> bufi((size_t)K * 128);
+    const int64_t plane = R_pad * 128;
+    for (int64_t r2 = 0; r2 < R_pad; ++r2) {
+        for (int32_t l = 0; l < 128; ++l) {
+            const int64_t i = r2 * 128 + l;
+            int64_t nz = 0, s = 0;
+            if (i < (int64_t)n_rows) {
+                s = row_ptr[i];
+                nz = row_ptr[i + 1] - s;
+            }
+            const int32_t rb = (int32_t)(i / 128);
+            for (int64_t k = 0; k < nz; ++k) {
+                const int32_t c = col[s + k];
+                const double v = val[s + k];
+                int32_t pk = (c / 128 - rb + S) * 128 + (c % 128);
+                if (v == 0.0 && pk == 0)        // NumPy pad-fix corner
+                    pk = (lo[k] + S) * 128;
+                bufv[(size_t)(k * 128 + l)] = v;
+                bufi[(size_t)(k * 128 + l)] = pk;
+            }
+            for (int64_t k = nz; k < (int64_t)K; ++k) {
+                bufv[(size_t)(k * 128 + l)] = 0.0;
+                bufi[(size_t)(k * 128 + l)] = (lo[k] + S) * 128;
+            }
+        }
+        for (int32_t k = 0; k < K; ++k) {
+            const int64_t dst = (int64_t)k * plane + r2 * 128;
+            if (dtype32)
+                for (int32_t l = 0; l < 128; ++l)
+                    vf[dst + l] = (float)bufv[(size_t)(k * 128 + l)];
+            else
+                std::memcpy(vd + dst, bufv.data() + (size_t)k * 128,
+                            128 * sizeof(double));
+            std::memcpy(idx_out + dst, bufi.data() + (size_t)k * 128,
+                        128 * sizeof(int32_t));
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // HPCG 27-point stencil CSR generator (the benchmark family's matrix,
 // /root/reference/README.md:3-6 figures; row-equivalent to
 // generators.stencil_27pt, which is the NumPy oracle).  Columns come out

@@ -310,3 +310,43 @@ def test_permute_factor_csr_missing_diagonal():
     ident = np.arange(2, dtype=np.int32)
     with pytest.raises(MissingDiagonalError, match="row 1"):
         _native.permute_factor_csr(A, ident, ident, 1e-8, 1e-4)
+
+
+@needs_native
+def test_csr_pattern_stats_matches_numpy():
+    """One-pass C stats equal the NumPy analyze_diagonals / lane_ell_span."""
+    for src in ("sband:3000,6,200", "hpcg:8x6x8", "band:500,3"):
+        A = generators.from_source(src)
+        rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
+        offs_ref = np.unique(A.col.astype(np.int64) - rows)
+        span_ref = int(np.abs(A.col.astype(np.int64) // 128
+                              - rows // 128).max())
+        offs, span, sorted_ok = _native.csr_pattern_stats(A, cap=10000)
+        np.testing.assert_array_equal(offs, offs_ref)
+        assert span == span_ref and sorted_ok
+    # cap overflow signals with offsets=None but still reports span
+    A = generators.from_source("sband:3000,6,200")
+    offs, span, _ = _native.csr_pattern_stats(A, cap=3)
+    assert offs is None and span > 0
+
+
+@needs_native
+def test_lane_ell_native_build_matches_numpy():
+    """The two-sweep C lane-ELL pack is bit-identical to the NumPy
+    lexsort/scatter builder (values, packed indices, slot ranges)."""
+    from basic_iterative_solvers_tpu.ops.lane_ell import csr_to_lane_ell
+    for src in ("sband:3000,6,200", "hpcg:8x6x8", "fdm:12"):
+        A = generators.from_source(src)
+        for dt in (np.float32, np.float64):
+            M1 = csr_to_lane_ell(A, dt)
+            lib_save, _native._LIB = _native._LIB, None
+            try:
+                M2 = csr_to_lane_ell(A, dt)
+            finally:
+                _native._LIB = lib_save
+            assert M1.slot_ranges == M2.slot_ranges
+            assert (M1.K, M1.S, M1.R, M1.TB) == (M2.K, M2.S, M2.R, M2.TB)
+            np.testing.assert_array_equal(np.asarray(M1.vals),
+                                          np.asarray(M2.vals))
+            np.testing.assert_array_equal(np.asarray(M1.idx),
+                                          np.asarray(M2.idx))
