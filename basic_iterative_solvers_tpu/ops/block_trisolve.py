@@ -661,18 +661,29 @@ def _sb_plan(analysis, upper: bool, spec, tile_rows: int):
         gc_dl=gc_dl, gs_tb=gs_tb, gs_dx=gs_dx, TB=TB, R_b=R_b, S=S, m=m)
 
 
+@lru_cache(maxsize=4)
+def _sb_coords(spec_params, n: int):
+    """(superblock id, in-block slot) per row — shared by the L and U
+    assemblies of one setup (each is a multi-pass O(n) host sweep)."""
+    nx, ny, nz, sx, sy, sz = spec_params
+    my = ny // sy
+    idx = np.arange(n, dtype=np.int32 if n < 2**31 else np.int64)
+    X, Y, Z = _grid_coords(idx, nx, ny)
+    SB = (Y % sy) + sy * (Z % sz)
+    SLOT = X + nx * ((Y // sy) + my * (Z // sz))
+    SB.flags.writeable = False
+    SLOT.flags.writeable = False
+    return SB, SLOT
+
+
 def _sb_assemble(plan, vc_big, vs_big, D, n, spec, *, upper, dtype, need_d,
                  fused) -> SuperBlockTriSolve:
     """dinv/d blocks + per-level slab views → SuperBlockTriSolve (the
     ascending-key order makes each level's groups contiguous and already
     slab-sorted, so slabs are views, never copies)."""
     nx, ny, nz, sx, sy, sz = spec.params
-    my = ny // sy
     S, R_b, TB = plan.S, plan.R_b, plan.TB
-    idx = np.arange(n, dtype=np.int64)
-    X, Y, Z = _grid_coords(idx, nx, ny)
-    SB = (Y % sy) + sy * (Z % sz)
-    SLOT = X + nx * ((Y // sy) + my * (Z // sz))
+    SB, SLOT = _sb_coords(tuple(int(p) for p in spec.params), n)
     dinv_np = np.zeros((S, R_b * LANES), dtype=dtype)
     dv = np.ones(n) if D is None else np.asarray(D, dtype=np.float64)
     if np.any(dv == 0):
