@@ -97,6 +97,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_permute_factor_csr.argtypes = [
         ctypes.c_int32, _i64p, _i32p, _f64p, _i32p, _i32p,
         ctypes.c_double, ctypes.c_double, _i64p, _i32p, _f64p]
+    lib.bis_csr_to_dia_pack.restype = None
+    lib.bis_csr_to_dia_pack.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _f64p, _i64p, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p]
     lib.bis_csr_pattern_stats.restype = ctypes.c_longlong
     lib.bis_csr_pattern_stats.argtypes = [
         ctypes.c_int32, ctypes.c_int32, _i64p, _i32p, ctypes.c_longlong,
@@ -292,6 +296,24 @@ def bfs_perm(A, reverse: bool, sort_by_degree: bool):
     lib.bis_bfs_perm(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
                      1 if reverse else 0, 1 if sort_by_degree else 0, perm)
     return perm
+
+
+def csr_to_dia_pack(A, offsets, npad: int, dtype):
+    """(n_diags, npad) DIA data planes in one C sweep, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    offsets = _as(np.asarray(offsets), np.int64)
+    data = np.zeros((max(1, len(offsets)), npad), dtype=dt)
+    lib.bis_csr_to_dia_pack(
+        A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
+        _as(A.val, np.float64), offsets, len(offsets), npad,
+        1 if dt == np.dtype(np.float32) else 0,
+        data.ctypes.data_as(ctypes.c_void_p))
+    return data
 
 
 def csr_pattern_stats(A, cap: int = 4096):

@@ -106,9 +106,6 @@ def analyze_diagonals(A: MatrixCSR, cap: int = 1 << 20):
 def csr_to_dia(A: MatrixCSR, dtype=np.float32) -> DeviceDIA:
     from .ops.pallas_spmv import MIN_ROW_TILE
     offsets, _ = analyze_diagonals(A)
-    rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
-    offs = A.col.astype(np.int64) - rows
-    d_idx = np.searchsorted(offsets, offs)
     # Pick the Pallas row tile: at least the halo width, so any tile's x
     # window [r0 - hneg, r0 + R + hpos) fits in two consecutive tiles.
     hneg = int(max(0, -offsets.min())) if offsets.size else 0
@@ -118,8 +115,14 @@ def csr_to_dia(A: MatrixCSR, dtype=np.float32) -> DeviceDIA:
     # Row dimension padded to a multiple of the tile so the grid divides
     # evenly (padding rows are structural zeros).
     npad = max(row_tile, -(-A.n_rows // row_tile) * row_tile)
-    data = np.zeros((max(1, offsets.size), npad), dtype=dtype)
-    data[d_idx, rows] = A.val.astype(dtype)
+    from . import _native
+    data = _native.csr_to_dia_pack(A, offsets, npad, dtype)
+    if data is None:
+        rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), A.row_nnz())
+        offs = A.col.astype(np.int64) - rows
+        d_idx = np.searchsorted(offsets, offs)
+        data = np.zeros((max(1, offsets.size), npad), dtype=dtype)
+        data[d_idx, rows] = A.val.astype(dtype)
     return DeviceDIA(data=jnp.asarray(data),
                      offsets=tuple(int(o) for o in offsets),
                      n_rows=A.n_rows, n_cols=A.n_cols, row_tile=row_tile)

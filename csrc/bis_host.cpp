@@ -627,6 +627,36 @@ void bis_lane_ell_pack(int32_t n_rows, const int64_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// DIA pack: data[d, i] = A[i, i + offsets[d]] in one sweep over the CSR
+// (device_matrix.csr_to_dia's repeat/searchsorted/fancy-scatter NumPy
+// passes).  `offsets` sorted ascending (from bis_csr_pattern_stats);
+// per-entry diagonal index by binary search (n_diags is small — DIA is
+// only chosen under ~100 diagonals).  data_out is (n_diags, npad),
+// pre-zeroed by the caller.
+// ---------------------------------------------------------------------------
+void bis_csr_to_dia_pack(int32_t n_rows, const int64_t* row_ptr,
+                         const int32_t* col, const double* val,
+                         const int64_t* offsets, int64_t n_diags,
+                         int64_t npad, int dtype32, void* data_out) {
+    float* df = (float*)data_out;
+    double* dd = (double*)data_out;
+    for (int32_t i = 0; i < n_rows; ++i) {
+        for (int64_t k = row_ptr[i]; k < row_ptr[i + 1]; ++k) {
+            const int64_t off = (int64_t)col[k] - i;
+            int64_t lo = 0, hi = n_diags - 1, d = 0;
+            while (lo <= hi) {
+                const int64_t mid = (lo + hi) >> 1;
+                if (offsets[mid] < off) lo = mid + 1;
+                else if (offsets[mid] > off) hi = mid - 1;
+                else { d = mid; break; }
+            }
+            if (dtype32) df[d * npad + i] = (float)val[k];
+            else dd[d * npad + i] = val[k];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // HPCG 27-point stencil CSR generator (the benchmark family's matrix,
 // /root/reference/README.md:3-6 figures; row-equivalent to
 // generators.stencil_27pt, which is the NumPy oracle).  Columns come out

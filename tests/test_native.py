@@ -350,3 +350,22 @@ def test_lane_ell_native_build_matches_numpy():
                                           np.asarray(M2.vals))
             np.testing.assert_array_equal(np.asarray(M1.idx),
                                           np.asarray(M2.idx))
+
+
+@needs_native
+def test_csr_to_dia_native_matches_numpy():
+    """The one-sweep C DIA pack equals the NumPy searchsorted/scatter."""
+    from basic_iterative_solvers_tpu.device_matrix import csr_to_dia
+    for src in ("band:500,3", "hpcg:8x6x8", "fdm:12"):
+        A = generators.from_source(src)
+        for dt in (np.float32, np.float64):
+            M1 = csr_to_dia(A, dt)
+            lib_save, _native._LIB = _native._LIB, None
+            try:
+                M2 = csr_to_dia(A, dt)
+            finally:
+                _native._LIB = lib_save
+            assert M1.offsets == M2.offsets
+            assert M1.row_tile == M2.row_tile
+            np.testing.assert_array_equal(np.asarray(M1.data),
+                                          np.asarray(M2.data))
