@@ -63,6 +63,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_coo_to_csr.argtypes = [
         ctypes.c_longlong, ctypes.c_int32, ctypes.c_int32,
         _i32p, _i32p, _f64p, _i64p, _i32p, _f64p]
+    lib.bis_coo_dedup_csr.restype = ctypes.c_longlong
+    lib.bis_coo_dedup_csr.argtypes = [
+        ctypes.c_longlong, ctypes.c_int32, ctypes.c_int32,
+        _i32p, _i32p, _f64p, _i64p, _i32p, _f64p]
     lib.bis_split_lu_count.restype = None
     lib.bis_split_lu_count.argtypes = [
         ctypes.c_int32, _i64p, _i32p, _i64p, _i64p, _i64p, _i64p]
@@ -193,6 +197,24 @@ def coo_to_csr(nnz, n_rows, n_cols, I, J, V):
     if rc != 0:
         raise ValueError("COO indices out of range")
     return row_ptr, col, val
+
+
+def coo_dedup_csr(nnz, n_rows, n_cols, I, J, V):
+    """CSR with duplicate (i,j) entries summed in input order (stable LSD
+    sorts — bit-identical to a stable argsort + add.at pipeline), or None.
+    Returns (row_ptr, col, val) with the deduplicated nnz."""
+    lib = _load()
+    if lib is None:
+        return None
+    I, J, V = _as(I, np.int32), _as(J, np.int32), _as(V, np.float64)
+    row_ptr = np.empty(n_rows + 1, dtype=np.int64)
+    col = np.empty(max(1, nnz), dtype=np.int32)
+    val = np.empty(max(1, nnz), dtype=np.float64)
+    out = lib.bis_coo_dedup_csr(nnz, n_rows, n_cols, I, J, V,
+                                row_ptr, col, val)
+    if out < 0:
+        raise ValueError("COO indices out of range")
+    return row_ptr, col[:out].copy(), val[:out].copy()
 
 
 def split_lu(A):

@@ -130,6 +130,45 @@ int bis_coo_to_csr(long long nnz, int32_t n_rows, int32_t n_cols,
 }
 
 // ---------------------------------------------------------------------------
+// COO -> CSR with duplicate (i,j) entries SUMMED (Matrix-Market duplicate
+// semantics; generators.scattered_band's symmetrization overlaps).  Same
+// two stable LSD counting-sort passes as bis_coo_to_csr, then an in-place
+// compaction — summation order is the stable sort order, i.e. the input
+// order within each (i,j) group, so results are bit-identical to the NumPy
+// stable-argsort + add.at pipeline it replaces (which comparison-sorted
+// ~90M int64 keys: the dominant generator cost on the throttled host).
+// Returns the deduplicated nnz, or -1 on out-of-range indices.
+// ---------------------------------------------------------------------------
+long long bis_coo_dedup_csr(long long nnz, int32_t n_rows, int32_t n_cols,
+                            const int32_t* I, const int32_t* J,
+                            const double* V, int64_t* row_ptr, int32_t* col,
+                            double* val) {
+    int rc = bis_coo_to_csr(nnz, n_rows, n_cols, I, J, V, row_ptr, col, val);
+    if (rc == -1) return -1;
+    if (rc == 0) return nnz;               // no duplicates: already done
+    int64_t w = 0;
+    int64_t read = 0;
+    for (int32_t i = 0; i < n_rows; ++i) {
+        const int64_t e = row_ptr[i + 1];
+        const int64_t row_start = w;
+        while (read < e) {
+            int32_t c = col[read];
+            double s = val[read];
+            ++read;
+            while (read < e && col[read] == c) { s += val[read]; ++read; }
+            col[w] = c;
+            val[w] = s;
+            ++w;
+        }
+        // safe: row i's old end (row_ptr[i+1]) was read before this and
+        // row_ptr[i] is not consulted again
+        row_ptr[i] = row_start;
+    }
+    row_ptr[n_rows] = w;
+    return w;
+}
+
+// ---------------------------------------------------------------------------
 // L/U split: one counting pass + one fill pass producing all four parts
 // (split_LU_new analog, /root/reference/utilities/LU_factors.hpp:122-309).
 // Outputs: L (lower+diag), Ls (strict lower), U (upper+diag), Us (strict

@@ -369,3 +369,27 @@ def test_csr_to_dia_native_matches_numpy():
             assert M1.row_tile == M2.row_tile
             np.testing.assert_array_equal(np.asarray(M1.data),
                                           np.asarray(M2.data))
+
+
+@needs_native
+def test_coo_dedup_csr_matches_numpy_pipeline():
+    """Stable LSD dedup-sum is bit-identical to the stable-argsort +
+    add.at pipeline (scattered_band exercises both)."""
+    for n, k, sp, seed in ((3000, 6, 200, 2), (64, 3, 10, 1)):
+        A1 = generators.scattered_band(n, k, sp, seed=seed)
+        lib_save, _native._LIB = _native._LIB, None
+        try:
+            A2 = generators.scattered_band(n, k, sp, seed=seed)
+        finally:
+            _native._LIB = lib_save
+        np.testing.assert_array_equal(A1.row_ptr, A2.row_ptr)
+        np.testing.assert_array_equal(A1.col, A2.col)
+        np.testing.assert_array_equal(A1.val, A2.val)
+    # direct: duplicates summed in input order, no-dup inputs unchanged
+    I = np.array([1, 0, 1, 1], dtype=np.int32)
+    J = np.array([0, 1, 0, 1], dtype=np.int32)
+    V = np.array([1.0, 2.0, 3.5, -1.0])
+    row_ptr, col, val = _native.coo_dedup_csr(4, 2, 2, I, J, V)
+    np.testing.assert_array_equal(row_ptr, [0, 1, 3])
+    np.testing.assert_array_equal(col, [1, 0, 1])
+    np.testing.assert_allclose(val, [2.0, 4.5, -1.0])
