@@ -101,6 +101,10 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.bis_permute_factor_csr.argtypes = [
         ctypes.c_int32, _i64p, _i32p, _f64p, _i32p, _i32p,
         ctypes.c_double, ctypes.c_double, _i64p, _i32p, _f64p]
+    lib.bis_csr_to_ell_pack.restype = None
+    lib.bis_csr_to_ell_pack.argtypes = [
+        ctypes.c_int32, _i64p, _i32p, _f64p, ctypes.c_longlong,
+        ctypes.c_int, _i32p, ctypes.c_void_p]
     lib.bis_csr_to_dia_pack.restype = None
     lib.bis_csr_to_dia_pack.argtypes = [
         ctypes.c_int32, _i64p, _i32p, _f64p, _i64p, ctypes.c_longlong,
@@ -318,6 +322,23 @@ def bfs_perm(A, reverse: bool, sort_by_degree: bool):
     lib.bis_bfs_perm(A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
                      1 if reverse else 0, 1 if sort_by_degree else 0, perm)
     return perm
+
+
+def csr_to_ell_pack(A, K: int, dtype):
+    """(data, cols) padded-row ELL planes in one C sweep, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    dt = np.dtype(dtype)
+    if dt not in (np.dtype(np.float32), np.dtype(np.float64)):
+        return None
+    cols = np.zeros((A.n_rows, K), dtype=np.int32)
+    data = np.zeros((A.n_rows, K), dtype=dt)
+    lib.bis_csr_to_ell_pack(
+        A.n_rows, _as(A.row_ptr, np.int64), _as(A.col, np.int32),
+        _as(A.val, np.float64), K, 1 if dt == np.dtype(np.float32) else 0,
+        cols, data.ctypes.data_as(ctypes.c_void_p))
+    return data, cols
 
 
 def csr_to_dia_pack(A, offsets, npad: int, dtype):

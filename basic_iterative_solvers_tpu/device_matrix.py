@@ -132,13 +132,18 @@ def csr_to_ell(A: MatrixCSR, dtype=np.float32) -> DeviceELL:
     row_nnz = A.row_nnz()
     K = int(row_nnz.max()) if A.n_rows else 0
     K = max(_ELL_PAD, -(-K // _ELL_PAD) * _ELL_PAD)
-    rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), row_nnz)
-    starts = A.row_ptr[:-1]
-    lane = np.arange(A.nnz, dtype=np.int64) - starts[rows]
-    cols = np.zeros((A.n_rows, K), dtype=np.int32)
-    data = np.zeros((A.n_rows, K), dtype=dtype)
-    cols[rows, lane] = A.col
-    data[rows, lane] = A.val.astype(dtype)
+    from . import _native
+    packed = _native.csr_to_ell_pack(A, K, dtype)
+    if packed is not None:
+        data, cols = packed
+    else:
+        rows = np.repeat(np.arange(A.n_rows, dtype=np.int64), row_nnz)
+        starts = A.row_ptr[:-1]
+        lane = np.arange(A.nnz, dtype=np.int64) - starts[rows]
+        cols = np.zeros((A.n_rows, K), dtype=np.int32)
+        data = np.zeros((A.n_rows, K), dtype=dtype)
+        cols[rows, lane] = A.col
+        data[rows, lane] = A.val.astype(dtype)
     return DeviceELL(data=jnp.asarray(data), cols=jnp.asarray(cols),
                      n_rows=A.n_rows, n_cols=A.n_cols)
 

@@ -666,6 +666,27 @@ void bis_lane_ell_pack(int32_t n_rows, const int64_t* row_ptr,
 }
 
 // ---------------------------------------------------------------------------
+// Padded-row ELL pack (the XLA-gather fallback format): cols/data are
+// (n_rows, K) row-major, pre-zeroed by the caller; one sequential sweep.
+// ---------------------------------------------------------------------------
+void bis_csr_to_ell_pack(int32_t n_rows, const int64_t* row_ptr,
+                         const int32_t* col, const double* val,
+                         int64_t K, int dtype32, int32_t* cols_out,
+                         void* data_out) {
+    float* df = (float*)data_out;
+    double* dd = (double*)data_out;
+    for (int32_t i = 0; i < n_rows; ++i) {
+        const int64_t s = row_ptr[i], e = row_ptr[i + 1];
+        const int64_t base = (int64_t)i * K;
+        for (int64_t k = s; k < e; ++k) {
+            cols_out[base + (k - s)] = col[k];
+            if (dtype32) df[base + (k - s)] = (float)val[k];
+            else dd[base + (k - s)] = val[k];
+        }
+    }
+}
+
+// ---------------------------------------------------------------------------
 // DIA pack: data[d, i] = A[i, i + offsets[d]] in one sweep over the CSR
 // (device_matrix.csr_to_dia's repeat/searchsorted/fancy-scatter NumPy
 // passes).  `offsets` sorted ascending (from bis_csr_pattern_stats);

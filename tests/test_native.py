@@ -393,3 +393,21 @@ def test_coo_dedup_csr_matches_numpy_pipeline():
     np.testing.assert_array_equal(row_ptr, [0, 1, 3])
     np.testing.assert_array_equal(col, [1, 0, 1])
     np.testing.assert_allclose(val, [2.0, 4.5, -1.0])
+
+
+@needs_native
+def test_csr_to_ell_native_matches_numpy():
+    from basic_iterative_solvers_tpu.device_matrix import csr_to_ell
+    for src in ("sband:2000,5,150", "hpcg:8x6x8"):
+        A = generators.from_source(src)
+        for dt in (np.float32, np.float64):
+            M1 = csr_to_ell(A, dt)
+            lib_save, _native._LIB = _native._LIB, None
+            try:
+                M2 = csr_to_ell(A, dt)
+            finally:
+                _native._LIB = lib_save
+            np.testing.assert_array_equal(np.asarray(M1.cols),
+                                          np.asarray(M2.cols))
+            np.testing.assert_array_equal(np.asarray(M1.data),
+                                          np.asarray(M2.data))
