@@ -269,8 +269,15 @@ def factor_ilu0_colored_triplets(A: MatrixCSR, colors: np.ndarray,
     from .permute import permute_csr
 
     perm, inv = colors_to_perm(colors)
-    Ap = permute_csr(A, perm, inv)
-    lu_val_p = _ilu0_values(Ap, pivot_tolerance, pivot_replacement)
+    # one fused C sweep when available (permute + factor, no intermediate
+    # matrix copy — bis_permute_factor_csr); two-pass fallback otherwise
+    fused_pf = _native.permute_factor_csr(A, perm, inv, pivot_tolerance,
+                                          pivot_replacement)
+    if fused_pf is not None:
+        Ap, lu_val_p = fused_pf
+    else:
+        Ap = permute_csr(A, perm, inv)
+        lu_val_p = _ilu0_values(Ap, pivot_tolerance, pivot_replacement)
 
     n = A.n_rows
     if _native.available() and n < 2**31:
