@@ -400,6 +400,14 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
         # ILU(0)-blocked path with an injected matrix-free operator) and
         # the mesh SpMV converts around the shard-local kernel
         planar_vecs = setup.x_decode is not None
+        if M.mg_data is not None and planar_vecs:
+            # the multigrid hierarchy's level arrays are built against the
+            # UNSHARDED planar geometry; re-planarizing the solve vectors
+            # with shard-aligned padding would break every fine-level op.
+            # GSPMD mode partitions the whole V-cycle correctly instead.
+            raise _MeshIneligible(
+                "multigrid hierarchy is not mesh-wrapped for planar "
+                "vectors; use mode='gspmd' (auto falls back)")
         old = A if A.planar else to_planar_matrix(A)
         if not _planar_ok(old):
             raise _MeshIneligible("stencil legs exceed the planar window")

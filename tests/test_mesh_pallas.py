@@ -278,3 +278,25 @@ def test_mesh_lane_ell_chebyshev(interpret):
     assert isinstance(setup8.M.A_full_dev, MeshLaneELL)
     res8 = bis.solve(setup8)
     _check(res8, res1)
+
+
+def test_mesh_multigrid(interpret):
+    """Geometric multigrid V-cycle M⁻¹ over a mesh: GSPMD partitions the
+    whole cycle (trajectory matches single-device); the shard_map kernel
+    path refuses planar-vector MG cleanly (its hierarchy is built against
+    the unsharded planar geometry) and auto mode falls back to GSPMD."""
+    import pytest
+
+    A = stencil_op.stencil_27pt_operator(8, 8, 8, dtype=np.float64)
+    cfg = _cfg(SolverType.CONJUGATE_GRADIENT, PrecondType.MULTIGRID,
+               planar_vectors="on")
+    res1 = bis.solve(bis.preprocessing_device(A, cfg))
+    setup8 = shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8),
+                         mode="gspmd")
+    _check(bis.solve(setup8), res1)
+    with pytest.raises(ValueError, match="multigrid.*gspmd"):
+        shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8),
+                    mode="shard_map")
+    # auto mode silently takes the GSPMD path
+    setup_auto = shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8))
+    _check(bis.solve(setup_auto), res1)
