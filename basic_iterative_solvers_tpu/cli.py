@@ -31,9 +31,13 @@ TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --orthog mgs|cgs2|lowsync   GMRES orthogonalization scheme
     --cg-flavor classic|pipelined  pipelined = the alpha/beta reductions
                                 overlap the SpMV (multi-chip latency mode)
-    --cg-rr N       pipelined-CG residual-replacement period (default 25;
-                    0 disables — attainable accuracy then stalls ~2-3
-                    decades above classic's)
+    --cg-rr N       pipelined-CG residual-replacement backstop period
+                    (default 25; 0 disables replacement entirely —
+                    attainable accuracy then stalls ~2-3 decades above
+                    classic's)
+    --cg-rr-theta T pipelined-CG flying-restart trigger: replace when the
+                    recurrence norm drops below T x its max since the
+                    last replacement (default 0.03)
     --refine K      mixed-precision iterative refinement: up to K outer
                     float64 correction steps around the configured
                     (f32/bf16) solver — reference-grade fp64 convergence
@@ -129,6 +133,8 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             extras["cg_flavor"] = need_value()
         elif arg == "--cg-rr":
             extras["cg_rr_period"] = int(need_value())
+        elif arg == "--cg-rr-theta":
+            extras["cg_rr_theta"] = float(need_value())
         elif arg == "--cheby-degree":
             extras["cheby_degree"] = int(need_value())
         elif arg == "--cheby-ratio":

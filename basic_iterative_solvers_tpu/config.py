@@ -122,11 +122,20 @@ class SolverConfig:
     # stalls ~2-3 decades above classic CG's (a known property; Cools &
     # Vanroose), which matters at the reference's tol = 1e-14.  The
     # replacement must fire BEFORE the drift stalls the recurrence (a
-    # stalled search direction p is not repaired by replacement), so the
-    # default period is a conservative 25 — measured to recover classic's
-    # iteration count within ~10% at tol = 1e-14 where period 50 stalls.
-    # Amortized cost: 3 extra SpMV + 2 M⁻¹ every k iterations.  0 disables.
+    # stalled search direction p is not repaired by replacement).  The
+    # primary trigger is therefore the Sleijpen/van der Vorst flying
+    # restart: replace whenever the recurrence norm has dropped below
+    # cg_rr_theta × (max norm since the last replacement) — the drift
+    # bound scales with that max, so this fires exactly when the true and
+    # recurrence residuals are about to separate (measured: a fixed
+    # period 25 fires AFTER f32 drift has already poisoned p — the solve
+    # then oscillates forever — while the decrease trigger replaces a
+    # handful of times per solve and recovers classic behavior in both
+    # f32 and f64).  cg_rr_period remains as a backstop cap for long
+    # stagnation plateaus.  Amortized cost: 3 extra SpMV + 2 M⁻¹ per
+    # replacement.  period 0 disables replacement entirely.
     cg_rr_period: int = 25
+    cg_rr_theta: float = 0.03
     # Mixed-precision iterative refinement (--refine K; no reference
     # analog).  K > 0 wraps the configured solver in up to K outer
     # correction steps: each outer computes the TRUE float64 residual
@@ -249,6 +258,7 @@ class Args:
     gmres_basis_dtype: Optional[str] = None
     cg_flavor: str = "classic"
     cg_rr_period: int = 25
+    cg_rr_theta: float = 0.03
 
     def to_config(self, dtype: Optional[np.dtype] = None) -> SolverConfig:
         import jax
@@ -277,4 +287,5 @@ class Args:
             gmres_basis_dtype=self.gmres_basis_dtype,
             cg_flavor=self.cg_flavor,
             cg_rr_period=self.cg_rr_period,
+            cg_rr_theta=self.cg_rr_theta,
         )

@@ -121,13 +121,20 @@ class PipelinedCGMethod:
     First iteration: γ_old = ∞ makes β exactly 0 (finite/∞), reducing
     α to γ/δ — no special-casing inside the fused while_loop.
 
-    Residual replacement (config.cg_rr_period): the extra recurrences
-    drift, stalling the attainable residual ~2-3 decades above classic
-    CG's — fatal at the reference's tol = 1e-14.  Every k-th iteration
+    Residual replacement: the extra recurrences drift, separating the
+    recurrence residual from the TRUE residual — fatal at the reference's
+    tol = 1e-14 (and, in f32, within ~20 iterations).  When triggered,
     the vectors are recomputed from x and p directly (r = b − A·x,
     u = M⁻¹r, w = A·u; s = A·p, q = M⁻¹s, z = A·q — Cools & Vanroose's
-    standard fix), restoring classic-grade attainable accuracy for
-    3 SpMV + 2 M⁻¹ every k iterations.
+    standard fix).  The PRIMARY trigger is the Sleijpen/van der Vorst
+    flying restart: replace when the recurrence norm drops below
+    cg_rr_theta × (max norm since the last replacement) — the rounding
+    drift is bounded by that max, so this fires exactly when the two
+    residuals are about to separate, a handful of times per solve.  A
+    fixed period alone (cg_rr_period, kept as a backstop for stagnation
+    plateaus) measurably fires too late: in f32 the drift poisons p
+    before iteration 25 and the replaced solve then oscillates forever.
+    cg_rr_period = 0 disables replacement entirely.
     """
 
     supports_fused = True
@@ -139,6 +146,7 @@ class PipelinedCGMethod:
         self.b = setup.b
         self.use_pallas = setup.config.use_pallas
         self.rr_period = int(setup.config.cg_rr_period)
+        self.rr_theta = float(getattr(setup.config, "cg_rr_theta", 1e-2))
         from ..types import PrecondType
         # With identity M: u ≡ r and the q/s recurrences coincide — carry
         # only x, r, w, p, s, z (γ = ‖r‖² comes off the carried norm).
@@ -155,18 +163,19 @@ class PipelinedCGMethod:
         rn = euclidean_vec_norm(r)
         inf, one = self._scalars(rn.dtype)
         k = jnp.asarray(0, jnp.int32)
+        k0 = jnp.asarray(0, jnp.int32)
         if self._identity_M:
             w = spmv(self.A, r, self.use_pallas)
             zero = jnp.zeros_like(r)
             return {"x": x, "r": r, "w": w, "p": zero, "s": zero,
                     "z": zero, "gamma_old": inf, "alpha_old": one,
-                    "k": k, "residual_norm": rn}
+                    "k": k, "residual_norm": rn, "rn_max": rn, "k_rep": k0}
         u = apply_preconditioner(self.M, r)
         w = spmv(self.A, u, self.use_pallas)
         zero = jnp.zeros_like(r)
         return {"x": x, "r": r, "u": u, "w": w, "p": zero, "s": zero,
                 "q": zero, "z": zero, "gamma_old": inf, "alpha_old": one,
-                "k": k, "residual_norm": rn}
+                "k": k, "residual_norm": rn, "rn_max": rn, "k_rep": k0}
 
     def initial_residual_norm(self, state):
         return state["residual_norm"]
@@ -190,21 +199,33 @@ class PipelinedCGMethod:
             r = subtract_vectors(r, s, alpha)
             w = subtract_vectors(w, z, alpha)
             k = state["k"] + jnp.int32(1)
+            rn_new = euclidean_vec_norm(r)
+            rn_max, k_rep = state["rn_max"], state["k_rep"]
             if self.rr_period:
-                def _rep(_):
+                k_rep = k_rep + jnp.int32(1)
+                trigger = ((rn_new < self.rr_theta * rn_max)
+                           | (k_rep >= jnp.int32(self.rr_period)))
+
+                def _rep(args):
                     r2 = subtract_vectors(
                         self.b, spmv(self.A, x, self.use_pallas))
                     w2 = spmv(self.A, r2, self.use_pallas)
                     s2 = spmv(self.A, p, self.use_pallas)
                     z2 = spmv(self.A, s2, self.use_pallas)
-                    return r2, w2, s2, z2
+                    rn2 = euclidean_vec_norm(r2)
+                    return r2, w2, s2, z2, rn2, rn2, jnp.int32(0)
 
-                r, w, s, z = jax.lax.cond(
-                    k % jnp.int32(self.rr_period) == 0,
-                    _rep, lambda _: (r, w, s, z), None)
+                def _keep(args):
+                    r_, w_, s_, z_, rn_, rm_, kr_ = args
+                    return r_, w_, s_, z_, rn_, jnp.maximum(rm_, rn_), kr_
+
+                r, w, s, z, rn_new, rn_max, k_rep = jax.lax.cond(
+                    trigger, _rep, _keep,
+                    (r, w, s, z, rn_new, rn_max, k_rep))
             return {"x": x, "r": r, "w": w, "p": p, "s": s, "z": z,
                     "gamma_old": gamma, "alpha_old": alpha, "k": k,
-                    "residual_norm": euclidean_vec_norm(r)}
+                    "residual_norm": rn_new, "rn_max": rn_max,
+                    "k_rep": k_rep}
         x, r, u, w = state["x"], state["r"], state["u"], state["w"]
         p, s, q, z = state["p"], state["s"], state["q"], state["z"]
         gamma = dot(r, u)
@@ -222,8 +243,14 @@ class PipelinedCGMethod:
         u = subtract_vectors(u, q, alpha)
         w = subtract_vectors(w, z, alpha)
         k = state["k"] + jnp.int32(1)
+        rn_new = euclidean_vec_norm(r)
+        rn_max, k_rep = state["rn_max"], state["k_rep"]
         if self.rr_period:
-            def _rep(_):
+            k_rep = k_rep + jnp.int32(1)
+            trigger = ((rn_new < self.rr_theta * rn_max)
+                       | (k_rep >= jnp.int32(self.rr_period)))
+
+            def _rep(args):
                 r2 = subtract_vectors(
                     self.b, spmv(self.A, x, self.use_pallas))
                 u2 = apply_preconditioner(self.M, r2)
@@ -231,14 +258,20 @@ class PipelinedCGMethod:
                 s2 = spmv(self.A, p, self.use_pallas)
                 q2 = apply_preconditioner(self.M, s2)
                 z2 = spmv(self.A, q2, self.use_pallas)
-                return r2, u2, w2, s2, q2, z2
+                rn2 = euclidean_vec_norm(r2)
+                return r2, u2, w2, s2, q2, z2, rn2, rn2, jnp.int32(0)
 
-            r, u, w, s, q, z = jax.lax.cond(
-                k % jnp.int32(self.rr_period) == 0,
-                _rep, lambda _: (r, u, w, s, q, z), None)
+            def _keep(args):
+                r_, u_, w_, s_, q_, z_, rn_, rm_, kr_ = args
+                return (r_, u_, w_, s_, q_, z_, rn_,
+                        jnp.maximum(rm_, rn_), kr_)
+
+            r, u, w, s, q, z, rn_new, rn_max, k_rep = jax.lax.cond(
+                trigger, _rep, _keep,
+                (r, u, w, s, q, z, rn_new, rn_max, k_rep))
         return {"x": x, "r": r, "u": u, "w": w, "p": p, "s": s, "q": q,
                 "z": z, "gamma_old": gamma, "alpha_old": alpha, "k": k,
-                "residual_norm": euclidean_vec_norm(r)}
+                "residual_norm": rn_new, "rn_max": rn_max, "k_rep": k_rep}
 
     def sample_norm(self, state):
         return state["residual_norm"]

@@ -533,3 +533,19 @@ def test_iterative_refinement_reuses_compiled_runner(monkeypatch):
                            tolerance=1e-12, refine_outer=6)
     assert res.converged and res.refine_outer_count >= 2
     assert len(builds) == 1, f"runner rebuilt {len(builds)} times"
+
+
+def test_pipelined_cg_strong_preconditioners_f32():
+    """Regression: f32 pipelined CG with STRONG preconditioners (mg,
+    cheby, sgs) used to stall forever — the fixed-period replacement fired
+    after the drift had poisoned p.  The flying-restart trigger
+    (cg_rr_theta decrease criterion) replaces before the true and
+    recurrence residuals separate; iteration counts must match f64."""
+    import basic_iterative_solvers_tpu as bis
+    for prec, max_it in (("mg", 10), ("cheby", 14), ("sgs", 18)):
+        r32 = bis.solve_system("hpcg:16x16x16", method="cg",
+                               cg_flavor="pipelined", preconditioner=prec,
+                               dtype=np.float32, harness="fused",
+                               tolerance=1e-6, max_iters=100)
+        assert r32.converged and r32.iter_count <= max_it, (
+            prec, r32.iter_count, float(r32.final_residual_norm))
