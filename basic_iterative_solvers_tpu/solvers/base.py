@@ -499,7 +499,17 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
     for _ in range(cfg.refine_outer):
         if converged:
             break
-        b_inner = jnp.asarray(r.astype(dtype))
+        # Solve the UNIT-SCALED correction system A·dx' = r/‖r‖ and apply
+        # dx = ‖r‖·dx': every inner solve then runs in the same numerical
+        # regime regardless of how many decades the outers have gained —
+        # an unscaled late-outer RHS of ~1e-8 drives f32 recurrences
+        # (squares/products of ~1e-16 intermediates) into denormal
+        # territory and BiCGSTAB-class rho/omega divisions into NaN.
+        r_scale = float(np.linalg.norm(r))
+        if r_scale == 0.0:
+            converged = True
+            break
+        b_inner = jnp.asarray((r / r_scale).astype(dtype))
         if planar_vecs:
             b_inner = to_planar_vec(A_un, b_inner)
         # Only b changes between outers.  Re-point the already-compiled
@@ -519,11 +529,29 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
         outers += 1
         total_iters += last.iter_count
         restarts += last.gmres_restart_count
-        dx = np.asarray(last.x_star, dtype=np.float64)
-        if not np.all(np.isfinite(dx)):
-            # inner solve broke down at the floating-point floor (a
-            # near-zero correction RHS underflows f32 norms) — keep the
-            # last good x; the convergence check below stands as is
+        dx = r_scale * np.asarray(last.x_star, dtype=np.float64)
+        while not np.all(np.isfinite(dx)):
+            # the inner recurrence broke down with NaN when driven past
+            # its attainable floor (f32 BiCGSTAB's rho/omega divisions do
+            # this below ~1e-6 relative) — retry THIS outer with the
+            # inner tolerance loosened 100x; refinement squares the outer
+            # contraction anyway, so a 1e-2 inner still converges, just
+            # with more outers
+            tol_now = float(inner_cfg.tolerance)
+            if tol_now >= 1e-2:
+                dx = None               # give up: keep the last good x
+                break
+            inner_cfg = _dc.replace(inner_cfg,
+                                    tolerance=min(1e-2, tol_now * 100.0))
+            setup_k = _dc.replace(setup, config=inner_cfg, b=b_inner,
+                                  x0=x0_inner)
+            from .factory import make_method
+            method_k = make_method(setup_k)
+            last = solve(method_k.setup, method=method_k)
+            total_iters += last.iter_count
+            restarts += last.gmres_restart_count
+            dx = r_scale * np.asarray(last.x_star, dtype=np.float64)
+        if dx is None:
             break
         x = x + dx
         r = residual_f64(setup, x)

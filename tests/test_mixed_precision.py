@@ -97,3 +97,17 @@ def test_refinement_over_mesh_kernels():
         assert res.final_residual_norm <= res.stopping_criteria
     finally:
         pallas_env.INTERPRET = False
+
+
+def test_refinement_all_krylov_methods_f32():
+    """Regression: unit-scaled inner correction systems.  Unscaled
+    late-outer RHS (~1e-8) drove f32 BiCGSTAB's rho/omega divisions into
+    NaN breakdown, stalling refinement after one outer.  All three Krylov
+    methods must now reach the fp64 criterion from f32 inners."""
+    for meth in ("cg", "bicgstab", "gmres"):
+        res = bis.solve_system("hpcg:16x16x16", method=meth,
+                               preconditioner="j", refine_outer=8,
+                               tolerance=1e-12, dtype=np.float32,
+                               harness="fused", max_iters=300)
+        assert res.converged, (meth, float(res.final_residual_norm))
+        assert res.final_residual_norm <= res.stopping_criteria
