@@ -51,6 +51,16 @@ if [ "$STEP" = "mg" ] || [ "$STEP" = "all" ]; then
     | grep -E "converged|residual|solve|total" | tee -a "$OUT/mg.log"
 fi
 
+if [ "$STEP" = "itertimes" ] || [ "$STEP" = "all" ]; then
+  # Measured on-device per-iteration walls via xprof segmentation
+  # (utils/xprof.py): GMRES should show its within-cycle cost growth like
+  # the reference's time-per-iteration figure.
+  echo "=== gmres --iter-times (xprof walls) ===" | tee -a "$OUT/itertimes.log"
+  timeout 2000 python -m basic_iterative_solvers_tpu hpcg:64x64x64 -gm \
+    -rl 30 -p j --tol 1e-8 --max-iters 90 --iter-times 2>&1 \
+    | tail -50 | tee -a "$OUT/itertimes.log"
+fi
+
 if [ "$STEP" = "bench" ] || [ "$STEP" = "all" ]; then
   echo "=== full bench ===" | tee -a "$OUT/bench.log"
   timeout 5400 python bench.py --backend-wait-mins 20 \
