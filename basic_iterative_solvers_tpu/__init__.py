@@ -54,8 +54,9 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
     """One-call convenience API: the CLI pipeline, in process.
 
     `matrix_source` is a .mtx path, a generator spec ("hpcg:64x64x64",
-    "scamac:Anderson,Lx=20,...", "fdm:16", "band:100,2"), a MatrixCSR, or a
-    device matrix (DeviceDIA/DeviceStencil).  `method` and `preconditioner`
+    "scamac:Anderson,Lx=20,...", "fdm:16", "band:100,2"), a MatrixCSR, a
+    scipy.sparse matrix/array, a dense 2-D ndarray, or a device matrix
+    (DeviceDIA/DeviceStencil).  `method` and `preconditioner`
     accept the CLI short names ("cg", "gm", "bi", "j", "gs", "sgs" /
     "j", "gs", "bgs", "sgs", "2st", "s2st", "ilu0") or the enums.
     Remaining kwargs go to SolverConfig.  Uses the device-native setup path
@@ -130,5 +131,13 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
                 "falls back to DIA); use matrix_format='auto' here")
         A = generators.from_source(A)
     if not isinstance(A, _CSR):
-        raise TypeError(f"unsupported matrix source: {type(matrix_source)}")
+        # migration adapters: scipy.sparse (duck-typed on .tocsr) and
+        # dense 2-D ndarrays
+        if hasattr(A, "tocsr"):
+            A = _CSR.from_scipy(A)
+        elif isinstance(A, _np.ndarray) and A.ndim == 2:
+            A = _CSR.from_dense(A)
+        else:
+            raise TypeError(
+                f"unsupported matrix source: {type(matrix_source)}")
     return solve(preprocessing(A, config, b=b, x0=x0))

@@ -116,6 +116,20 @@ class MatrixCSR:
                                     n_rows=dense.shape[0], n_cols=dense.shape[1])
         return convert_coo_to_csr(coo)
 
+    @staticmethod
+    def from_scipy(sp) -> "MatrixCSR":
+        """Adapter from any scipy.sparse matrix/array (migration glue for
+        reference users with scipy pipelines).  Duplicates are summed and
+        rows column-sorted — the class invariants."""
+        m = sp.tocsr()
+        m.sum_duplicates()
+        m.sort_indices()
+        n_rows, n_cols = m.shape
+        return MatrixCSR(int(n_rows), int(n_cols), int(m.nnz),
+                         np.asarray(m.indptr, dtype=np.int64),
+                         np.asarray(m.indices, dtype=np.int32),
+                         np.asarray(m.data, dtype=np.float64))
+
 
 def convert_coo_to_csr(coo: MatrixCOO, n_cols: Optional[int] = None) -> MatrixCSR:
     """COO → CSR with duplicate detection.
