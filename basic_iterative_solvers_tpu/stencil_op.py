@@ -7,8 +7,11 @@ stores them as general CRS because a CPU SpMV doesn't care; on TPU the
 matrix stream *is* the cost (DIA moves ~4 bytes of matrix data per nonzero).
 A constant stencil needs **zero** matrix traffic: y[i] = Σ_leg c · x[i+off]
 with boundary masks computed from index arithmetic in-register.  The SpMV
-then reads x (twice, block-windowed) and writes y — ~34 MB per application
-on HPCG-128 instead of ~260 MB.
+then reads x and writes y — ~2 vector passes per application on HPCG-128
+instead of ~260 MB of CRS streams.  Two kernel forms: the 3-window
+BlockSpec form (VMEM-resident working sets; window refetches are free) and
+the single-fetch streaming form (capacity sizes; a 3-slot VMEM ring makes
+every x block cross HBM exactly once — stencil_spmv_stream).
 
 `DeviceStencil` carries:
   * static legs (dx, dy, dz) with one scalar coefficient each (open
@@ -243,28 +246,23 @@ def planar_fill_halo(A: "DeviceStencil", xp: jax.Array,
 
 
 def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
-                     coeff_ref, w0_ref, w1_ref, w2_ref, y_ref,
+                     coeff_ref, w0x, w1x, w2x, y_ref,
                      diag_ref=None, dot_refs=(), aux_ref=None,
                      gs_refs=None, gs_color=None, gs_spec=None,
-                     row0_ref=None, halo_refs=None):
+                     row0_ref=None, tile_i=None):
     """Kernel body shared by the SpMV and fused-GS passes.
 
-    `halo_refs` = (top, bot) (TR, L) blocks substituted for the clamped
-    w0/w2 windows at the first/last grid step — the shard-local form
-    (parallel/mesh_ops.py) feeds ppermute-exchanged neighbor slabs here.
-    `row0_ref` is the shard's global planar-row offset ((1,1) SMEM int32)
-    so the output halo masks and color ids stay globally correct."""
+    `w0x`/`w1x`/`w2x` are the window blocks as VALUES (already read — and
+    halo-substituted — by the caller: the shard-local form feeds
+    ppermute-exchanged neighbor slabs at the edge steps, the streaming form
+    feeds ring-buffer slots).  `row0_ref` is the shard's global planar-row
+    offset ((1,1) SMEM int32) so the output halo masks and color ids stay
+    globally correct; `tile_i` overrides program_id as the output tile
+    index (the streaming form runs one grid step ahead of its output)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     nx, ny, nz = A.dims
-    if halo_refs is None:
-        w0x, w2x = w0_ref[:], w2_ref[:]
-    else:
-        step = pl.program_id(0)
-        w0x = jnp.where(step == 0, halo_refs[0][:], w0_ref[:])
-        w2x = jnp.where(step == pl.num_programs(0) - 1,
-                        halo_refs[1][:], w2_ref[:])
-    window = jnp.concatenate([w0x, w1_ref[:], w2x], axis=0)
+    window = jnp.concatenate([w0x, w1x, w2x], axis=0)
 
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
     variants = {}
@@ -308,7 +306,7 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
     # Zero the output's halo rows/lanes so planar vectors stay exactly zero
     # outside the grid: row r real iff it's inside a real plane and not a
     # y-halo row; lane real iff < nx.
-    i = pl.program_id(0)
+    i = pl.program_id(0) if tile_i is None else tile_i
     r = (jax.lax.broadcasted_iota(jnp.int32, (TR, 1), 0)
          + i * jnp.int32(TR))
     if row0_ref is not None:
@@ -352,7 +350,7 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
         x_legs = [(l, A.legs[l][0]) for l in range(len(A.legs))
                   if A.legs[l][0] != 0 and A.legs[l][1] == 0
                   and A.legs[l][2] == 0]
-        x_cur = w1_ref[:]
+        x_cur = w1x
         acc_cur = acc
         for k, c in enumerate(chain):
             upd = real & (color == jnp.int32(c))
@@ -378,7 +376,7 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
     # broadcast and read back from [i, 0, 0].
     for kind, ref in dot_refs:
         if kind == "x":
-            p = jnp.sum(y * w1_ref[:])
+            p = jnp.sum(y * w1x)
         elif kind == "self":
             p = jnp.sum(y * y)
         elif kind == "aux":
@@ -386,6 +384,157 @@ def _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
         else:
             raise ValueError(f"unknown fused-dot kind: {kind!r}")
         ref[...] = jnp.full((1, 8, 128), p, dtype=y.dtype)
+
+
+def _halo_sub(w0_ref, w2_ref, halo_refs):
+    """Window edge substitution: with `halo_refs` = (top, bot), the first/
+    last grid step reads the ppermute-exchanged neighbor slabs instead of
+    the clamped w0/w2 blocks (shard-local form, parallel/mesh_ops.py)."""
+    from jax.experimental import pallas as pl
+    if halo_refs is None:
+        return w0_ref[:], w2_ref[:]
+    step = pl.program_id(0)
+    w0x = jnp.where(step == 0, halo_refs[0][:], w0_ref[:])
+    w2x = jnp.where(step == pl.num_programs(0) - 1,
+                    halo_refs[1][:], w2_ref[:])
+    return w0x, w2x
+
+
+#: vector size above which stencil_spmv_resident auto-routes to the
+#: streaming (single-fetch) kernel: below it the fused while-loop carries
+#: stay VMEM-resident on v5e (CLAUDE.md round-4: HPCG-128 sustains ~900
+#: GB/s effective) and window refetches never touch HBM; above it every
+#: extra fetch is a real HBM pass.
+_STREAM_MIN_BYTES = 32 * 1024 * 1024
+
+
+def _stream_wanted(vec_bytes: int) -> bool:
+    """Auto-routing decision, overridable for A/B measurement:
+    BIS_STENCIL_STREAM=0 never streams, =1 always, unset/auto by size.
+    (Read at trace time — set it per PROCESS: an env flip alone does not
+    invalidate jit caches.)"""
+    import os
+    mode = os.environ.get("BIS_STENCIL_STREAM", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return vec_bytes >= _STREAM_MIN_BYTES
+
+
+def stencil_spmv_stream(A: "DeviceStencil", xp: jax.Array,
+                        dots=(), aux: jax.Array = None):
+    """Single-fetch streaming form of the planar SpMV.
+
+    The 3-window BlockSpec form (stencil_spmv_resident) declares w0/w1/w2
+    as separate operands walking overlapping block sequences, so Pallas
+    fetches every (TR, L) block of x from HBM THREE times per apply.  That
+    is free while x lives in VMEM (≤128³ working sets) but costs two extra
+    full passes at capacity sizes — the 384³ roofline gap (VERDICT r2 §3).
+
+    Here x is ONE operand with a one-step-lookahead index map and a 3-slot
+    VMEM ring: the grid runs grid_n+1 steps; step j copies incoming block
+    min(j, last) into ring slot j mod 3 and computes output tile i = j−1
+    from ring slots max(i−1,0), i, min(i+1,last) — each block crosses HBM
+    exactly once, and the pipeline's automatic double-buffering keeps the
+    next block's fetch in flight during compute.  Outputs are indexed
+    max(j−1, 0): the j=0 prologue step writes nothing, and the revisited
+    block 0 flushes after the j=1 step with the real values.
+
+    Same contract as stencil_spmv_resident (single-chip: no halo/row0).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if "aux" in dots and aux is None:
+        raise ValueError("dots containing 'aux' require the aux vector")
+
+    L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
+    rows_here = xp.shape[0]
+    grid_n = rows_here // TR
+    last = grid_n - 1
+    has_diag = A.diag is not None
+    has_aux = "aux" in dots
+    n_in_extra = int(has_diag) + int(has_aux)
+
+    def kernel(*refs):
+        coeff_ref, xin = refs[0], refs[1]
+        ins = refs[2:2 + n_in_extra]
+        outs = refs[2 + n_in_extra:-3]
+        scr = refs[-3:]
+        j = pl.program_id(0)
+        w = xin[:]
+        m3 = jax.lax.rem(j, jnp.int32(3))
+        for s in range(3):
+            @pl.when(m3 == jnp.int32(s))
+            def _(s=s):
+                scr[s][:] = w
+
+        @pl.when(j > jnp.int32(0))
+        def _():
+            i = j - jnp.int32(1)
+
+            def pick(b):
+                m = jax.lax.rem(b, jnp.int32(3))
+                return jnp.where(
+                    m == jnp.int32(0), scr[0][:],
+                    jnp.where(m == jnp.int32(1), scr[1][:], scr[2][:]))
+
+            w0x = pick(jnp.maximum(i - jnp.int32(1), jnp.int32(0)))
+            w1x = pick(i)
+            w2x = pick(jnp.minimum(i + jnp.int32(1), jnp.int32(last)))
+            _resident_kernel(
+                A, TR, drmax, rows_plane, rows_total, L,
+                coeff_ref, w0x, w1x, w2x, outs[0],
+                diag_ref=(ins[0] if has_diag else None),
+                dot_refs=list(zip(dots, outs[1:])),
+                aux_ref=(ins[n_in_extra - 1] if has_aux else None),
+                tile_i=i)
+
+    out_tile = lambda j: (jnp.maximum(j - 1, 0), jnp.int32(0))  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((len(A.legs),), lambda j: (jnp.int32(0),),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TR, L), lambda j: (jnp.minimum(j, jnp.int32(last)),
+                                         jnp.int32(0)),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [A.coeffs, xp]
+    if has_diag:
+        in_specs.append(pl.BlockSpec((TR, L), out_tile,
+                                     memory_space=pltpu.VMEM))
+        args.append(A.diag)
+    if has_aux:
+        in_specs.append(pl.BlockSpec((TR, L), out_tile,
+                                     memory_space=pltpu.VMEM))
+        args.append(aux)
+    itemsize = xp.dtype.itemsize
+    out_specs = [pl.BlockSpec((TR, L), out_tile, memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((rows_here, L), xp.dtype)]
+    for _ in dots:
+        out_specs.append(pl.BlockSpec(
+            (1, 8, 128), lambda j: (jnp.maximum(j - 1, 0), jnp.int32(0),
+                                    jnp.int32(0)),
+            memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((grid_n, 8, 128), xp.dtype))
+    outs = pl.pallas_call(
+        kernel, grid=(grid_n + 1,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((TR, L), xp.dtype)] * 3,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(A.legs) * rows_here * L,
+            bytes_accessed=(2 + has_diag + has_aux) * rows_here * L
+            * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=_pallas_env.INTERPRET,
+    )(*args)
+    y = outs[0]
+    if not dots:
+        return y
+    return (y,) + tuple(jnp.sum(p[:, 0, 0]) for p in outs[1:])
 
 
 def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
@@ -415,6 +564,12 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
     if "aux" in dots and aux is None:
         raise ValueError("dots containing 'aux' require the aux vector")
 
+    if halo is None and _stream_wanted(xp.size * xp.dtype.itemsize):
+        # capacity sizes: single-fetch streaming form (x crosses HBM once,
+        # not three times); below the threshold the working set is
+        # VMEM-resident and window refetches are free
+        return stencil_spmv_stream(A, xp, dots=dots, aux=aux)
+
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)
     rows_here = xp.shape[0]        # rows_pad single-chip; R_local in-shard
     grid_n = rows_here // TR
@@ -429,13 +584,13 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         ins = rest[:n_in_extra]
         hrefs = rest[n_in_extra:n_in_extra + 3 * has_halo]
         outs = rest[n_in_extra + 3 * has_halo:]
+        w0x, w2x = _halo_sub(w0, w2, hrefs[1:3] if has_halo else None)
         _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
-                         coeff_ref, w0, w1, w2, outs[0],
+                         coeff_ref, w0x, w1[:], w2x, outs[0],
                          diag_ref=(ins[0] if has_diag else None),
                          dot_refs=list(zip(dots, outs[1:])),
                          aux_ref=(ins[n_in_extra - 1] if has_aux else None),
-                         row0_ref=(hrefs[0] if has_halo else None),
-                         halo_refs=(hrefs[1:3] if has_halo else None))
+                         row0_ref=(hrefs[0] if has_halo else None))
 
     # clamped 3-block window: edge clamps feed only masked halo outputs
     # (drmax ≤ rows_plane + 1 ≤ prologue/epilogue halo planes); with halo
@@ -527,12 +682,12 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
         out = rest[-1]
         diag_ref = ins[0] if has_diag else None
         rhs_ref, dinv_ref = ins[n_fixed - 2], ins[n_fixed - 1]
+        w0x, w2x = _halo_sub(w0, w2, hrefs[1:3] if has_halo else None)
         _resident_kernel(A, TR, drmax, rows_plane, rows_total, L,
-                         coeff_ref, w0, w1, w2, out, diag_ref=diag_ref,
+                         coeff_ref, w0x, w1[:], w2x, out, diag_ref=diag_ref,
                          gs_refs=(rhs_ref, dinv_ref), gs_color=color,
                          gs_spec=spec,
-                         row0_ref=(hrefs[0] if has_halo else None),
-                         halo_refs=(hrefs[1:3] if has_halo else None))
+                         row0_ref=(hrefs[0] if has_halo else None))
 
     last = grid_n - 1
     tile = lambda i: (i, jnp.int32(0))  # noqa: E731

@@ -61,6 +61,25 @@ if [ "$STEP" = "itertimes" ] || [ "$STEP" = "all" ]; then
     | tail -50 | tee -a "$OUT/itertimes.log"
 fi
 
+if [ "$STEP" = "stream" ] || [ "$STEP" = "all" ]; then
+  # Streaming (single-fetch ring) stencil SpMV A/B at the capacity shape:
+  # the windowed form fetches every x block 3x from HBM; the stream form
+  # once.  Expected: cg@384^3 drops from ~7.6 toward the ~6.1 ms floor.
+  # Also smoke the 256^3 row (first size past the 32 MB auto threshold)
+  # and re-check 128^3 is UNCHANGED (stays on the windowed path).
+  for s in 0 1; do
+    echo "=== cg@384 stream=$s ===" | tee -a "$OUT/stream.log"
+    BIS_STENCIL_STREAM=$s timeout 3000 python bench.py --method cg \
+      --matrix hpcg:384x384x384 --iters 150 --no-capacity-row \
+      --no-general-row --backend-wait-mins 20 2>>"$OUT/stream.log" \
+      | tee -a "$OUT/stream.log"
+  done
+  echo "=== cg@256 stream=auto ===" | tee -a "$OUT/stream.log"
+  timeout 3000 python bench.py --method cg --matrix hpcg:256x256x256 \
+    --iters 300 --no-capacity-row --no-general-row \
+    --backend-wait-mins 20 2>>"$OUT/stream.log" | tee -a "$OUT/stream.log"
+fi
+
 if [ "$STEP" = "bench" ] || [ "$STEP" = "all" ]; then
   echo "=== full bench ===" | tee -a "$OUT/bench.log"
   timeout 5400 python bench.py --backend-wait-mins 20 \

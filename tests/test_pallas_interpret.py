@@ -199,3 +199,68 @@ def test_gmres_fused_bf16_basis_debug_checks(interpret):
                           harness="host", debug_checks=True, **kw)
     assert rb.converged and rh.converged
     assert abs(rb.iter_count - rh.iter_count) <= 3
+
+
+def test_stencil_stream_kernel_interpret(interpret, rng, monkeypatch):
+    """The single-fetch streaming SpMV (3-slot VMEM ring, one-step
+    lookahead) matches the XLA oracle and the windowed kernel, including
+    the fused in-kernel dots and a dense diagonal.  The row tile is shrunk
+    so a small grid spans several ring revolutions (grid_n = 8)."""
+    from basic_iterative_solvers_tpu import stencil_op as so
+    monkeypatch.setattr(so, "_ROW_TILE_2D", 64)
+    A = so.to_planar_matrix(so.from_source_operator("hpcg:8x6x62",
+                                                    dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    a = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    xp, ap = so.to_planar_vec(A, x), so.to_planar_vec(A, a)
+    assert xp.shape[0] // 64 == 8
+
+    y_s, dx_s, ds_s, da_s = so.stencil_spmv_stream(
+        A, xp, dots=("x", "self", "aux"), aux=ap)
+    y_w, dx_w, ds_w, da_w = so.stencil_spmv_resident(
+        A, xp, dots=("x", "self", "aux"), aux=ap)
+    y_o = so.stencil_spmv_resident_xla(A, xp)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_o),
+                               rtol=2e-6, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(y_s), np.asarray(y_w))
+    for s, w in ((dx_s, dx_w), (ds_s, ds_w), (da_s, da_w)):
+        np.testing.assert_allclose(float(s), float(w), rtol=1e-6)
+
+
+def test_stencil_stream_diag_interpret(interpret, rng, monkeypatch):
+    """Streaming kernel with a dense diagonal (Anderson-style operator)."""
+    from basic_iterative_solvers_tpu import stencil_op as so
+    monkeypatch.setattr(so, "_ROW_TILE_2D", 64)
+    nx, ny, nz = 8, 6, 30
+    n = nx * ny * nz
+    d = rng.standard_normal(n).astype(np.float32)
+    legs = [((0, 0, 0), 1.0)] + [
+        (off, -1.0) for off in [(1, 0, 0), (-1, 0, 0), (0, 1, 0),
+                                (0, -1, 0), (0, 0, 1), (0, 0, -1)]]
+    A = so.to_planar_matrix(so.make_stencil(legs, nx, ny, nz,
+                                            diag=jnp.asarray(d)))
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    xp = so.to_planar_vec(A, x)
+    assert xp.shape[0] // 64 >= 4
+    y_s = so.stencil_spmv_stream(A, xp)
+    y_o = so.stencil_spmv_resident_xla(A, xp)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_o),
+                               rtol=2e-6, atol=1e-5)
+
+
+def test_stencil_stream_wide_lanes_interpret(interpret, rng, monkeypatch):
+    """Streaming kernel with nx > 128 (L = 256: multi-vreg lane rolls —
+    the 256^3/384^3 capacity geometry, scaled down)."""
+    from basic_iterative_solvers_tpu import stencil_op as so
+    monkeypatch.setattr(so, "_ROW_TILE_2D", 32)
+    A = so.to_planar_matrix(so.from_source_operator("hpcg:160x6x14",
+                                                    dtype=np.float32))
+    x = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    xp = so.to_planar_vec(A, x)
+    assert xp.shape[1] == 256 and xp.shape[0] // 32 >= 4
+    y_s, d_s = so.stencil_spmv_stream(A, xp, dots=("x",))
+    y_o = so.stencil_spmv_resident_xla(A, xp)
+    np.testing.assert_allclose(np.asarray(y_s), np.asarray(y_o),
+                               rtol=2e-6, atol=1e-4)
+    np.testing.assert_allclose(float(d_s), float(jnp.sum(y_o * xp)),
+                               rtol=1e-5)
