@@ -400,26 +400,23 @@ def _halo_sub(w0_ref, w2_ref, halo_refs):
     return w0x, w2x
 
 
-#: vector size above which stencil_spmv_resident auto-routes to the
-#: streaming (single-fetch) kernel: below it the fused while-loop carries
-#: stay VMEM-resident on v5e (CLAUDE.md round-4: HPCG-128 sustains ~900
-#: GB/s effective) and window refetches never touch HBM; above it every
-#: extra fetch is a real HBM pass.
-_STREAM_MIN_BYTES = 32 * 1024 * 1024
-
-
 def _stream_wanted(vec_bytes: int) -> bool:
     """Auto-routing decision, overridable for A/B measurement:
-    BIS_STENCIL_STREAM=0 never streams, =1 always, unset/auto by size.
+    BIS_STENCIL_STREAM=0 never streams, =1 always, unset/auto.
     (Read at trace time — set it per PROCESS: an env flip alone does not
-    invalidate jit caches.)"""
+    invalidate jit caches.)
+
+    Measured on the v5e (2026-08-18 A/B, CG on hpcg stencils): the
+    windowed 3-operand form beats the single-fetch ring at every capacity
+    size — 384^3: 4.30 vs 4.41 ms/iter (639 vs 622 GB/s effective),
+    256^3 ring: 616 GB/s.  The "x crosses HBM 3x" model the ring was
+    built on does not bind here: Mosaic overlaps the window refetches,
+    while the ring's slot dependencies serialize its pipeline.  Auto is
+    therefore ALWAYS windowed; the ring stays for hardware where the
+    refetch traffic is real (force with BIS_STENCIL_STREAM=1)."""
     import os
-    mode = os.environ.get("BIS_STENCIL_STREAM", "auto")
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    return vec_bytes >= _STREAM_MIN_BYTES
+    del vec_bytes
+    return os.environ.get("BIS_STENCIL_STREAM", "0") == "1"
 
 
 def stencil_spmv_stream(A: "DeviceStencil", xp: jax.Array,
