@@ -169,7 +169,11 @@ def project_gram(V, w, vc, j, *, plan: BasisPlan):
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # NB explicit index map: a bare SMEM spec synthesizes a default
+            # map whose literal 0 traces as i64 under the package's x64 mode
+            # and Mosaic then dies at `func.return (i64)` on real TPU.
+            pl.BlockSpec((1,), lambda i: (_i32(0),),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((CW, L), lambda i: (i, _i32(0))),
             pl.BlockSpec((CW, L), lambda i: (i, _i32(0))),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -254,8 +258,11 @@ def correct_write(V, w, ht, j, *, plan: BasisPlan):
         kernel,
         grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # explicit i32 index maps — see project_gram's SMEM spec note
+            pl.BlockSpec((1,), lambda i: (_i32(0),),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((m_pad,), lambda i: (_i32(0),),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((CW, L), lambda i: (i, _i32(0))),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -562,9 +562,12 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         raise ValueError("dots containing 'aux' require the aux vector")
 
     if halo is None and _stream_wanted(xp.size * xp.dtype.itemsize):
-        # capacity sizes: single-fetch streaming form (x crosses HBM once,
-        # not three times); below the threshold the working set is
-        # VMEM-resident and window refetches are free
+        # Opt-in (BIS_STENCIL_STREAM=1) single-fetch ring form.  The
+        # 2026-08-18 TPU A/B measured it ~3% SLOWER than the windowed form
+        # at every size (384^3: 4.41 vs 4.30 ms/iter) — Mosaic overlaps the
+        # window refetches, while the ring's slot deps serialize — so the
+        # default routing is always-windowed; the ring is kept for hardware
+        # where the 3x window refetch traffic is real.
         return stencil_spmv_stream(A, xp, dots=dots, aux=aux)
 
     L, rows_plane, rows_total, drmax, TR, rows_pad = _planar_geometry(A)

@@ -62,11 +62,10 @@ if [ "$STEP" = "itertimes" ] || [ "$STEP" = "all" ]; then
 fi
 
 if [ "$STEP" = "stream" ] || [ "$STEP" = "all" ]; then
-  # Streaming (single-fetch ring) stencil SpMV A/B at the capacity shape:
-  # the windowed form fetches every x block 3x from HBM; the stream form
-  # once.  Expected: cg@384^3 drops from ~7.6 toward the ~6.1 ms floor.
-  # Also smoke the 256^3 row (first size past the 32 MB auto threshold)
-  # and re-check 128^3 is UNCHANGED (stays on the windowed path).
+  # Forced windowed-vs-ring stencil SpMV A/B at the capacity shape
+  # (BIS_STENCIL_STREAM=0/1; routing is always-windowed by default after
+  # the 2026-08-18 verdict — the ring lost ~3% everywhere).  Also smoke
+  # the 256^3 row and re-check 128^3 is UNCHANGED (windowed path).
   for s in 0 1; do
     echo "=== cg@384 stream=$s ===" | tee -a "$OUT/stream.log"
     BIS_STENCIL_STREAM=$s timeout 3000 python bench.py --method cg \
