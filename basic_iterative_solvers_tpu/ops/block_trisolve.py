@@ -57,6 +57,11 @@ _MAX_GROUPS = 512
 #: oracles run even when the native library is available
 FORCE_NUMPY = False
 
+#: kill-switch for constant-coefficient plane elision (BIS_SB_CONST=0
+#: forces plane mode — the A/B lever for the matrix-free trisolve)
+import os as _os  # noqa: E402
+NO_CONST = _os.environ.get("BIS_SB_CONST", "1") == "0"
+
 
 class BlockIneligibleError(ValueError):
     """Raised when a matrix/coloring cannot use the blocked form."""
@@ -437,7 +442,8 @@ def _level_pallas(B, groups, y_blk, dinv_blk, xb):
 @partial(jax.tree_util.register_dataclass,
          data_fields=["vals_cross", "vals_self", "dinv", "d"],
          meta_fields=["n_rows", "S", "m", "R_b", "TB", "sx", "levels",
-                      "upper", "spec_params", "fused"])
+                      "upper", "spec_params", "fused", "const_cross",
+                      "const_self"])
 @dataclasses.dataclass
 class SuperBlockTriSolve:
     """Superblock form of a colored triangular solve (grid specs).
@@ -470,10 +476,170 @@ class SuperBlockTriSolve:
     #: entry); False → SPLIT mode: an acc kernel per level plus one masked
     #: kernel per parity, self couplings read through windows (any nx)
     fused: bool = True
+    #: CONSTANT-COEFFICIENT mode (matrix-free factors): when every group
+    #: plane of every level equals coeff × (geometric in-bounds mask of a
+    #: single stencil leg), the planes are dropped entirely and the solve
+    #: kernels regenerate them in-register from iota arithmetic — the
+    #: factor's HBM traffic per apply falls from |T| values to ZERO (only
+    #: vector/window passes remain).  const_cross[li] is a tuple of
+    #: (coeff, dx, dy, dz) aligned with levels[li][1]; const_self[li] a
+    #: tuple of (coeff, dx) aligned with levels[li][2].  None → plane mode
+    #: (vals_cross/vals_self hold the slabs).  Detected by _const_detect
+    #: on generic builds, or constructed analytically from a DeviceStencil
+    #: (build_superblock_gs_pair_stencil) with no host CSR at all.
+    const_cross: Optional[Tuple] = None
+    const_self: Optional[Tuple] = None
+
+    @property
+    def is_const(self) -> bool:
+        return self.const_cross is not None
 
     @property
     def dtype(self):
         return self.dinv[0].dtype
+
+
+def _leg_from_delta(sb_t: int, src: int, delta: int, spec_params):
+    """Recover the (dx, dy, dz) stencil leg behind a cross-group key
+    (target superblock, source superblock, slot offset Δ), taking the
+    smallest-|dx| decomposition of Δ = dx + nx·(dRy + my·dRz).  The
+    caller VERIFIES the candidate against the actual plane, so an
+    ambiguous decomposition (possible only for |dx| ≥ nx/2 stencils)
+    just fails detection instead of mis-classifying."""
+    nx, ny, nz, sx, sy, sz = spec_params
+    my = ny // sy
+    dx = ((delta + nx // 2) % nx) - nx // 2
+    rem = (delta - dx) // nx
+    dRy = ((rem + my // 2) % my) - my // 2
+    dRz = (rem - dRy) // my
+    dy = (src % sy - sb_t % sy) + sy * dRy
+    dz = (src // sy - sb_t // sy) + sz * dRz
+    return dx, dy, dz
+
+
+@lru_cache(maxsize=8)
+def _slot_coords(spec_params, sb: int, size: int):
+    """Per-slot (x, y, z) target coordinates of superblock `sb`'s rank
+    space, padded to `size` slots (read-only, shared across groups)."""
+    nx, ny, nz, sx, sy, sz = spec_params
+    my = ny // sy
+    s = np.arange(size, dtype=np.int64)
+    x = s % nx
+    t = s // nx
+    y = sy * (t % my) + sb % sy
+    z = sz * (t // my) + sb // sy
+    for a in (x, y, z):
+        a.flags.writeable = False
+    return x, y, z
+
+
+def _leg_mask_np(sb_t: int, leg, spec_params, m: int, size: int,
+                 self_upper=None):
+    """Boolean in-bounds mask of `leg`'s neighbor over the (padded) slot
+    axis — exactly the nonzero structure a constant-coefficient plane
+    must have.
+
+    `self_upper` (self legs only): same-superblock couplings are split
+    between the two triangles by the X-PARITY order (color = px + sx·SB,
+    so within a superblock the x-parity decides the triangle): False
+    keeps rows where parity(x+dx) < parity(x) (lower), True the reverse.
+    Cross legs (self_upper=None) need no parity term — their superblock
+    ids differ, which dominates the color comparison."""
+    nx, ny, nz, sx, _sy, _sz = spec_params
+    dx, dy, dz = leg
+    x, y, z = _slot_coords(spec_params, sb_t, size)
+    mask = np.arange(size) < m
+    mask &= (x + dx >= 0) & (x + dx < nx)
+    if dy:
+        mask &= (y + dy >= 0) & (y + dy < ny)
+    if dz:
+        mask &= (z + dz >= 0) & (z + dz < nz)
+    if self_upper is not None:
+        ps, pt = (x + dx) % sx, x % sx
+        mask &= (ps > pt) if self_upper else (ps < pt)
+    return mask
+
+
+def _plane_const_coeff(plane: np.ndarray, mask: np.ndarray):
+    """coeff c if plane == c·mask exactly, else None.  Subsamples first so
+    genuinely non-constant factors (ILU(0) values) fail in O(1)."""
+    probe = plane[:4096]
+    pnz = probe[probe != 0]
+    if pnz.size and not (pnz == pnz[0]).all():
+        return None
+    nz = np.flatnonzero(mask)
+    if nz.size == 0:
+        return None
+    c = plane[nz[0]]
+    if c == 0:
+        return None
+    ok = np.array_equal(plane != 0, mask) and (plane[nz] == c).all()
+    return float(c) if ok else None
+
+
+def _const_detect_level(sb: int, cross, selfs, vc_np, vs_np, spec_params,
+                        m: int, size: int, upper: bool):
+    """(cross_consts, self_consts) for one level, or None when any group
+    plane is not coeff × leg-mask.  vc_np/vs_np are the level's NumPy
+    slabs flattened to (G, size)."""
+    cc = []
+    for gi, (src, delta) in enumerate(cross):
+        leg = _leg_from_delta(sb, src, delta, spec_params)
+        c = _plane_const_coeff(vc_np[gi], _leg_mask_np(sb, leg, spec_params,
+                                                       m, size))
+        if c is None:
+            return None
+        cc.append((c,) + leg)
+    sc = []
+    for gi, dx in enumerate(selfs):
+        c = _plane_const_coeff(
+            vs_np[gi], _leg_mask_np(sb, (dx, 0, 0), spec_params, m, size,
+                                    self_upper=upper))
+        if c is None:
+            return None
+        sc.append((c, dx))
+    return tuple(cc), tuple(sc)
+
+
+def _pack_levels(raw, spec_params, m: int, R_b: int, fused: bool,
+                 upper: bool = False):
+    """Finalize per-level slabs: try constant-coefficient detection first
+    (fused mode only — the split kernels also support const, but split
+    implies nx > 128 capacity grids where detection cost grows; planes
+    there are measured fine), else upload the planes.
+
+    raw: list of (sb, cross, selfs, vc_np, vs_np), slabs (G, R_b·LANES)
+    NumPy (or None when the level has no groups of that kind).
+    Returns (levels, vals_cross, vals_self, const_cross, const_self).
+    """
+    size = R_b * LANES
+    levels = tuple((int(sb), cross, selfs) for sb, cross, selfs, _, _ in raw)
+    if fused and not NO_CONST:
+        consts = []
+        for sb, cross, selfs, vc, vs in raw:
+            det = _const_detect_level(
+                sb, cross, selfs,
+                vc if vc is not None else np.zeros((0, size)),
+                vs if vs is not None else np.zeros((0, size)),
+                spec_params, m, size, upper)
+            if det is None:
+                consts = None
+                break
+            consts.append(det)
+        if consts is not None:
+            n = len(raw)
+            return (levels, (None,) * n, (None,) * n,
+                    tuple(c for c, _ in consts),
+                    tuple(s for _, s in consts))
+
+    def up(v):
+        return (jnp.asarray(v.reshape(-1, R_b, LANES))
+                if v is not None and len(v) else None)
+
+    return (levels,
+            tuple(up(vc) for _, _, _, vc, _ in raw),
+            tuple(up(vs) for _, _, _, _, vs in raw),
+            None, None)
 
 
 def build_superblock_trisolve(T, D: Optional[np.ndarray],
@@ -583,7 +749,7 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
         d_np[SB, SLOT] = dv.astype(dtype)
 
     order = range(S - 1, -1, -1) if upper else range(S)
-    levels, vals_cross, vals_self = [], [], []
+    raw = []
     for sb in order:
         selc = np.nonzero(gc_tb == sb)[0]
         sels = np.nonzero(gs_tb == sb)[0]
@@ -592,23 +758,23 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
         cidx = sorted(selc, key=lambda g: (int(gc_sb[g]), int(gc_dl[g])))
         sidx = sorted(sels, key=lambda g: int(gs_dx[g]))
         selfs = tuple(int(gs_dx[g]) for g in sidx)
-        vals_cross.append(
-            jnp.asarray(vc[cidx].reshape(len(cidx), R_b, LANES))
-            if len(cidx) else None)
-        vals_self.append(
-            jnp.asarray(vs[sidx].reshape(len(sidx), R_b, LANES))
-            if len(sidx) else None)
-        levels.append((int(sb), cross, selfs))
+        raw.append((sb, cross, selfs,
+                    vc[cidx] if len(cidx) else None,
+                    vs[sidx] if len(sidx) else None))
+    spec_params = tuple(int(p) for p in spec.params)
+    levels, vals_cross, vals_self, cc, cs = _pack_levels(
+        raw, spec_params, m, R_b, fused, upper)
 
     as_blocks = lambda a: tuple(jnp.asarray(x.reshape(R_b, LANES))
                                 for x in a)
     return SuperBlockTriSolve(
-        vals_cross=tuple(vals_cross), vals_self=tuple(vals_self),
+        vals_cross=vals_cross, vals_self=vals_self,
         dinv=as_blocks(dinv_np),
         d=(as_blocks(d_np) if d_np is not None else None),
         n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
-        levels=tuple(levels), upper=upper,
-        spec_params=tuple(int(p) for p in spec.params), fused=fused)
+        levels=levels, upper=upper,
+        spec_params=spec_params, fused=fused,
+        const_cross=cc, const_self=cs)
 
 
 def _native_analysis_for(trip, colors, spec):
@@ -695,30 +861,30 @@ def _sb_assemble(plan, vc_big, vs_big, D, n, spec, *, upper, dtype, need_d,
         d_np[SB, SLOT] = dv.astype(dtype)
 
     order = range(S - 1, -1, -1) if upper else range(S)
-    levels, vals_cross, vals_self = [], [], []
+    raw = []
     for sb in order:
         c_lo, c_hi = np.searchsorted(plan.gc_tb, [sb, sb + 1])
         s_lo, s_hi = np.searchsorted(plan.gs_tb, [sb, sb + 1])
         cross = tuple((int(plan.gc_sb[g]), int(plan.gc_dl[g]))
                       for g in range(c_lo, c_hi))
         selfs = tuple(int(plan.gs_dx[g]) for g in range(s_lo, s_hi))
-        vals_cross.append(
-            jnp.asarray(vc_big[c_lo:c_hi].reshape(c_hi - c_lo, R_b, LANES))
-            if c_hi > c_lo else None)
-        vals_self.append(
-            jnp.asarray(vs_big[s_lo:s_hi].reshape(s_hi - s_lo, R_b, LANES))
-            if s_hi > s_lo else None)
-        levels.append((int(sb), cross, selfs))
+        raw.append((sb, cross, selfs,
+                    vc_big[c_lo:c_hi] if c_hi > c_lo else None,
+                    vs_big[s_lo:s_hi] if s_hi > s_lo else None))
+    spec_params = tuple(int(p) for p in spec.params)
+    levels, vals_cross, vals_self, cc, cs = _pack_levels(
+        raw, spec_params, plan.m, R_b, fused, upper)
 
     as_blocks = lambda a: tuple(jnp.asarray(x.reshape(R_b, LANES))
                                 for x in a)
     return SuperBlockTriSolve(
-        vals_cross=tuple(vals_cross), vals_self=tuple(vals_self),
+        vals_cross=vals_cross, vals_self=vals_self,
         dinv=as_blocks(dinv_np),
         d=(as_blocks(d_np) if d_np is not None else None),
         n_rows=n, S=S, m=plan.m, R_b=R_b, TB=TB, sx=sx,
-        levels=tuple(levels), upper=upper,
-        spec_params=tuple(int(p) for p in spec.params), fused=fused)
+        levels=levels, upper=upper,
+        spec_params=spec_params, fused=fused,
+        const_cross=cc, const_self=cs)
 
 
 def _build_superblock_from_analysis(analysis, rows, cols, vals, n, D, spec,
@@ -832,28 +998,88 @@ def _parity_order(B: SuperBlockTriSolve):
     return range(B.sx - 1, -1, -1) if B.upper else range(B.sx)
 
 
+def _leg_mask_jnp(B, sb: int, leg, slot, self_leg: bool = False):
+    """In-register (R_b-or-tile, LANES) in-bounds mask of `leg` at target
+    superblock `sb` — the trace-time regeneration of a constant plane's
+    nonzero structure (works under jit on any backend; all i32).
+    `self_leg` adds the x-parity triangle condition (see _leg_mask_np)."""
+    nx, ny, nz, sx, sy, sz = B.spec_params
+    my = ny // sy
+    dx, dy, dz = leg
+    x = jax.lax.rem(slot, jnp.int32(nx))
+    mask = slot < jnp.int32(B.m)
+    if dx > 0:
+        mask &= x < jnp.int32(nx - dx)
+    elif dx < 0:
+        mask &= x >= jnp.int32(-dx)
+    if self_leg:
+        # shift by a multiple of sx so the rem operand stays non-negative
+        K = sx * ((abs(dx) + sx - 1) // sx)
+        ps = jax.lax.rem(x + jnp.int32(dx + K), jnp.int32(sx))
+        pt = jax.lax.rem(x, jnp.int32(sx))
+        mask &= (ps > pt) if B.upper else (ps < pt)
+    if dy or dz:
+        t = jax.lax.div(slot, jnp.int32(nx))
+        if dy:
+            y = (jax.lax.rem(t, jnp.int32(my)) * jnp.int32(sy)
+                 + jnp.int32(sb % sy))
+            if dy > 0:
+                mask &= y < jnp.int32(ny - dy)
+            else:
+                mask &= y >= jnp.int32(-dy)
+        if dz:
+            z = (jax.lax.div(t, jnp.int32(my)) * jnp.int32(sz)
+                 + jnp.int32(sb // sy))
+            if dz > 0:
+                mask &= z < jnp.int32(nz - dz)
+            else:
+                mask &= z >= jnp.int32(-dz)
+    return mask
+
+
 def _super_level_xla(B, li, y_blk, xb):
     sb, cross, selfs = B.levels[li]
     nx = B.spec_params[0]
+    const = B.is_const
+    slot = jnp.arange(B.R_b * LANES, dtype=jnp.int32).reshape(B.R_b, LANES)
     acc = y_blk
     for gi, (src, delta) in enumerate(cross):
-        acc = acc - B.vals_cross[li][gi] * _shifted_read_xla(xb[src], delta)
-    slot = jnp.arange(B.R_b * LANES, dtype=jnp.int32).reshape(B.R_b, LANES)
+        shifted = _shifted_read_xla(xb[src], delta)
+        if const:
+            c, dx, dy, dz = B.const_cross[li][gi]
+            plane = jnp.where(_leg_mask_jnp(B, sb, (dx, dy, dz), slot),
+                              jnp.asarray(c, y_blk.dtype), 0)
+        else:
+            plane = B.vals_cross[li][gi]
+        acc = acc - plane * shifted
     parity = (slot % jnp.int32(nx)) % jnp.int32(B.sx)
     xt = jnp.zeros_like(y_blk)
     for cx in _parity_order(B):
         a = acc
         for gi, dx in enumerate(selfs):
-            a = a - B.vals_self[li][gi] * _shifted_read_xla(xt, dx)
+            if const:
+                c, sdx = B.const_self[li][gi]
+                plane = jnp.where(_leg_mask_jnp(B, sb, (sdx, 0, 0), slot,
+                                                self_leg=True),
+                                  jnp.asarray(c, y_blk.dtype), 0)
+            else:
+                plane = B.vals_self[li][gi]
+            a = a - plane * _shifted_read_xla(xt, dx)
         xt = jnp.where(parity == jnp.int32(cx), a * B.dinv[sb], xt)
     return xt
 
 
-def _super_level_pallas(B, li, y_blk, X):
+def _super_level_pallas(B, li, y_blk, X, row0=None):
     """One super-level on TPU: X is the (S, R_b + 2·TB, 128) HBM-resident
     state (zero halo rows top/bottom per superblock), updated in place via
     input/output aliasing; windows arrive through explicit async copies so
-    the call carries O(1) operands."""
+    the call carries O(1) operands.
+
+    Const mode (B.is_const): no value-plane operands at all — each group's
+    plane is regenerated in-register as coeff × leg-mask from iota
+    arithmetic (zero factor HBM traffic).  `row0` is the (1, 1) i32 global
+    row offset of this call's slab (nonzero only on mesh shards, where the
+    mask needs global slot ids)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -864,6 +1090,7 @@ def _super_level_pallas(B, li, y_blk, X):
     srcs = tuple(sorted({s for s, _ in cross}))
     src_pos = {s: k for k, s in enumerate(srcs)}
     n_src = len(srcs)
+    const = B.is_const
     valsc, valss = B.vals_cross[li], B.vals_self[li]
     Gc = 0 if valsc is None else valsc.shape[0]
     Gs = 0 if valss is None else valss.shape[0]
@@ -875,6 +1102,7 @@ def _super_level_pallas(B, li, y_blk, X):
         valsc_ref = refs[next(it)] if Gc else None
         valss_ref = refs[next(it)] if Gs else None
         X_ref = refs[next(it)]
+        row0_ref = refs[next(it)] if const else None
         out_ref = refs[next(it)]
         win = refs[next(it)] if n_src else None     # VMEM scratch
         out_scr = refs[next(it)]
@@ -893,6 +1121,12 @@ def _super_level_pallas(B, li, y_blk, X):
             cp.wait()
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+        gslot = None
+        if const:
+            rrow = (jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 0)
+                    + row0_ref[0, 0] + i * jnp.int32(TB))
+            gslot = rrow * jnp.int32(LANES) + lanes
+        dt = y_blk.dtype
         acc = y_ref[:]
         for gi, (src, delta) in enumerate(cross):
             window = win[jnp.int32(src_pos[src])]
@@ -906,16 +1140,33 @@ def _super_level_pallas(B, li, y_blk, X):
                 R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
                 R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
                 shifted = jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
-            acc = acc - valsc_ref[jnp.int32(gi)] * shifted
+            if const:
+                c, dx, dy, dz = B.const_cross[li][gi]
+                mask = _leg_mask_jnp(B, sb, (dx, dy, dz), gslot)
+                acc = acc - jnp.where(mask, shifted * jnp.asarray(c, dt),
+                                      jnp.asarray(0, dt))
+            else:
+                acc = acc - valsc_ref[jnp.int32(gi)] * shifted
 
         parity = jax.lax.rem(jax.lax.rem(lanes, jnp.int32(nx)),
                              jnp.int32(sx))
+        self_masks = None
+        if const and selfs:
+            self_masks = [
+                _leg_mask_jnp(B, sb, (sdx, 0, 0), gslot, self_leg=True)
+                for _c, sdx in B.const_self[li]]
         xt = jnp.zeros((TB, LANES), dtype=acc.dtype)
         for cx in _parity_order(B):
             a = acc
             for gi, dx in enumerate(selfs):
-                a = a - valss_ref[jnp.int32(gi)] * pltpu.roll(
-                    xt, jnp.int32((-dx) % LANES), 1)
+                rolled = pltpu.roll(xt, jnp.int32((-dx) % LANES), 1)
+                if const:
+                    c = B.const_self[li][gi][0]
+                    a = a - jnp.where(self_masks[gi],
+                                      rolled * jnp.asarray(c, dt),
+                                      jnp.asarray(0, dt))
+                else:
+                    a = a - valss_ref[jnp.int32(gi)] * rolled
             xt = jnp.where(parity == jnp.int32(cx), a * dinv_ref[:], xt)
 
         out_scr[:] = xt
@@ -942,6 +1193,14 @@ def _super_level_pallas(B, li, y_blk, X):
     x_index = len(operands)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands.append(X)
+    if const:
+        # explicit block shape + i32 index map on the SMEM spec (a bare
+        # SMEM spec synthesizes an i64 literal under x64 — CLAUDE.md)
+        in_specs.append(pl.BlockSpec(
+            (1, 1), lambda i: (jnp.int32(0), jnp.int32(0)),
+            memory_space=pltpu.SMEM))
+        operands.append(jnp.zeros((1, 1), jnp.int32) if row0 is None
+                        else row0)
 
     scratch = []
     if n_src:
@@ -952,6 +1211,7 @@ def _super_level_pallas(B, li, y_blk, X):
     scratch.append(pltpu.SemaphoreType.DMA)
 
     itemsize = y_blk.dtype.itemsize
+    n_groups = len(cross) + len(selfs)
     return pl.pallas_call(
         kernel, grid=(grid_n,),
         in_specs=in_specs,
@@ -960,9 +1220,9 @@ def _super_level_pallas(B, li, y_blk, X):
         input_output_aliases={x_index: 0},
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
-            flops=2 * (Gc + Gs * sx) * R_b * LANES,
-            bytes_accessed=(Gc + Gs + 3 + 3 * n_src) * R_b * LANES
-            * itemsize,
+            flops=2 * (n_groups + len(selfs) * (sx - 1)) * R_b * LANES,
+            bytes_accessed=((0 if const else Gc + Gs) + 3 + 3 * n_src)
+            * R_b * LANES * itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=pallas_env.INTERPRET,
@@ -1256,9 +1516,15 @@ def _solve_super_mesh(MB: MeshSuperBlockTriSolve, yb):
     def local(B_ldata, y_l):
         B_l = dataclasses.replace(B_ldata, R_b=R_l)
         n_d = jax.lax.axis_size(axis)
+        row0 = None
+        if B.is_const:
+            # const-mode masks need GLOBAL slot ids: offset this shard's
+            # rows by its position on the mesh axis
+            row0 = (jax.lax.axis_index(axis).astype(jnp.int32)
+                    * jnp.int32(R_l)).reshape(1, 1)
         X = jnp.zeros((S, R_l + 2 * TB, LANES), dtype=y_l.dtype)
         for li, (sb, _cross, _selfs) in enumerate(B.levels):
-            X = _super_level_pallas(B_l, li, y_l[sb], X)
+            X = _super_level_pallas(B_l, li, y_l[sb], X, row0=row0)
             from_left = jax.lax.ppermute(
                 X[sb, R_l:R_l + TB], axis,
                 perm=[(i, i + 1) for i in range(n_d - 1)])

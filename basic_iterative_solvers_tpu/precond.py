@@ -632,7 +632,10 @@ def estimated_precond_passes(M: Preconditioner) -> float:
             if isinstance(B, MeshSuperBlockTriSolve):
                 B = B.inner
             if isinstance(B, SuperBlockTriSolve):
-                n_groups = sum(len(c) + len(s) for _, c, s in B.levels)
+                # const mode regenerates planes in-register — zero factor
+                # traffic; only window reads + vector passes remain
+                n_groups = (0 if B.is_const else
+                            sum(len(c) + len(s) for _, c, s in B.levels))
                 n_pairs = sum(len({s for s, _ in c}) for _, c, _s in B.levels)
                 per += (n_groups + 3.0 * n_pairs) / B.S + 5.0
             else:

@@ -266,3 +266,84 @@ def test_ineligible_spec_kinds():
     with pytest.raises(BlockIneligibleError):
         build_blocked_trisolve(A, _diag(A), colors,
                                ColorSpec("parity", 2, (6, 6, 1)), upper=False)
+
+
+# ---------------------------------------------------------------------------
+# Constant-coefficient (matrix-free) superblock mode: constant stencil
+# sources drop their factor planes entirely — the kernels regenerate them
+# in-register as coeff × leg-mask.  Reference factors live in HBM
+# (/root/reference/utilities/LU_factors.hpp); on TPU a constant plane is
+# pure iota arithmetic.
+# ---------------------------------------------------------------------------
+
+def _gs_pair(src, dtype, need_d=True, force_planes=False):
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    D = _diag(A)
+    old = bt.NO_CONST
+    bt.NO_CONST = force_planes
+    try:
+        return bt.build_superblock_gs_pair_from_csr(
+            A, D, spec, dtype=dtype, need_d=need_d), A
+    finally:
+        bt.NO_CONST = old
+
+
+@pytest.mark.parametrize("src", ["hpcg:8x8x8", "hpcg:16x12x8", "fdm:16"])
+def test_const_mode_detected_and_exact(src, rng):
+    """Const build must be detected for constant stencils and reproduce
+    the plane build bit-for-bit (planes regenerated in-register)."""
+    (Lc, Uc), A = _gs_pair(src, np.float32)
+    (Lp, Up), _ = _gs_pair(src, np.float32, force_planes=True)
+    assert Lc.is_const and Uc.is_const
+    assert not Lp.is_const
+    assert all(v is None for v in Lc.vals_cross + Lc.vals_self)
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    zc = np.asarray(blocked_sgs(Lc, Uc, y))
+    zp = np.asarray(blocked_sgs(Lp, Up, y))
+    np.testing.assert_array_equal(zc, zp)
+    # XLA (f64) path agrees with the f32 kernels to f32 accuracy
+    (Lc64, Uc64), _ = _gs_pair(src, np.float64)
+    z64 = np.asarray(blocked_sgs(Lc64, Uc64, y.astype(jnp.float64),
+                                 use_pallas=False))
+    np.testing.assert_allclose(zc, z64, rtol=2e-5, atol=2e-5)
+
+
+def test_const_mode_rejects_varying_values():
+    """ILU(0) factors vary per entry — they must keep their planes."""
+    from basic_iterative_solvers_tpu.config import SolverConfig
+    from basic_iterative_solvers_tpu.types import PrecondType, SolverType
+    src = "hpcg:8x8x8"
+    cfg = SolverConfig(method=SolverType.CONJUGATE_GRADIENT,
+                       preconditioner=PrecondType.ILU0, gs_mode="colored",
+                       color_spec=bis.generators.color_spec_for_source(src))
+    M = setup_preconditioner(bis.generators.from_source(src), cfg)
+    assert M.L_block is not None and not M.L_block.is_const
+    assert not M.U_block.is_const
+
+
+def test_const_mode_mesh_sharded(rng):
+    """Const superblocks shard over a mesh (masks offset by shard row)."""
+    import jax
+    from basic_iterative_solvers_tpu.ops import pallas_env
+    from basic_iterative_solvers_tpu.ops.block_trisolve import (
+        shard_superblock, _permute_super, _unpermute_super,
+        _solve_super_mesh)
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:4]), ("rows",))
+    (Lc, Uc), A = _gs_pair("hpcg:8x8x8", np.float32)
+    assert Lc.is_const
+    ML = shard_superblock(Lc, mesh, "rows")
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    pallas_env.INTERPRET = True
+    try:
+        yb = _permute_super(ML.inner, y)
+        xb = _solve_super_mesh(ML, yb)
+        x_mesh = np.asarray(_unpermute_super(ML.inner, xb))
+        x_ref = np.asarray(blocked_trisolve(Lc, y))
+    finally:
+        pallas_env.INTERPRET = False
+    np.testing.assert_allclose(x_mesh, x_ref, rtol=1e-6, atol=1e-6)
