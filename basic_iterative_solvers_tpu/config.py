@@ -147,6 +147,15 @@ class SolverConfig:
     # perm_mode="none" and num_scale=False.
     refine_outer: int = 0
     refine_inner_tol: float = 1e-6
+    # Breakdown-stall guard for fixed-iteration benchmark runs
+    # (tolerance=0): a strong preconditioner (mg) can converge past the
+    # f32 attainable floor long before max_iters, after which the CG
+    # recurrence scalars divide 0/0 and the timed tail iterations are
+    # NaN-poisoned (meaningless work).  With the guard, non-finite
+    # alpha/beta stall to 0 — every iteration performs the identical
+    # FLOPs/traffic, the state stays finite, and the explicitly computed
+    # final residual stays honest.  Never enabled for convergence runs.
+    breakdown_stall: bool = False
     # Chebyshev preconditioner (-p cheby; no reference analog): z = p(B)D⁻¹y
     # with B = D⁻¹A and p the degree-`cheby_degree` Chebyshev polynomial on
     # [λmax/cheby_eig_ratio, λmax] — the optimal-weight form of the

@@ -74,46 +74,56 @@ def coarse_dims(dims) -> Tuple[int, int, int]:
     return tuple(1 if d == 1 else (d + 1) // 2 for d in dims)
 
 
-def _axis_conv(a, axis):
-    """[1/2, 1, 1/2] convolution along `axis` with zero boundary (self-
-    adjoint — shared by prolongation and restriction so R = P^T exactly)."""
-    if a.shape[axis] == 1:
-        return a
-    n = a.shape[axis]
-    pad = [(0, 0)] * a.ndim
-    pad[axis] = (1, 1)
-    p = jnp.pad(a, pad)
-    lo = jax.lax.slice_in_dim(p, 0, n, axis=axis)
-    hi = jax.lax.slice_in_dim(p, 2, n + 2, axis=axis)
-    return a + 0.5 * (lo + hi)
+def _axis_transfer_matrix(nf: int, nc: int, transfer: str) -> np.ndarray:
+    """(nf, nc) one-axis restriction matrix R_ax (vertex-centered, zero
+    boundary): R[2c, c] = 1 and, for "linear", R[2c±1, c] = 1/2 — exactly
+    conv([1/2, 1, 1/2]) followed by even sampling.  Prolongation along the
+    axis is R_axᵀ, so R = Pᵀ holds by construction."""
+    R = np.zeros((nf, nc), dtype=np.float64)
+    for c in range(nc):
+        R[2 * c, c] = 1.0
+        if transfer == "linear":
+            if 2 * c - 1 >= 0:
+                R[2 * c - 1, c] = 0.5
+            if 2 * c + 1 < nf:
+                R[2 * c + 1, c] = 0.5
+    return R
+
+
+@partial(jax.jit, static_argnames=("fdims", "cdims", "transfer", "up"))
+def _tensor_transfer(v, fdims, cdims, transfer, up):
+    """Tensor-product grid transfer as THREE tiny constant matmuls — the
+    TPU-native form: strided gathers / interior-padded scatters are
+    lane-granular (~5 GB/s on this part), while a (…, nf) × (nf, nc)
+    contraction rides the MXU at full rate.  `up=False`: r_c = R r_f;
+    `up=True`: z_f = Pᵀ… = R applied transposed per axis."""
+    nxf, nyf, nzf = fdims
+    nxc, nyc, nzc = cdims
+    dt = v.dtype
+    Rx = jnp.asarray(_axis_transfer_matrix(nxf, nxc, transfer), dt)
+    Ry = jnp.asarray(_axis_transfer_matrix(nyf, nyc, transfer), dt)
+    Rz = jnp.asarray(_axis_transfer_matrix(nzf, nzc, transfer), dt)
+    if up:
+        z3 = v.reshape(nzc, nyc, nxc)
+        z3 = jnp.einsum("zyx,Xx->zyX", z3, Rx)
+        z3 = jnp.einsum("zyX,Yy->zYX", z3, Ry)
+        z3 = jnp.einsum("zYX,Zz->ZYX", z3, Rz)
+        return z3.reshape(nxf * nyf * nzf)
+    r3 = v.reshape(nzf, nyf, nxf)
+    r3 = jnp.einsum("zyx,xX->zyX", r3, Rx)
+    r3 = jnp.einsum("zyX,yY->zYX", r3, Ry)
+    r3 = jnp.einsum("zYX,zZ->ZYX", r3, Rz)
+    return r3.reshape(nxc * nyc * nzc)
 
 
 def restrict_flat(rf: jax.Array, fdims, cdims, transfer: str) -> jax.Array:
     """r_c = R r_f (flat vectors, fdims/cdims = (nx, ny, nz))."""
-    nxf, nyf, nzf = fdims
-    nxc, nyc, nzc = cdims
-    r3 = rf.reshape(nzf, nyf, nxf)
-    if transfer == "linear":
-        for ax in range(3):
-            r3 = _axis_conv(r3, ax)
-    return r3[::2, ::2, ::2].reshape(nxc * nyc * nzc)
+    return _tensor_transfer(rf, tuple(fdims), tuple(cdims), transfer, False)
 
 
 def prolong_flat(zc: jax.Array, fdims, cdims, transfer: str) -> jax.Array:
-    """z_f = P z_c = R^T z_c (flat vectors)."""
-    nxf, nyf, nzf = fdims
-    nxc, nyc, nzc = cdims
-    z3 = zc.reshape(nzc, nyc, nxc)
-    # scatter-to-even: interior-pad by one zero per gap, top up the high end
-    # (even fine dims have one fine point past the last coarse point)
-    cfg = [(0, nzf - max(1, 2 * nzc - 1), 1),
-           (0, nyf - max(1, 2 * nyc - 1), 1),
-           (0, nxf - max(1, 2 * nxc - 1), 1)]
-    z3 = jax.lax.pad(z3, jnp.zeros((), zc.dtype), cfg)
-    if transfer == "linear":
-        for ax in range(3):
-            z3 = _axis_conv(z3, ax)
-    return z3.reshape(nxf * nyf * nzf)
+    """z_f = P z_c = Rᵀ z_c (flat vectors)."""
+    return _tensor_transfer(zc, tuple(fdims), tuple(cdims), transfer, True)
 
 
 # ---------------------------------------------------------------------------
@@ -375,7 +385,9 @@ def mg_vcycle(levels: Tuple[MGLevel, ...], y, smooth_degree: int,
 def estimated_vcycle_passes(levels, smooth_degree: int,
                             coarse_degree: int) -> float:
     """Roofline estimate: vector passes per apply, summed over levels with
-    their size ratios (transfers ~ 6 passes at the finer level's size)."""
+    their size ratios.  Tensor-product transfers are 3 MXU contractions
+    whose traffic is ~read fine + write intermediate sizes ≈ 4 passes at
+    the finer level's size for the restrict+prolong pair."""
     n0 = max(1, levels[0].A.n_rows)
     total = 0.0
     for l, lev in enumerate(levels):
@@ -385,6 +397,6 @@ def estimated_vcycle_passes(levels, smooth_degree: int,
             smooth = 3.0 + 6.0 * max(0, coarse_degree - 1)
         else:
             smooth = 2.0 * (3.0 + 6.0 * max(0, smooth_degree - 1))
-            smooth += 3.0 + 6.0          # residual + transfers
+            smooth += 3.0 + 4.0          # residual + transfer pair
         total += ratio * smooth
     return total

@@ -962,6 +962,144 @@ def build_superblock_gs_pair_from_csr(A, D, spec, *, dtype=np.float32,
     return L, U
 
 
+def stencil_blocked_eligible(op, spec) -> bool:
+    """Cheap predicate: can build_superblock_gs_pair_stencil succeed for
+    this DeviceStencil + grid spec?  (Metadata checks only — used by
+    preprocessing_device to gate planar vectors before the build.)"""
+    try:
+        _stencil_pair_plan(op, spec)
+        return True
+    except (BlockIneligibleError, ImproperColoringError):
+        return False
+
+
+def _stencil_pair_plan(op, spec):
+    """Shared eligibility + geometry for the analytic stencil pair.
+    Returns (legs_coeffs, self_legs, cross_legs, S, m, TB, R_b)."""
+    if NO_CONST:
+        raise BlockIneligibleError("const mode disabled (BIS_SB_CONST=0)")
+    if spec.kind != "grid":
+        raise BlockIneligibleError("superblock path needs a grid coloring")
+    nx, ny, nz, sx, sy, sz = spec.params
+    if tuple(op.dims) != (nx, ny, nz):
+        raise BlockIneligibleError("grid spec dims do not match operator")
+    if op.diag is not None:
+        raise BlockIneligibleError(
+            "dense-diagonal stencil: diagonal is not a trace-time constant")
+    if ny % sy or nz % sz:
+        raise BlockIneligibleError("grid strides must divide the dims")
+    if not (nx <= LANES and LANES % nx == 0):
+        raise BlockIneligibleError(
+            "analytic stencil pair needs the fused layout (128 % nx == 0)")
+    my, mz = ny // sy, nz // sz
+    S = sy * sz
+    m = nx * my * mz
+    diag_c = None
+    self_legs, cross_legs = [], []
+    for leg, c in zip(op.legs, op.coeff_values):
+        dx, dy, dz = leg
+        if leg == (0, 0, 0):
+            diag_c = float(c)
+            continue
+        if float(c) == 0.0:
+            continue
+        if dx % sx == 0 and dy % sy == 0 and dz % sz == 0:
+            raise ImproperColoringError(
+                f"leg {leg} couples same-colored rows under this spec")
+        if dy == 0 and dz == 0:
+            if abs(dx) >= min(nx, LANES):
+                raise BlockIneligibleError(
+                    "self coupling reach exceeds a lane row")
+            self_legs.append((dx, float(c)))
+        elif dy % sy == 0 and dz % sz == 0:
+            raise BlockIneligibleError(
+                "same-superblock coupling beyond x axis")
+        else:
+            cross_legs.append((leg, float(c)))
+    if diag_c is None or diag_c == 0.0:
+        raise BlockIneligibleError("stencil has no constant nonzero "
+                                   "diagonal leg")
+    # per (target sb, cross leg): source sb + slot offset Δ
+    deltas = []
+    per_sb = []
+    for sb in range(S):
+        py_t, pz_t = sb % sy, sb // sy
+        rows = []
+        for (dx, dy, dz), c in cross_legs:
+            py_s, pz_s = (py_t + dy) % sy, (pz_t + dz) % sz
+            src = py_s + sy * pz_s
+            dRy = (py_t + dy - py_s) // sy
+            dRz = (pz_t + dz - pz_s) // sz
+            delta = dx + nx * (dRy + my * dRz)
+            rows.append((src, delta, c, (dx, dy, dz)))
+            deltas.append(delta)
+        per_sb.append(rows)
+    qmax = (max(abs(d) for d in deltas) // LANES + 1) if deltas else 0
+    R_rows = -(-m // LANES)
+    TB = max(8 * -(-(qmax + 1) // 8), min(_TB, 8 * -(-R_rows // 8)), 8)
+    R_b = -(-R_rows // TB) * TB
+    if TB > R_b:
+        R_b = TB
+    import types
+    return types.SimpleNamespace(
+        diag_c=diag_c, self_legs=sorted(self_legs), per_sb=per_sb,
+        S=S, m=m, TB=TB, R_b=R_b, spec_params=tuple(int(p)
+                                                    for p in spec.params))
+
+
+def build_superblock_gs_pair_stencil(op, spec, *, dtype=np.float32,
+                                     need_d: bool = False):
+    """(L, U) const-mode superblock pair STRAIGHT from a constant-
+    coefficient DeviceStencil — pure metadata, zero host CSR and zero
+    O(nnz) work (the reference must materialize CRS factors,
+    /root/reference/utilities/LU_factors.hpp:900-934; here the operator's
+    legs ARE the factors).  Triangle membership: cross legs by superblock
+    id order (src < tgt → L), self legs appear in BOTH triangles behind
+    their x-parity masks."""
+    plan = _stencil_pair_plan(op, spec)
+    nx, ny, nz, sx, sy, sz = plan.spec_params
+    S, m, TB, R_b = plan.S, plan.m, plan.TB, plan.R_b
+    n = nx * ny * nz
+
+    # dinv/d planes: the diagonal is one constant → a single (R_b, 128)
+    # block shared by every superblock (same buffer, no copies)
+    valid = (np.arange(R_b * LANES) < m)
+    dinv_blk = jnp.asarray(
+        np.where(valid, 1.0 / plan.diag_c, 0.0).astype(dtype)
+        .reshape(R_b, LANES))
+    d_blk = jnp.asarray(
+        np.where(valid, plan.diag_c, 0.0).astype(dtype)
+        .reshape(R_b, LANES))
+    dinv = (dinv_blk,) * S
+
+    selfs = tuple(dx for dx, _c in plan.self_legs)
+    self_consts = tuple((c, dx) for dx, c in plan.self_legs)
+
+    def one(upper: bool):
+        order = range(S - 1, -1, -1) if upper else range(S)
+        levels, cc = [], []
+        for sb in order:
+            rows = [(src, delta, c, leg) for src, delta, c, leg
+                    in plan.per_sb[sb]
+                    if (src > sb if upper else src < sb)]
+            rows.sort(key=lambda r: (r[0], r[1]))
+            levels.append((sb, tuple((src, delta) for src, delta, _, _
+                                     in rows), selfs))
+            cc.append(tuple((c,) + leg for _, _, c, leg in rows))
+        nlev = len(levels)
+        return SuperBlockTriSolve(
+            vals_cross=(None,) * nlev, vals_self=(None,) * nlev,
+            dinv=dinv,
+            d=((d_blk,) * S if (need_d and not upper) else None),
+            n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
+            levels=tuple(levels), upper=upper,
+            spec_params=plan.spec_params, fused=True,
+            const_cross=tuple(cc),
+            const_self=(self_consts,) * nlev)
+
+    return one(False), one(True)
+
+
 def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
                                tile_rows: int = _TB):
     """(L_blk, U_blk, U_D) for colored-ILU(0) factors straight off the

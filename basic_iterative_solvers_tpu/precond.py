@@ -499,6 +499,30 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
         if bool(jnp.any(D == 0)):
             raise ValueError("zero on the matrix diagonal")
         D = D.astype(dtype)
+        # matrix-free superblock upgrade: a constant-coefficient stencil's
+        # strict parts ARE trace-time constants — the blocked pair builds
+        # analytically (pure metadata, zero host work) and the trisolves
+        # stream no factor data at all (ops/block_trisolve.py const mode).
+        # Requires FLAT vectors (the rank-space permute) — gated in
+        # preprocessing_device before planar conversion.
+        if (isinstance(A_dev, DeviceStencil) and not A_dev.planar
+                and spec.kind == "grid"):
+            from .ops.block_trisolve import (
+                BlockIneligibleError, build_superblock_gs_pair_stencil)
+            try:
+                sym = pt == PrecondType.SYMMETRIC_GAUSS_SEIDEL
+                L_blk, U_blk = build_superblock_gs_pair_stencil(
+                    A_dev, spec, dtype=dtype, need_d=sym)
+                if pt == PrecondType.GAUSS_SEIDEL:
+                    U_blk = None
+                elif pt == PrecondType.BACKWARDS_GAUSS_SEIDEL:
+                    L_blk = None
+                return Preconditioner(
+                    A_D=D, A_D_inv=(1.0 / D).astype(dtype),
+                    L_block=L_blk, U_block=U_blk, color_spec=spec,
+                    n_colors=spec.n_colors, **kw)
+            except BlockIneligibleError:
+                pass   # masked sweeps below
         return Preconditioner(A_D=D, A_D_inv=(1.0 / D).astype(dtype),
                               A_full_dev=A_dev, color_spec=spec,
                               n_colors=spec.n_colors, **kw)

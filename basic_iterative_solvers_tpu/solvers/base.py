@@ -63,6 +63,11 @@ class SolverSetup:
     color_spec: Any = None                   # ColorSpec (grid/mod, static)
     color_arr: Optional[jax.Array] = None    # greedy color ids
     n_colors: int = 0
+    # Const-mode blocked trisolves for the GS/SGS METHODS (residual-form
+    # sweeps; built analytically from constant stencils — see
+    # preprocessing_device / ops/block_trisolve.py)
+    gs_L_block: Any = None
+    gs_U_block: Any = None
 
     @property
     def dtype(self):
@@ -303,7 +308,29 @@ def preprocessing_device(A_dev, config: SolverConfig,
     x_decode = None
     planar = config.planar_vectors
     from ..stencil_op import _planar_ok
-    if is_stencil and not A_dev.planar and (
+    # Matrix-free superblock GS route (const-mode blocked trisolves,
+    # ops/block_trisolve.py): for constant stencils the colored GS family
+    # (as preconditioner or as the GS/SGS method) runs rank-space blocked
+    # solves with ZERO factor traffic — but those need FLAT vectors (the
+    # rank-space permute is a reshape of the flat layout), so they win
+    # over planar residency.  planar_vectors="on" keeps user control
+    # (forces planar → masked sweeps, e.g. the shard_map mesh path).
+    blocked_gs_route = False
+    if is_stencil and not A_dev.planar and planar != "on" and colored:
+        from ..precond import COLORED_PRECONDS as _CP
+        wants_blocked = (
+            config.preconditioner in _CP
+            or config.method in (SolverType.GAUSS_SEIDEL,
+                                 SolverType.SYMMETRIC_GAUSS_SEIDEL))
+        if wants_blocked:
+            from ..coloring import spec_for_device
+            from ..ops.block_trisolve import stencil_blocked_eligible
+            try:
+                blocked_gs_route = stencil_blocked_eligible(
+                    A_dev, spec_for_device(A_dev))
+            except ValueError:
+                pass
+    if is_stencil and not A_dev.planar and not blocked_gs_route and (
             planar == "on"
             or (planar == "auto" and config.use_pallas
                 and jax.default_backend() == "tpu"
@@ -348,6 +375,18 @@ def preprocessing_device(A_dev, config: SolverConfig,
                     "(preprocessing, gs_mode='levels') for an exact "
                     "level-scheduled solve") from e
             setup.n_colors = setup.color_spec.n_colors
+            if blocked_gs_route:
+                # residual-form sweeps through the const-mode blocked
+                # trisolves: x ← x + M⁻¹(b − Ax) with M the exact GS/SGS
+                # operator of the colored ordering — same math as the
+                # masked sweeps, zero factor traffic
+                from ..ops.block_trisolve import (
+                    build_superblock_gs_pair_stencil)
+                sym = config.method == SolverType.SYMMETRIC_GAUSS_SEIDEL
+                L_blk, U_blk = build_superblock_gs_pair_stencil(
+                    A_dev, setup.color_spec, dtype=dtype, need_d=sym)
+                setup.gs_L_block = L_blk
+                setup.gs_U_block = U_blk if sym else None
         return setup
 
 

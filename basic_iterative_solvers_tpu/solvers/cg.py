@@ -42,6 +42,8 @@ class ConjugateGradientMethod:
         # specialization drops z and reads ρ = (r, r) off the carried norm.
         from ..types import PrecondType
         self._identity_M = self.M.ptype == PrecondType.NONE
+        # tolerance=0 benchmark guard (SolverConfig.breakdown_stall)
+        self._stall = setup.config.breakdown_stall
 
     def init_state(self):
         x = self.setup.x0
@@ -73,13 +75,22 @@ class ConjugateGradientMethod:
         t, tp = spmv_dot(self.A, p, self.use_pallas)
         rz = dot(r, z)
         alpha = rz / tp
+        if self._stall:
+            alpha = self._finite_or_zero(alpha)
         x = sum_vectors(x, p, alpha)
         r_new = subtract_vectors(r, t, alpha)
         z_new = apply_preconditioner(self.M, r_new)
         beta = dot(r_new, z_new) / rz
+        if self._stall:
+            beta = self._finite_or_zero(beta)
         p_new = sum_vectors(z_new, p, beta)
         return {"x": x, "r": r_new, "z": z_new, "p": p_new,
                 "residual_norm": euclidean_vec_norm(r_new)}
+
+    @staticmethod
+    def _finite_or_zero(s):
+        import jax.numpy as jnp
+        return jnp.where(jnp.isfinite(s), s, jnp.zeros_like(s))
 
     def sample_norm(self, state):
         return state["residual_norm"]

@@ -34,12 +34,14 @@ class GaussSeidelMethod:
     symmetric = False
 
     def __init__(self, setup: SolverSetup):
-        self.colored = setup.n_colors > 0
+        self.blocked = setup.gs_L_block is not None
+        self.colored = setup.n_colors > 0 and not self.blocked
         if self.colored:
             if setup.A_D is None:
                 raise ValueError("colored Gauss-Seidel requires the diagonal")
             self.D_inv = 1.0 / setup.A_D
-        elif setup.L_solve is None or setup.U_strict_dev is None:
+        elif not self.blocked and (setup.L_solve is None
+                                   or setup.U_strict_dev is None):
             raise ValueError("Gauss-Seidel requires L/U solver data")
         self.setup = setup
         self.A = setup.A
@@ -63,6 +65,20 @@ class GaussSeidelMethod:
 
     def iterate(self, state):
         x = state["x"]
+        if self.blocked:
+            # residual-form sweep through the const-mode blocked
+            # trisolves (ops/block_trisolve.py): x ← x + M⁻¹(b − A x)
+            # with M the exact GS/SGS operator of the colored ordering —
+            # identical math to the masked sweeps, zero factor traffic
+            from ..ops.block_trisolve import blocked_sgs, blocked_trisolve
+            r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
+            if self.symmetric:
+                dx = blocked_sgs(self.setup.gs_L_block,
+                                 self.setup.gs_U_block, r, self.use_pallas)
+            else:
+                dx = blocked_trisolve(self.setup.gs_L_block, r,
+                                      self.use_pallas)
+            return dict(state, x=x + dx)
         if self.colored:
             # exact GS in the colored ordering, residual form (coloring.py)
             x = self._sweep(x, reverse=False)
@@ -98,6 +114,6 @@ class SymmetricGaussSeidelMethod(GaussSeidelMethod):
 
     def __init__(self, setup: SolverSetup):
         super().__init__(setup)
-        if not self.colored and (setup.U_solve is None
-                                 or setup.L_strict_dev is None):
+        if not self.colored and not self.blocked and (
+                setup.U_solve is None or setup.L_strict_dev is None):
             raise ValueError("Symmetric GS requires backward-solve data")

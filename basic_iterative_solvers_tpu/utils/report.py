@@ -95,6 +95,20 @@ def iteration_traffic_bytes(setup) -> int:
         SolverType.GMRES: (1, 4, 1),           # + basis streaming below
     }
     n_spmv, n_vec, n_prec = shapes[config.method]
+    if (getattr(setup, "gs_L_block", None) is not None
+            and config.method in (SolverType.GAUSS_SEIDEL,
+                                  SolverType.SYMMETRIC_GAUSS_SEIDEL)):
+        # blocked residual-form sweep: one residual SpMV + the blocked
+        # trisolve passes (const mode → window/vector passes only)
+        from ..precond import Preconditioner, estimated_precond_passes
+        from ..types import PrecondType
+        sym = config.method == SolverType.SYMMETRIC_GAUSS_SEIDEL
+        Mb = Preconditioner(
+            ptype=(PrecondType.SYMMETRIC_GAUSS_SEIDEL if sym
+                   else PrecondType.GAUSS_SEIDEL),
+            outer_iters=1, inner_iters=1, use_pallas=config.use_pallas,
+            L_block=setup.gs_L_block, U_block=setup.gs_U_block)
+        return int(2 * spmv + (4 + estimated_precond_passes(Mb)) * vec)
     if setup.n_colors > 0 and config.method in (
             SolverType.GAUSS_SEIDEL, SolverType.SYMMETRIC_GAUSS_SEIDEL):
         # colored sweeps: one SpMV + one masked update per kernel step per

@@ -165,13 +165,37 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
         gmres_basis_dtype=(None if args.gmres_basis == "none"
                            else args.gmres_basis),
         precond_inner_iters=args.precond_inner_iters,
-        color_spec=bis.generators.color_spec_for_source(args.matrix))
+        color_spec=bis.generators.color_spec_for_source(args.matrix),
+        # mg converges past the f32 floor long before the fixed iteration
+        # budget — stall the recurrence scalars instead of timing NaN junk
+        # (the rate row's final ||r|| stays an honest explicit residual)
+        breakdown_stall=(args.precond == "mg"))
 
     A_dev_inject = None
     blocked_gs = (precond_name in ("GAUSS_SEIDEL", "BACKWARDS_GAUSS_SEIDEL",
                                    "SYMMETRIC_GAUSS_SEIDEL")
                   and cfg.color_spec is not None
                   and cfg.color_spec.kind == "grid")
+    if (blocked_gs and is_gen
+            and isinstance(A, bis.stencil_op.DeviceStencil)):
+        # constant-coefficient stencil sources build the GS-family blocked
+        # pair ANALYTICALLY on the device path (const-mode superblock,
+        # ops/block_trisolve.py) — no host CSR, no O(nnz) setup at all.
+        # Only fall through to the host-CSR route when the analytic
+        # builder is ineligible.
+        from basic_iterative_solvers_tpu.coloring import spec_for_device
+        from basic_iterative_solvers_tpu.ops.block_trisolve import (
+            stencil_blocked_eligible)
+        import dataclasses as _dc
+        try:
+            eligible = stencil_blocked_eligible(A, spec_for_device(A))
+        except ValueError:
+            eligible = False
+        if eligible:
+            cfg = _dc.replace(cfg, gs_mode="colored")
+            blocked_gs = False
+            log(f"[{method_key}] {precond_name}: analytic const-mode "
+                "blocked pair (device path, zero host setup)")
     if precond_name == "ILU0" or blocked_gs:
         # These preconditioners factor/pack on the host CSR; multicolor
         # mode keeps the triangular applies parallel at scale, and a grid

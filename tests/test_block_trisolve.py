@@ -347,3 +347,65 @@ def test_const_mode_mesh_sharded(rng):
     finally:
         pallas_env.INTERPRET = False
     np.testing.assert_allclose(x_mesh, x_ref, rtol=1e-6, atol=1e-6)
+
+
+def test_analytic_stencil_pair_matches_csr_build(rng):
+    """build_superblock_gs_pair_stencil (pure metadata, no host CSR) must
+    equal the CSR-built const pair structurally and bitwise in action."""
+    from basic_iterative_solvers_tpu import stencil_op
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    src = "hpcg:16x12x8"
+    A = bis.generators.from_source(src)
+    spec = bis.generators.color_spec_for_source(src)
+    op = stencil_op.from_source_operator(src, dtype=np.float32)
+    assert bt.stencil_blocked_eligible(op, spec)
+    La, Ua = bt.build_superblock_gs_pair_stencil(op, spec, need_d=True)
+    Lc, Uc = bt.build_superblock_gs_pair_from_csr(A, _diag(A), spec,
+                                                  need_d=True)
+    assert La.is_const and Lc.is_const
+    assert La.levels == Lc.levels and Ua.levels == Uc.levels
+    assert La.const_cross == Lc.const_cross
+    assert La.const_self == Lc.const_self
+    assert Ua.const_cross == Uc.const_cross
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(blocked_sgs(La, Ua, y)),
+                                  np.asarray(blocked_sgs(Lc, Uc, y)))
+
+
+def test_device_path_routes_gs_family_through_blocked(rng):
+    """preprocessing_device must take the analytic blocked route for
+    constant stencils (method AND preconditioner), with iteration counts
+    matching the masked-sweep route."""
+    from basic_iterative_solvers_tpu import stencil_op
+    src = "hpcg:8x8x8"
+
+    def run(planar):
+        cfg = bis.SolverConfig(
+            method=bis.SolverType.SYMMETRIC_GAUSS_SEIDEL,
+            dtype=np.float64, harness="fused", tolerance=1e-9,
+            planar_vectors=planar)
+        s = bis.preprocessing_device(
+            stencil_op.from_source_operator(src, dtype=np.float64), cfg)
+        return bis.solve(s), s
+
+    r_blk, s_blk = run("off")
+    r_swp, s_swp = run("on")
+    assert s_blk.gs_L_block is not None and s_blk.gs_L_block.is_const
+    assert s_swp.gs_L_block is None          # planar=on keeps sweeps
+    assert r_blk.converged
+    assert r_blk.iter_count == r_swp.iter_count
+    h1 = np.asarray(r_blk.residual_norms)
+    h2 = np.asarray(r_swp.residual_norms)
+    m = min(h1.size, h2.size)
+    assert np.max(np.abs(h1[:m] - h2[:m])) / h1[0] < 1e-12
+
+    # precond route: CG + SGS builds M.L_block analytically
+    cfg_p = bis.SolverConfig(
+        method=bis.SolverType.CONJUGATE_GRADIENT,
+        preconditioner=bis.PrecondType.SYMMETRIC_GAUSS_SEIDEL,
+        dtype=np.float32, harness="fused", tolerance=1e-5,
+        planar_vectors="off")
+    s_p = bis.preprocessing_device(
+        stencil_op.from_source_operator(src, dtype=np.float32), cfg_p)
+    assert s_p.M.L_block is not None and s_p.M.L_block.is_const
+    assert bis.solve(s_p).converged
