@@ -1537,6 +1537,138 @@ def _super_parity_pallas(B, li, px, y_blk, X, has_acc):
     )(*operands)
 
 
+def _super_solve_pallas_mega(B: SuperBlockTriSolve, y_stack):
+    """WHOLE const-mode triangular solve in ONE pallas_call: grid
+    (S levels, R_b/TB row tiles) iterated level-major (sequential —
+    dimension_semantics 'arbitrary'), with the inter-level state X living
+    in VMEM SCRATCH for the entire solve.  vs the per-level form
+    (_super_level_pallas): no HBM state array, no window DMAs (direct
+    VMEM loads), S× fewer kernel dispatches.  Only possible in const mode
+    — there are no factor planes to stream, so the whole working set is
+    S·(R_b+2·TB)·128 state + the y/out tiles (~9 MB at HPCG-128³).
+
+    y_stack: (S, R_b, LANES) rank-space rhs blocks (permuted, stacked).
+    Returns the (S, R_b, LANES) solution stack.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    TB, R_b, S, sx = B.TB, B.R_b, B.S, B.sx
+    nx = B.spec_params[0]
+    grid_n = R_b // TB
+    dt = y_stack.dtype
+    n_lev = len(B.levels)
+    # levels are built in superblock order (range(S), reversed for upper),
+    # so sb is an AFFINE function of the level index — expressible in the
+    # BlockSpec index maps (li or S-1-li)
+    sb_seq = [lv[0] for lv in B.levels]
+    assert sb_seq == (list(range(S - 1, -1, -1)) if B.upper
+                      else list(range(S)))
+    dinv_stack = jnp.stack([B.dinv[sb] for sb in sb_seq])
+
+    def sb_map(li, i):
+        return (li, i, jnp.int32(0))
+
+    def kernel(y_ref, dinv_ref, out_ref, X):
+        li = pl.program_id(0)
+        i = pl.program_id(1)
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
+        rrow = (jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 0)
+                + i * jnp.int32(TB))
+        gslot = rrow * jnp.int32(LANES) + lanes
+        parity = jax.lax.rem(jax.lax.rem(lanes, jnp.int32(nx)),
+                             jnp.int32(sx))
+        zeros_tb = jnp.zeros((TB, LANES), dtype=dt)
+
+        def body_for(liv):
+            sb, cross, selfs = B.levels[liv]
+
+            def body():
+                # zero this block's top/bottom halo rows once per level
+                @pl.when(i == jnp.int32(0))
+                def _():
+                    X[jnp.int32(sb), pl.ds(0, TB)] = zeros_tb
+                    X[jnp.int32(sb), pl.ds(R_b + TB, TB)] = zeros_tb
+
+                acc = y_ref[0]
+                for gi, (src, delta) in enumerate(cross):
+                    q, mm = divmod(delta, LANES)
+                    # window rows [i·TB, i·TB+3·TB) of src = padded rows
+                    # [(i−1)·TB, (i+2)·TB): direct VMEM loads
+                    W1 = X[jnp.int32(src),
+                           pl.ds(i * jnp.int32(TB) + jnp.int32(TB + q), TB)]
+                    if mm == 0:
+                        shifted = W1
+                    else:
+                        W2 = X[jnp.int32(src),
+                               pl.ds(i * jnp.int32(TB)
+                                     + jnp.int32(TB + q + 1), TB)]
+                        R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+                        R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+                        shifted = jnp.where(lanes < jnp.int32(LANES - mm),
+                                            R1, R2)
+                    c, dx, dy, dz = B.const_cross[liv][gi]
+                    mask = _leg_mask_jnp(B, sb, (dx, dy, dz), gslot)
+                    acc = acc - jnp.where(mask, shifted * jnp.asarray(c, dt),
+                                          jnp.asarray(0, dt))
+
+                self_masks = [
+                    _leg_mask_jnp(B, sb, (sdx, 0, 0), gslot, self_leg=True)
+                    for _c, sdx in B.const_self[liv]]
+                xt = zeros_tb
+                for cx in _parity_order(B):
+                    a = acc
+                    for gi, dx in enumerate(selfs):
+                        rolled = pltpu.roll(xt, jnp.int32((-dx) % LANES), 1)
+                        c = B.const_self[liv][gi][0]
+                        a = a - jnp.where(self_masks[gi],
+                                          rolled * jnp.asarray(c, dt),
+                                          jnp.asarray(0, dt))
+                    xt = jnp.where(parity == jnp.int32(cx),
+                                   a * dinv_ref[0], xt)
+
+                X[jnp.int32(sb),
+                  pl.ds(i * jnp.int32(TB) + jnp.int32(TB), TB)] = xt
+                out_ref[0] = xt
+            return body
+
+        jax.lax.switch(li, [body_for(liv) for liv in range(n_lev)])
+
+    itemsize = np.dtype(dt).itemsize
+    return pl.pallas_call(
+        kernel, grid=(n_lev, grid_n),
+        in_specs=[pl.BlockSpec((1, TB, LANES), sb_map),
+                  pl.BlockSpec((1, TB, LANES), sb_map)],
+        out_specs=pl.BlockSpec((1, TB, LANES), sb_map),
+        out_shape=jax.ShapeDtypeStruct((n_lev, R_b, LANES), dt),
+        scratch_shapes=[pltpu.VMEM((S, R_b + 2 * TB, LANES), dt)],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * sum(len(c) + len(s) * sx for _, c, s in B.levels)
+            * R_b * LANES,
+            bytes_accessed=3 * n_lev * R_b * LANES * itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=pallas_env.INTERPRET,
+    )(y_stack, dinv_stack)
+
+
+#: mega-kernel routing for const-mode solves (single-call, VMEM-resident
+#: state).  Default ON; BIS_SB_MEGA=0 falls back to per-level calls.
+MEGA = _os.environ.get("BIS_SB_MEGA", "1") != "0"
+
+#: VMEM budget the mega kernel may claim for its state + tiles (leave
+#: headroom under the 96 MB scoped limit for compiler temporaries)
+_MEGA_STATE_BYTES = 64 * 1024 * 1024
+
+
+def _mega_eligible(B: SuperBlockTriSolve, dt) -> bool:
+    state = B.S * (B.R_b + 2 * B.TB) * LANES * np.dtype(dt).itemsize
+    return (MEGA and B.is_const and B.fused
+            and state <= _MEGA_STATE_BYTES)
+
+
 def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
     pallas_ok = (use_pallas and pallas_env.pallas_capable()
                  and yb[0].dtype.itemsize <= 4)
@@ -1544,6 +1676,14 @@ def _solve_super(B: SuperBlockTriSolve, yb, use_pallas: bool = True):
         xb = [None] * B.S
         for li, (sb, _c, _s) in enumerate(B.levels):
             xb[sb] = _super_level_xla(B, li, yb[sb], xb)
+        return xb
+    if _mega_eligible(B, yb[0].dtype):
+        sb_seq = [lv[0] for lv in B.levels]
+        out = _super_solve_pallas_mega(
+            B, jnp.stack([yb[sb] for sb in sb_seq]))
+        xb = [None] * B.S
+        for li, sb in enumerate(sb_seq):
+            xb[sb] = out[li]
         return xb
     n_blk = B.S if B.fused else B.S + 1   # +1: split-mode acc scratch
     X = jnp.zeros((n_blk, B.R_b + 2 * B.TB, LANES), dtype=yb[0].dtype)

@@ -409,3 +409,19 @@ def test_device_path_routes_gs_family_through_blocked(rng):
         stencil_op.from_source_operator(src, dtype=np.float32), cfg_p)
     assert s_p.M.L_block is not None and s_p.M.L_block.is_const
     assert bis.solve(s_p).converged
+
+
+def test_const_mega_kernel_matches_per_level(rng):
+    """Single-call VMEM-resident solve == per-level calls, bitwise."""
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    (L, U), A = _gs_pair("hpcg:16x12x8", np.float32)
+    assert bt._mega_eligible(L, np.float32)
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    z_mega = np.asarray(blocked_sgs(L, U, y))
+    old = bt.MEGA
+    bt.MEGA = False
+    try:
+        z_lvl = np.asarray(blocked_sgs(L, U, y))
+    finally:
+        bt.MEGA = old
+    np.testing.assert_array_equal(z_mega, z_lvl)
