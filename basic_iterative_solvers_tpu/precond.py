@@ -657,10 +657,17 @@ def estimated_precond_passes(M: Preconditioner) -> float:
                 B = B.inner
             if isinstance(B, SuperBlockTriSolve):
                 # const mode regenerates planes in-register — zero factor
-                # traffic; only window reads + vector passes remain
+                # traffic; only window reads + vector passes remain.  The
+                # mega kernel also keeps the state VMEM-resident, so even
+                # the window reads vanish (y in + x out + permutes only).
+                from .ops.block_trisolve import _mega_eligible
                 n_groups = (0 if B.is_const else
                             sum(len(c) + len(s) for _, c, s in B.levels))
-                n_pairs = sum(len({s for s, _ in c}) for _, c, _s in B.levels)
+                if B.is_const and _mega_eligible(B, B.dtype):
+                    n_pairs = 0
+                else:
+                    n_pairs = sum(len({s for s, _ in c})
+                                  for _, c, _s in B.levels)
                 per += (n_groups + 3.0 * n_pairs) / B.S + 5.0
             else:
                 n_pairs = sum(len({s for s, _, _ in g}) for _, g in B.levels)

@@ -15,6 +15,18 @@ OUT=/tmp/tpu_queue
 mkdir -p "$OUT"
 STEP="${1:-all}"
 
+if [ "$STEP" = "mega" ] || [ "$STEP" = "all" ]; then
+  # Mega-kernel A/B: single-call VMEM-resident const trisolve vs the
+  # per-level calls.  THIS RUNS FIRST — it validates that Mosaic accepts
+  # the lax.switch + VMEM-scratch form on real hardware; if the mega rows
+  # fail, flip the BIS_SB_MEGA default to 0 before the full table.
+  for m in 0 1; do
+    echo "=== pcg BIS_SB_MEGA=$m ===" | tee -a "$OUT/mega.log"
+    BIS_SB_MEGA=$m timeout 3000 python bench.py --method pcg \
+      --backend-wait-mins 20 2>>"$OUT/mega.log" | tee -a "$OUT/mega.log"
+  done
+fi
+
 if [ "$STEP" = "gs" ] || [ "$STEP" = "all" ]; then
   # Forward-GS method through the const-mode blocked trisolve (sgs and
   # pcg already measured: 0.450 ms/iter each, 2026-08-19).
