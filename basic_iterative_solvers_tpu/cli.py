@@ -47,6 +47,9 @@ TPU-native extras (the reference's CMake-time knobs, collapsed to runtime):
     --iter-times                measured per-iteration DEVICE walls for the
                                 fused harness (xprof trace segmentation —
                                 the reference's time_per_iteration[])
+    --dump-matrix PATH          write the solve-ordering matrix as .mtx
+                                (the reference's OUTPUT_SPARSITY toggle,
+                                CMakeLists.txt:33 — dead there, live here)
     --max-iters N --tol T --inner K --outer K
 """
 from __future__ import annotations
@@ -181,6 +184,8 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             extras["kernel_timers"] = True
         elif arg == "--iter-times":
             extras["iter_times"] = True
+        elif arg == "--dump-matrix":
+            extras["dump_matrix"] = need_value()
         else:
             # reference behavior: warn, continue (utilities.hpp:103-106)
             print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
@@ -217,6 +222,7 @@ def run(argv=None) -> int:
         extras["harness"] = "fused" if on_tpu else "host"
     profile_dir = extras.pop("profile_dir", None)
     iter_times = extras.pop("iter_times", False)
+    dump_matrix = extras.pop("dump_matrix", None)
     config = SolverConfig(**opts, **extras)
     if config.color_spec is None:
         # structural coloring for generator sources → blocked multicolor
@@ -281,6 +287,23 @@ def run(argv=None) -> int:
                 A = generators.from_source(matrix_source)
             with timers.time("preprocessing"):
                 setup = preprocessing(A, config, timers=timers)
+        if dump_matrix:
+            # OUTPUT_SPARSITY analog (/root/reference/CMakeLists.txt:33;
+            # the macro is defined but dead in the reference — here the
+            # toggle actually writes the solve-ordering matrix as .mtx
+            # for external sparsity inspection).  Device-built operators
+            # dump from the host oracle when one exists.
+            from .io.mmio import write_mtx
+            if getattr(setup, "A_host", None) is not None:
+                write_mtx(dump_matrix, setup.A_host,
+                          comment=f"solve-ordering matrix for "
+                                  f"{matrix_source}")
+            else:
+                write_mtx(dump_matrix,
+                          generators.from_source(matrix_source),
+                          comment=f"generator matrix {matrix_source} "
+                                  "(natural ordering)")
+            print(f"wrote {dump_matrix}", file=sys.stderr)
         # Mid-run milestone dumps at relative residuals 1e-3/1e-6 (host
         # harness; reference solver_harness.hpp:27-37).
         def milestone(iter_count, residual_norm):
