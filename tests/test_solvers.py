@@ -549,3 +549,29 @@ def test_pipelined_cg_strong_preconditioners_f32():
                                tolerance=1e-6, max_iters=100)
         assert r32.converged and r32.iter_count <= max_it, (
             prec, r32.iter_count, float(r32.final_residual_norm))
+
+
+def test_breakdown_stall_keeps_tol0_runs_finite():
+    """tolerance=0 fixed-iteration benchmark runs with a strong M converge
+    past the attainable floor; breakdown_stall must keep the recurrence
+    finite (stationary) instead of NaN-poisoning the timed tail
+    (SolverConfig.breakdown_stall, bench pcg_mg row)."""
+    import numpy as np
+    import basic_iterative_solvers_tpu as bis
+    from basic_iterative_solvers_tpu import stencil_op
+
+    op = stencil_op.from_source_operator("hpcg:8x8x8", dtype=np.float32)
+    kw = dict(method=bis.SolverType.CONJUGATE_GRADIENT,
+              preconditioner=bis.PrecondType.MULTIGRID,
+              dtype=np.float32, harness="fused",
+              tolerance=0.0, max_iters=120)
+    s_guard = bis.preprocessing_device(
+        op, bis.SolverConfig(breakdown_stall=True, **kw))
+    r_guard = bis.solve(s_guard)
+    # the guarded run executes the full budget with a finite final
+    # residual at (or near) the f32 attainable floor
+    assert r_guard.iter_count == 120
+    assert np.isfinite(r_guard.final_residual_norm)
+    assert np.isfinite(np.asarray(r_guard.residual_norms)).all()
+    r0 = float(np.asarray(r_guard.residual_norms)[0])
+    assert r_guard.final_residual_norm < 1e-4 * r0
