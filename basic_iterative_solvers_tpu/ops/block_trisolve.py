@@ -1655,8 +1655,12 @@ def _super_solve_pallas_mega(B: SuperBlockTriSolve, y_stack):
 
 
 #: mega-kernel routing for const-mode solves (single-call, VMEM-resident
-#: state).  Default ON; BIS_SB_MEGA=0 falls back to per-level calls.
-MEGA = _os.environ.get("BIS_SB_MEGA", "1") != "0"
+#: state).  Default OFF after the 2026-08-19 TPU A/B: pcg@hpcg128 reads
+#: 0.517 ms/iter mega vs 0.437 per-level — the lax.switch level bodies
+#: serialize against the VMEM-scratch state while the per-level calls
+#: let XLA overlap the inter-call HBM traffic.  BIS_SB_MEGA=1 re-enables
+#: (worth re-measuring on hardware with slower dispatch paths).
+MEGA = _os.environ.get("BIS_SB_MEGA", "0") == "1"
 
 #: VMEM budget the mega kernel may claim for its state + tiles (leave
 #: headroom under the 96 MB scoped limit for compiler temporaries)

@@ -390,6 +390,56 @@ def preprocessing_device(A_dev, config: SolverConfig,
         return setup
 
 
+def _resid64_runner(setup: SolverSetup):
+    """Build (once per setup) the jitted fp64 residual evaluator for the
+    device path: returns `run(x) -> r64` with the f64 operator and b held
+    as DEVICE constants passed as jit ARGUMENTS (closure constants of
+    large arrays get re-staged per dispatch — measured ms-scale phantom
+    costs).  One dispatch per evaluation; the un-jitted form costs ~30
+    per-op round-trips over the ~30 ms/dispatch axon tunnel, which was
+    the dominant cost of every fp64 refinement outer."""
+    cached = getattr(setup, "_resid64_cache", None)
+    if cached is not None:
+        return cached
+    import dataclasses as _dc
+    from ..parallel.mesh_ops import unwrap
+    from ..stencil_op import DeviceStencil, from_planar_vec
+    A = unwrap(setup.A)
+    if isinstance(A, DeviceStencil):
+        A64 = A
+        if A.planar:
+            # the f64 evaluation runs on the XLA flat path (no f64 Pallas);
+            # mesh flat-vector setups carry a planar-flagged operator over
+            # FLAT vectors — only the diag needs decoding there
+            A64 = _dc.replace(
+                A64, planar=False,
+                diag=None if A.diag is None else from_planar_vec(A, A.diag))
+        A64 = _dc.replace(
+            A64, coeffs=A64.coeffs.astype(jnp.float64),
+            diag=None if A64.diag is None else A64.diag.astype(jnp.float64))
+    else:
+        A64 = _dc.replace(A, data=A.data.astype(jnp.float64))
+    b = setup.b
+    if isinstance(A, DeviceStencil) and b.ndim == 2:
+        b = from_planar_vec(A, b)
+    b64 = b.astype(jnp.float64)
+
+    @jax.jit
+    def _eval(A_dec, A_op, b_op, x):
+        # straight to float64: casting x through the solve dtype would
+        # round away exactly the fp64 correction accuracy refinement
+        # accumulates
+        if x.ndim == 2:            # planar-resident vectors are 2-D
+            x = from_planar_vec(A_dec, x)
+        return b_op - spmv(A_op, x.astype(jnp.float64), use_pallas=False)
+
+    def run(x):
+        return _eval(A, A64, b64, jnp.asarray(x))
+
+    setup._resid64_cache = run
+    return run
+
+
 def residual_f64(setup: SolverSetup, x: np.ndarray) -> np.ndarray:
     """Flat float64 residual b − A·x in solve coordinates (x flat or
     planar-encoded).  The fp64 oracle behind the final report and the
@@ -398,34 +448,7 @@ def residual_f64(setup: SolverSetup, x: np.ndarray) -> np.ndarray:
     if setup.A_host is not None:
         return (np.asarray(setup.b, dtype=np.float64)
                 - setup.A_host.spmv(np.asarray(x, dtype=np.float64)))
-    import dataclasses as _dc
-    from ..parallel.mesh_ops import unwrap
-    from ..stencil_op import DeviceStencil, from_planar_vec
-    A = unwrap(setup.A)
-    # straight to float64: casting x through the solve dtype would round
-    # away exactly the fp64 correction accuracy refinement accumulates
-    x = jnp.asarray(x, dtype=jnp.float64)
-    b = setup.b
-    if isinstance(A, DeviceStencil):
-        if A.planar:
-            # the f64 evaluation runs on the XLA flat path (no f64 Pallas);
-            # mesh flat-vector setups carry a planar-flagged operator over
-            # FLAT vectors — only the diag needs decoding there
-            if x.ndim == 2:        # planar-resident vectors are 2-D
-                x = from_planar_vec(A, x)
-            if b.ndim == 2:
-                b = from_planar_vec(A, b)
-            A = _dc.replace(
-                A, planar=False,
-                diag=None if A.diag is None else from_planar_vec(A, A.diag))
-        A = _dc.replace(
-            A, coeffs=A.coeffs.astype(jnp.float64),
-            diag=None if A.diag is None else A.diag.astype(jnp.float64))
-    else:
-        A = _dc.replace(A, data=A.data.astype(jnp.float64))
-    r = b.astype(jnp.float64) - spmv(A, x.astype(jnp.float64),
-                                     use_pallas=False)
-    return np.asarray(r)
+    return np.asarray(_resid64_runner(setup)(x))
 
 
 def explicit_residual_norm(setup: SolverSetup, x_star: np.ndarray) -> float:
@@ -513,12 +536,25 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
                    and setup.b.ndim == 2)
 
     t0 = _time.perf_counter()
-    x0_flat = np.asarray(setup.x0, dtype=np.float64)
+    resid64 = (None if setup.A_host is None else None)
+    if setup.A_host is None:
+        resid64 = _resid64_runner(setup)
+
+    def _resid(xq):
+        if resid64 is not None:
+            return resid64(xq)             # device f64, one dispatch
+        return jnp.asarray(residual_f64(setup, np.asarray(xq)))
+
+    # the whole outer loop is device-resident: x accumulates in f64 on
+    # device, the oracle is one jitted dispatch, and only scalars cross
+    # the host boundary — the host here moves memory at ~0.2 GB/s, so a
+    # single numpy pass over a 128³ f64 vector costs ~0.1 s
+    x0_dev = setup.x0
     if setup.x_decode is not None:
-        x0_flat = np.asarray(setup.x_decode(setup.x0), dtype=np.float64)
-    x = x0_flat
-    r = residual_f64(setup, setup.x0)
-    r0_norm = float(np.linalg.norm(r))
+        x0_dev = setup.x_decode(setup.x0)
+    x = jnp.asarray(x0_dev, dtype=jnp.float64)
+    r = _resid(setup.x0)
+    r0_norm = float(jnp.linalg.norm(r))
     stopping = _stopping(cfg, r0_norm)
 
     inner_cfg = _dc.replace(cfg, refine_outer=0,
@@ -544,11 +580,11 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
         # an unscaled late-outer RHS of ~1e-8 drives f32 recurrences
         # (squares/products of ~1e-16 intermediates) into denormal
         # territory and BiCGSTAB-class rho/omega divisions into NaN.
-        r_scale = float(np.linalg.norm(r))
+        r_scale = float(jnp.linalg.norm(r))
         if r_scale == 0.0:
             converged = True
             break
-        b_inner = jnp.asarray((r / r_scale).astype(dtype))
+        b_inner = (r / r_scale).astype(dtype)
         if planar_vecs:
             b_inner = to_planar_vec(A_un, b_inner)
         # Only b changes between outers.  Re-point the already-compiled
@@ -568,8 +604,8 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
         outers += 1
         total_iters += last.iter_count
         restarts += last.gmres_restart_count
-        dx = r_scale * np.asarray(last.x_star, dtype=np.float64)
-        while not np.all(np.isfinite(dx)):
+        dx = r_scale * jnp.asarray(last.x_star).astype(jnp.float64)
+        while not bool(jnp.all(jnp.isfinite(dx))):
             # the inner recurrence broke down with NaN when driven past
             # its attainable floor (f32 BiCGSTAB's rho/omega divisions do
             # this below ~1e-6 relative) — retry THIS outer with the
@@ -589,21 +625,32 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
             last = solve(method_k.setup, method=method_k)
             total_iters += last.iter_count
             restarts += last.gmres_restart_count
-            dx = r_scale * np.asarray(last.x_star, dtype=np.float64)
+            dx = r_scale * jnp.asarray(last.x_star).astype(jnp.float64)
         if dx is None:
             break
-        x = x + dx
-        r = residual_f64(setup, x)
-        rn = float(np.linalg.norm(r))
+        x_next = x + dx
+        r = _resid(x_next)
+        rn = float(jnp.linalg.norm(r))
+        prev_rn = outer_norms[-1]
+        if rn > prev_rn:
+            # the correction made the TRUE residual worse: we are at the
+            # fp64 attainable floor eps·‖A‖·‖x‖ (measured: outers wiggle
+            # ±5% there forever) — keep the previous, better x and stop
+            break
+        x = x_next
         outer_norms.append(rn)
         converged = rn <= stopping
+        if not converged and rn > 0.5 * prev_rn:
+            # contraction is dead (healthy outers gain 5-6 decades each);
+            # further outers would burn device time at the floor
+            break
     if method_k is not None:
         setup._refine_cache = (cfg, method_k)
     final_norm = outer_norms[-1]
     dt = _time.perf_counter() - t0
     n_hist = len(outer_norms)
     return SolveResult(
-        x_star=x, iter_count=total_iters, converged=converged,
+        x_star=np.asarray(x), iter_count=total_iters, converged=converged,
         stopping_criteria=stopping,
         residual_norms=np.asarray(outer_norms),
         time_per_iteration=np.full(n_hist, dt / max(1, n_hist)),

@@ -9,7 +9,7 @@ OUT=/tmp/tpu_queue
 mkdir -p "$OUT"
 while true; do
   [ -f "$OUT/STOP" ] && { date -u +"%F %T STOP file — exiting" >> "$OUT/watch.log"; break; }
-  if grep -q '"metric": "bench_table"' "$OUT/bench.log" 2>/dev/null; then
+  if grep -q '"metric": *"bench_table"' "$OUT/bench.log" 2>/dev/null; then
     date -u +"%F %T bench table complete — exiting" >> "$OUT/watch.log"
     break
   fi

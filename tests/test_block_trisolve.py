@@ -412,16 +412,19 @@ def test_device_path_routes_gs_family_through_blocked(rng):
 
 
 def test_const_mega_kernel_matches_per_level(rng):
-    """Single-call VMEM-resident solve == per-level calls, bitwise."""
+    """Single-call VMEM-resident solve == per-level calls, bitwise.
+
+    MEGA is default-OFF (lost its 2026-08-19 TPU A/B) but stays a
+    supported opt-in (BIS_SB_MEGA=1) — force it on for the parity leg."""
     from basic_iterative_solvers_tpu.ops import block_trisolve as bt
     (L, U), A = _gs_pair("hpcg:16x12x8", np.float32)
-    assert bt._mega_eligible(L, np.float32)
     y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
-    z_mega = np.asarray(blocked_sgs(L, U, y))
     old = bt.MEGA
-    bt.MEGA = False
+    bt.MEGA = True
     try:
-        z_lvl = np.asarray(blocked_sgs(L, U, y))
+        assert bt._mega_eligible(L, np.float32)
+        z_mega = np.asarray(blocked_sgs(L, U, y))
     finally:
         bt.MEGA = old
+    z_lvl = np.asarray(blocked_sgs(L, U, y))
     np.testing.assert_array_equal(z_mega, z_lvl)
