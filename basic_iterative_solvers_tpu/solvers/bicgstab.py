@@ -32,6 +32,10 @@ from .base import SolverSetup
 from .fused import fused_solve
 
 
+def _finite_or_zero(s):
+    return jnp.where(jnp.isfinite(s), s, jnp.zeros_like(s))
+
+
 class BiCGSTABMethod:
     supports_fused = True
 
@@ -41,6 +45,11 @@ class BiCGSTABMethod:
         self.M = setup.M
         self.b = setup.b
         self.use_pallas = setup.config.use_pallas
+        # tolerance=0 benchmark guard (SolverConfig.breakdown_stall): past
+        # the attainable floor BiCGSTAB's ρ/ω quotients divide ~0/~0 and
+        # the recurrence goes NaN — zeroed scalars freeze the state so
+        # timed tolerance=0 runs keep doing representative finite work
+        self._stall = setup.config.breakdown_stall
 
     def init_state(self):
         x = self.setup.x0
@@ -62,15 +71,21 @@ class BiCGSTABMethod:
         v, r0hat_v = spmv_dots(self.A, y, aux=r0hat,
                                use_pallas=self.use_pallas)
         alpha = rho / r0hat_v
+        if self._stall:
+            alpha = _finite_or_zero(alpha)
         s = subtract_vectors(r, v, alpha)
         s_hat = apply_preconditioner(self.M, s)
         t, t_s, t_t = spmv_dots(self.A, s_hat, aux=s, with_self=True,
                                 use_pallas=self.use_pallas)
         omega = t_s / t_t
+        if self._stall:
+            omega = _finite_or_zero(omega)
         x_new = sum_vectors(sum_vectors(x, y, alpha), s_hat, omega)
         r_new = subtract_vectors(s, t, omega)
         rho_new = dot(r0hat, r_new)
         beta = (rho_new / rho) * (alpha / omega)
+        if self._stall:
+            beta = _finite_or_zero(beta)
         p_new = sum_vectors(r_new, subtract_vectors(p, v, omega), beta)
         return {"x": x_new, "r": r_new, "p": p_new, "r0hat": r0hat,
                 "rho": rho_new,

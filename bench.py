@@ -166,10 +166,13 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
                            else args.gmres_basis),
         precond_inner_iters=args.precond_inner_iters,
         color_spec=bis.generators.color_spec_for_source(args.matrix),
-        # mg converges past the f32 floor long before the fixed iteration
-        # budget — stall the recurrence scalars instead of timing NaN junk
-        # (the rate row's final ||r|| stays an honest explicit residual)
-        breakdown_stall=(args.precond == "mg"))
+        # Rate rows run tolerance=0 for a fixed iteration budget; strong
+        # preconditioners (mg — and sgs under BiCGSTAB's ρ/ω quotients)
+        # converge past the attainable floor well inside it.  Stall the
+        # recurrence scalars instead of timing NaN junk: the per-iteration
+        # work stays representative and the row's final ||r|| stays an
+        # honest explicit residual.  Cost: a handful of scalar selects.
+        breakdown_stall=True)
 
     A_dev_inject = None
     blocked_gs = (precond_name in ("GAUSS_SEIDEL", "BACKWARDS_GAUSS_SEIDEL",

@@ -575,3 +575,19 @@ def test_breakdown_stall_keeps_tol0_runs_finite():
     assert np.isfinite(np.asarray(r_guard.residual_norms)).all()
     r0 = float(np.asarray(r_guard.residual_norms)[0])
     assert r_guard.final_residual_norm < 1e-4 * r0
+
+    # BiCGSTAB + SGS is the other breakdown-prone pair (ρ/ω quotients go
+    # ~0/~0 past the floor — the TPU pbicgstab row recorded ||r||=nan
+    # before the guard)
+    kw_bi = dict(method=bis.SolverType.BICGSTAB,
+                 preconditioner=bis.PrecondType.SYMMETRIC_GAUSS_SEIDEL,
+                 dtype=np.float32, harness="fused",
+                 tolerance=0.0, max_iters=120)
+    s_bi = bis.preprocessing_device(
+        op, bis.SolverConfig(breakdown_stall=True, **kw_bi))
+    r_bi = bis.solve(s_bi)
+    assert r_bi.iter_count == 120
+    assert np.isfinite(r_bi.final_residual_norm)
+    assert np.isfinite(np.asarray(r_bi.residual_norms)).all()
+    r0_bi = float(np.asarray(r_bi.residual_norms)[0])
+    assert r_bi.final_residual_norm < 1e-4 * r0_bi
