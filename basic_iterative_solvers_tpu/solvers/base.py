@@ -390,15 +390,12 @@ def preprocessing_device(A_dev, config: SolverConfig,
         return setup
 
 
-def _resid64_runner(setup: SolverSetup):
-    """Build (once per setup) the jitted fp64 residual evaluator for the
-    device path: returns `run(x) -> r64` with the f64 operator and b held
-    as DEVICE constants passed as jit ARGUMENTS (closure constants of
-    large arrays get re-staged per dispatch — measured ms-scale phantom
-    costs).  One dispatch per evaluation; the un-jitted form costs ~30
-    per-op round-trips over the ~30 ms/dispatch axon tunnel, which was
-    the dominant cost of every fp64 refinement outer."""
-    cached = getattr(setup, "_resid64_cache", None)
+def _f64_operands(setup: SolverSetup):
+    """(A_dec, A64, b64) for the device-side fp64 oracle: the original
+    (possibly planar) operator for vector decode/encode, the float64
+    flat-path operator, and the flat float64 right-hand side.  Cached on
+    the setup — the upcasts are one-time device work."""
+    cached = getattr(setup, "_f64_ops_cache", None)
     if cached is not None:
         return cached
     import dataclasses as _dc
@@ -423,6 +420,23 @@ def _resid64_runner(setup: SolverSetup):
     if isinstance(A, DeviceStencil) and b.ndim == 2:
         b = from_planar_vec(A, b)
     b64 = b.astype(jnp.float64)
+    setup._f64_ops_cache = (A, A64, b64)
+    return A, A64, b64
+
+
+def _resid64_runner(setup: SolverSetup):
+    """Build (once per setup) the jitted fp64 residual evaluator for the
+    device path: returns `run(x) -> r64` with the f64 operator and b held
+    as DEVICE constants passed as jit ARGUMENTS (closure constants of
+    large arrays get re-staged per dispatch — measured ms-scale phantom
+    costs).  One dispatch per evaluation; the un-jitted form costs ~30
+    per-op round-trips over the ~30 ms/dispatch axon tunnel, which was
+    the dominant cost of every fp64 refinement outer."""
+    cached = getattr(setup, "_resid64_cache", None)
+    if cached is not None:
+        return cached
+    from ..stencil_op import from_planar_vec
+    A, A64, b64 = _f64_operands(setup)
 
     @jax.jit
     def _eval(A_dec, A_op, b_op, x):
@@ -438,6 +452,69 @@ def _resid64_runner(setup: SolverSetup):
 
     setup._resid64_cache = run
     return run
+
+
+def _refine_device_runner(setup: SolverSetup):
+    """(start, step) jits for the device-resident refinement outer loop.
+
+    start(x0_encoded) -> (x64_flat, rn, b_inner_encoded)
+    step(x64, x_inner_encoded_or_flat, r_scale) -> (x64', rn', b_inner')
+
+    Each is ONE dispatch folding decode + fp64 correction + true residual
+    + norm + next-RHS unit-scaling/encode — over the remote tunnel every
+    separate op is a ~30 ms round trip, and the per-outer vector
+    downloads/uploads the un-fused form needed measured ~2 s/outer."""
+    cached = getattr(setup, "_refine_dev_cache", None)
+    if cached is not None:
+        return cached
+    from ..parallel.mesh_ops import unwrap
+    from ..stencil_op import DeviceStencil, from_planar_vec, to_planar_vec
+    A, A64, b64 = _f64_operands(setup)
+    dtype = setup.config.spec_dtype()
+    A_un = unwrap(setup.A)
+    planar_vecs = (isinstance(A_un, DeviceStencil) and A_un.planar
+                   and setup.b.ndim == 2)
+
+    def _encode(A_dec, v):
+        v = v.astype(dtype)
+        if planar_vecs:
+            v = to_planar_vec(A_dec, v)
+        return v
+
+    def _resid_norm_rhs(A_dec, A_op, b_op, x64):
+        r = b_op - spmv(A_op, x64, use_pallas=False)
+        rn = jnp.linalg.norm(r)
+        # unit-scaled next RHS: every inner solve runs in the same
+        # numerical regime regardless of accumulated decades (see
+        # _solve_refined); rn == 0 → NaN b, but the caller's convergence
+        # check reads rn first and never dispatches on that b
+        return rn, _encode(A_dec, r / rn)
+
+    @jax.jit
+    def _start(A_dec, A_op, b_op, x0):
+        if x0.ndim == 2:
+            x0 = from_planar_vec(A_dec, x0)
+        x64 = x0.astype(jnp.float64)
+        rn, b_i = _resid_norm_rhs(A_dec, A_op, b_op, x64)
+        return x64, rn, b_i
+
+    @jax.jit
+    def _step(A_dec, A_op, b_op, x64, x_inner, r_scale):
+        xi = x_inner
+        if xi.ndim == 2:
+            xi = from_planar_vec(A_dec, xi)
+        x_next = x64 + r_scale * xi.astype(jnp.float64)
+        rn, b_i = _resid_norm_rhs(A_dec, A_op, b_op, x_next)
+        return x_next, rn, b_i
+
+    def start(x0):
+        return _start(A, A64, b64, x0)
+
+    def step(x64, x_inner, r_scale):
+        return _step(A, A64, b64, x64, jnp.asarray(x_inner), r_scale)
+
+    setup._refine_dev_cache = (start, step)
+    return start, step
 
 
 def residual_f64(setup: SolverSetup, x: np.ndarray) -> np.ndarray:
@@ -535,77 +612,93 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
     planar_vecs = (isinstance(A_un, DeviceStencil) and A_un.planar
                    and setup.b.ndim == 2)
 
+    import math as _math
     t0 = _time.perf_counter()
-    resid64 = (None if setup.A_host is None else None)
+    dtype = cfg.spec_dtype()
+    # The outer loop works through two fused primitives so that on the
+    # device path NOTHING but scalars ever crosses the host boundary
+    # (per-outer x*/r vector transfers measured ~2 s each over the remote
+    # tunnel; the host here also moves memory at only ~0.2 GB/s):
+    #   start(x0)            -> (x64, ||r0||, b_inner_0)
+    #   step(x64, xi, scale) -> (x64', ||r'||, b_inner')
+    # where b_inner is the UNIT-SCALED next correction RHS r/‖r‖ (every
+    # inner solve runs in the same numerical regime regardless of decades
+    # gained — an unscaled ~1e-8 RHS drives f32 recurrences into denormal
+    # squares and BiCGSTAB-class rho/omega divisions into NaN) and x64
+    # accumulates corrections dx = ‖r‖·dx' in flat float64.
     if setup.A_host is None:
-        resid64 = _resid64_runner(setup)
+        start, step = _refine_device_runner(setup)
+    else:
+        # host-CSR oracle (numpy fp64 SpMV): CPU-resident setups where
+        # neither tunnel dispatches nor host passes are a bottleneck
+        def _encode_h(v64):
+            b_i = jnp.asarray(v64.astype(np.dtype(dtype)))
+            if planar_vecs:
+                b_i = to_planar_vec(A_un, b_i)
+            return b_i
 
-    def _resid(xq):
-        if resid64 is not None:
-            return resid64(xq)             # device f64, one dispatch
-        return jnp.asarray(residual_f64(setup, np.asarray(xq)))
+        def start(x0):
+            x64 = np.asarray(
+                setup.x_decode(x0) if setup.x_decode is not None else x0,
+                dtype=np.float64)
+            r = residual_f64(setup, x0)
+            rn = float(np.linalg.norm(r))
+            return x64, rn, (None if rn == 0.0 else _encode_h(r / rn))
 
-    # the whole outer loop is device-resident: x accumulates in f64 on
-    # device, the oracle is one jitted dispatch, and only scalars cross
-    # the host boundary — the host here moves memory at ~0.2 GB/s, so a
-    # single numpy pass over a 128³ f64 vector costs ~0.1 s
-    x0_dev = setup.x0
-    if setup.x_decode is not None:
-        x0_dev = setup.x_decode(setup.x0)
-    x = jnp.asarray(x0_dev, dtype=jnp.float64)
-    r = _resid(setup.x0)
-    r0_norm = float(jnp.linalg.norm(r))
+        def step(x64, x_inner, r_scale):
+            x_next = x64 + float(r_scale) * np.asarray(x_inner,
+                                                       dtype=np.float64)
+            r = residual_f64(setup, x_next)
+            rn = float(np.linalg.norm(r))
+            return x_next, rn, (None if rn == 0.0 else _encode_h(r / rn))
+
+    x, rn0, b_next = start(setup.x0)
+    r0_norm = float(rn0)
     stopping = _stopping(cfg, r0_norm)
 
     inner_cfg = _dc.replace(cfg, refine_outer=0,
                             tolerance=cfg.refine_inner_tol)
-    dtype = cfg.spec_dtype()
     total_iters = 0
     outer_norms = [r0_norm]
     restarts = 0
-    last = None
+    iters_dev = []      # device-path (iters, restarts) scalars: sync once
     converged = r0_norm <= stopping
     outers = 0
+    prev_rn = r0_norm
+    r_scale = rn0       # stays a device scalar on the device path
     x0_inner = jnp.zeros_like(setup.x0)   # one object: stays a shared const
     # Re-solves of the SAME setup (benchmark repeats) reuse the compiled
     # inner method too — without this every solve() call re-traces once
     cached = getattr(setup, "_refine_cache", None)
     method_k = cached[1] if (cached is not None and cached[0] is cfg) else None
     for _ in range(cfg.refine_outer):
-        if converged:
+        if converged or b_next is None:
             break
-        # Solve the UNIT-SCALED correction system A·dx' = r/‖r‖ and apply
-        # dx = ‖r‖·dx': every inner solve then runs in the same numerical
-        # regime regardless of how many decades the outers have gained —
-        # an unscaled late-outer RHS of ~1e-8 drives f32 recurrences
-        # (squares/products of ~1e-16 intermediates) into denormal
-        # territory and BiCGSTAB-class rho/omega divisions into NaN.
-        r_scale = float(jnp.linalg.norm(r))
-        if r_scale == 0.0:
-            converged = True
-            break
-        b_inner = (r / r_scale).astype(dtype)
-        if planar_vecs:
-            b_inner = to_planar_vec(A_un, b_inner)
         # Only b changes between outers.  Re-point the already-compiled
         # fused runner at the new RHS (FusedRunner.rebind_b) instead of
         # rebuilding the method: a rebuild re-traces and re-lowers the
         # whole while-loop every outer — seconds of host work per fp64
         # correction over the remote-compile tunnel.
         runner = getattr(method_k, "_fused_runner", None)
-        if runner is not None and runner.rebind_b(b_inner):
+        if runner is not None and runner.rebind_b(b_next):
             method_k.setup = runner.setup
+            # device fast path: solve + correction step all enqueue
+            # without a sync; float(rn) below drains the whole chain
+            x_inner, it_dev, rs_dev = runner.run_device()
+            iters_dev.append((it_dev, rs_dev))
         else:
-            setup_k = _dc.replace(setup, config=inner_cfg, b=b_inner,
+            setup_k = _dc.replace(setup, config=inner_cfg, b=b_next,
                                   x0=x0_inner)
             from .factory import make_method
             method_k = make_method(setup_k)
-        last = solve(method_k.setup, method=method_k)
+            last = solve(method_k.setup, method=method_k)
+            total_iters += last.iter_count
+            restarts += last.gmres_restart_count
+            x_inner = last.x_star
         outers += 1
-        total_iters += last.iter_count
-        restarts += last.gmres_restart_count
-        dx = r_scale * jnp.asarray(last.x_star).astype(jnp.float64)
-        while not bool(jnp.all(jnp.isfinite(dx))):
+        x_try, rn_dev, b_try = step(x, x_inner, r_scale)
+        rn = float(rn_dev)
+        while not _math.isfinite(rn):
             # the inner recurrence broke down with NaN when driven past
             # its attainable floor (f32 BiCGSTAB's rho/omega divisions do
             # this below ~1e-6 relative) — retry THIS outer with the
@@ -614,36 +707,37 @@ def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:
             # with more outers
             tol_now = float(inner_cfg.tolerance)
             if tol_now >= 1e-2:
-                dx = None               # give up: keep the last good x
+                rn = None               # give up: keep the last good x
                 break
             inner_cfg = _dc.replace(inner_cfg,
                                     tolerance=min(1e-2, tol_now * 100.0))
-            setup_k = _dc.replace(setup, config=inner_cfg, b=b_inner,
+            setup_k = _dc.replace(setup, config=inner_cfg, b=b_next,
                                   x0=x0_inner)
             from .factory import make_method
             method_k = make_method(setup_k)
             last = solve(method_k.setup, method=method_k)
             total_iters += last.iter_count
             restarts += last.gmres_restart_count
-            dx = r_scale * jnp.asarray(last.x_star).astype(jnp.float64)
-        if dx is None:
+            x_try, rn_dev, b_try = step(x, last.x_star, r_scale)
+            rn = float(rn_dev)
+        if rn is None:
             break
-        x_next = x + dx
-        r = _resid(x_next)
-        rn = float(jnp.linalg.norm(r))
-        prev_rn = outer_norms[-1]
         if rn > prev_rn:
             # the correction made the TRUE residual worse: we are at the
             # fp64 attainable floor eps·‖A‖·‖x‖ (measured: outers wiggle
             # ±5% there forever) — keep the previous, better x and stop
             break
-        x = x_next
+        x, b_next, r_scale = x_try, b_try, rn_dev
         outer_norms.append(rn)
         converged = rn <= stopping
         if not converged and rn > 0.5 * prev_rn:
             # contraction is dead (healthy outers gain 5-6 decades each);
             # further outers would burn device time at the floor
             break
+        prev_rn = rn
+    for it_dev, rs_dev in iters_dev:
+        total_iters += int(it_dev)
+        restarts += int(rs_dev)
     if method_k is not None:
         setup._refine_cache = (cfg, method_k)
     final_norm = outer_norms[-1]

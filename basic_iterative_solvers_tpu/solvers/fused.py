@@ -232,6 +232,19 @@ class FusedRunner:
         self.setup = _dc.replace(self.setup, b=new_b)
         return True
 
+    def run_device(self):
+        """Refinement inner-solve fast path: run the compiled init + loop
+        and return (x_encoded, iters, restarts) with EVERYTHING still on
+        device (x in solve encoding, counts as device scalars).  run()'s
+        x*/f64-residual/finalize host materialization costs seconds per
+        call over the remote tunnel (~15 MB/s effective) — the refinement
+        outer computes its own fp64 residual on device, so none of it is
+        needed there.  No block_until_ready: callers sync via the outer
+        step's norm read, letting the dispatches pipeline."""
+        state, it, _norms, _hist, restarts, _stop = self._run_jit(
+            self._init_jit())
+        return self.final_x(state), it, restarts
+
     def run(self) -> SolveResult:
         setup, config = self.setup, self.setup.config
         state0 = jax.block_until_ready(self._init_jit())
