@@ -326,6 +326,7 @@ def run(argv=None) -> int:
             else:
                 result = solve(setup, method=method, timers=timers,
                                progress=milestone)
+        roofline_secs = None
         if iter_times:
             # measured per-iteration DEVICE walls: re-run the compiled
             # fused loop under a trace and segment the op timeline
@@ -336,6 +337,11 @@ def run(argv=None) -> int:
                 if attach_iteration_times(result, method):
                     print("[iter-times] measured device walls attached",
                           file=sys.stderr)
+                    import numpy as _np
+                    walls = _np.asarray(result.time_per_iteration)
+                    walls = walls[walls > 0]
+                    if walls.size:
+                        roofline_secs = float(_np.median(walls))
                 else:
                     print("[iter-times] no device trace available on this "
                           "backend; times unchanged", file=sys.stderr)
@@ -344,7 +350,7 @@ def run(argv=None) -> int:
                       "times per iteration", file=sys.stderr)
         with timers.time("postprocessing"):
             summary_output(result)
-            roofline_report(setup, result)
+            roofline_report(setup, result, secs_per_iter=roofline_secs)
     if config.kernel_timers:
         from .utils.report import print_kernel_report
         print_kernel_report(timers, result)

@@ -140,15 +140,19 @@ def iteration_traffic_bytes(setup) -> int:
 
 
 def roofline_report(setup, result, hbm_gbps: float = MEASURED_HBM_GBPS,
-                    out=None) -> None:
+                    out=None, secs_per_iter: float = None) -> None:
     """Per-solve achieved-bandwidth estimate vs the practical HBM roofline —
     the TPU analog of the reference's LIKWID counters (SURVEY.md §5).
     Counts TOTAL per-iteration traffic (SpMV + every vector pass) against the
     measured streaming bandwidth, and prints the achieved fraction so perf
-    regressions are visible."""
+    regressions are visible.  `secs_per_iter` overrides the solve-wall
+    average — --iter-times passes the xprof DEVICE wall median there, since
+    the instrumented host wall includes trace + re-run overhead and would
+    read as a phantom 20x regression."""
     out = sys.stderr if out is None else out  # resolve at call time
     iters = max(1, result.iter_count)
-    secs = result.solve_seconds / iters
+    secs = (result.solve_seconds / iters if secs_per_iter is None
+            else secs_per_iter)
     traffic = iteration_traffic_bytes(setup)
     floor_ms = traffic / (hbm_gbps * 1e9) * 1e3
     achieved_gbps = traffic / max(secs, 1e-12) / 1e9
