@@ -103,12 +103,32 @@ def solve_system(matrix_source, method="cg", preconditioner=None,
             # -p mg lives on the matrix-free stencil path (same as the CLI)
             config.matrix_format = "stencil"
         colored = resolve_gs_mode(config, device_native=True) == "colored"
+        # exact ILU(0) device path for constant-stencil sources under a
+        # grid coloring: translation-table factors (same rule as the CLI)
+        ilu0_stencil = False
+        if (preconditioner == _PT.ILU0 and colored
+                and config.perm_mode == "none"
+                and config.matrix_format in ("auto", "stencil")
+                and generators.device_buildable(A)
+                and stencil_op.stencil_buildable(A)):
+            from .coloring import spec_for_device
+            from .ops.block_trisolve import stencil_ilu0_eligible
+            try:
+                _op = stencil_op.from_source_operator(
+                    A, dtype=config.mat_dtype())
+                ilu0_stencil = stencil_ilu0_eligible(_op,
+                                                     spec_for_device(_op))
+            except ValueError:
+                pass
+        if ilu0_stencil and config.matrix_format == "auto":
+            config.matrix_format = "stencil"
         # device_buildable, not a bare _GEN_RE match: non-Anderson SCAMAC
         # models (Hubbard, SpinChainXXZ, ...) have no device builder and
         # must take the host CSR pipeline
         device_ok = (generators.device_buildable(A)
                      and (preconditioner in DEVICE_NATIVE_PRECONDS
-                          or (preconditioner in COLORED_PRECONDS and colored))
+                          or (preconditioner in COLORED_PRECONDS and colored)
+                          or ilu0_stencil)
                      and (method not in (_ST.GAUSS_SEIDEL,
                                          _ST.SYMMETRIC_GAUSS_SEIDEL)
                           or colored)

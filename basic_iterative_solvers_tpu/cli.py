@@ -250,10 +250,33 @@ def run(argv=None) -> int:
         if stencil_buildable(matrix_source):
             config.matrix_format = "stencil"
     colored = resolve_gs_mode(config, device_native=True) == "colored"
+    # exact ILU(0) goes device-native for constant-stencil sources under a
+    # grid coloring (translation-table factors, zero host-CSR setup —
+    # ops/block_trisolve.build_superblock_ilu0_pair_stencil); it needs the
+    # matrix-free stencil operator, so auto-pick that format like -p mg
+    ilu0_stencil = False
+    if (config.preconditioner == PrecondType.ILU0 and colored
+            and config.perm_mode == "none"
+            and config.matrix_format in ("auto", "stencil")
+            and generators.device_buildable(matrix_source)):
+        from .stencil_op import stencil_buildable
+        if stencil_buildable(matrix_source):
+            from .coloring import spec_for_device
+            from .ops.block_trisolve import stencil_ilu0_eligible
+            from .stencil_op import from_source_operator as _fso
+            try:
+                _op = _fso(matrix_source, dtype=config.mat_dtype())
+                ilu0_stencil = stencil_ilu0_eligible(_op,
+                                                     spec_for_device(_op))
+            except ValueError:
+                pass
+    if ilu0_stencil and config.matrix_format == "auto":
+        config.matrix_format = "stencil"
     device_path = (
         generators.device_buildable(matrix_source)
         and (config.preconditioner in DEVICE_NATIVE_PRECONDS
-             or (config.preconditioner in COLORED_PRECONDS and colored))
+             or (config.preconditioner in COLORED_PRECONDS and colored)
+             or ilu0_stencil)
         and (config.method not in (_ST.GAUSS_SEIDEL,
                                    _ST.SYMMETRIC_GAUSS_SEIDEL) or colored)
         and config.perm_mode == "none"

@@ -1113,6 +1113,198 @@ def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
                                   tile_rows=tile_rows)
 
 
+# ---------------------------------------------------------------------------
+# Translation-table exact ILU(0) for constant stencils: O(1) host work.
+# ---------------------------------------------------------------------------
+
+def stencil_ilu0_eligible(op, spec) -> bool:
+    """Cheap predicate for build_superblock_ilu0_pair_stencil (metadata
+    only) — the structural conditions are exactly the analytic-GS ones."""
+    return stencil_blocked_eligible(op, spec)
+
+
+def _ilu0_translation_tables(op, spec_params, n_colors, pivot_tolerance,
+                             pivot_replacement):
+    """Exact colored-ILU(0) factor values for ANY grid size from one tiny
+    prototype factorization.
+
+    Why this is exact: under a proper grid coloring, row i's factored
+    values depend only on rows k in its pattern with STRICTLY LOWER color
+    (same-color rows are never pattern neighbors), recursively — so the
+    dependency cone of any entry is a chain of at most (n_colors − 1)
+    hops, each within the stencil's L∞ reach h.  With constant
+    coefficients, two rows whose in-bounds masks agree on the radius
+    R = h·n_colors ball therefore factor to IDENTICAL values.  Per axis,
+    a row's mask on that ball is determined by min(i, R-ish) from each
+    edge plus its phase i mod s (the coloring period), so a prototype of
+    2R + s points per axis (edge-aligned + s interior phases) realizes
+    every class.  The reference must factor all n rows
+    (/root/reference/utilities/LU_factors.hpp:337-430); here the host
+    factors ~(2R+s)³ rows (~ms) regardless of grid size.
+
+    Returns (T, Tdiag, (Px, Py, Pz), R, h): T[kd, z, y, x] = the factor
+    value of leg kd at prototype row (x, y, z) (0 where absent), Tdiag
+    the U diagonal."""
+    nx, ny, nz, sx, sy, sz = spec_params
+    legs = [((dx, dy, dz), float(c))
+            for (dx, dy, dz), c in zip(op.legs, op.coeff_values)
+            if float(c) != 0.0]
+    h = max(max(abs(dx), abs(dy), abs(dz)) for (dx, dy, dz), _c in legs)
+    R = h * n_colors
+
+    def proto(n_a, s_a):
+        # identity axis when the grid is too small for distinct zones —
+        # then the "prototype" axis IS the axis and mapping is exact
+        if n_a <= 2 * R + 2 * s_a:
+            return n_a
+        # alignment P ≡ n (mod s) keeps the right-edge map phase-true
+        return 2 * R + s_a + (n_a - (2 * R + s_a)) % s_a
+
+    Px, Py, Pz = proto(nx, sx), proto(ny, sy), proto(nz, sz)
+    Np = Px * Py * Pz
+    idx = np.arange(Np, dtype=np.int64)
+    x, y, z = _grid_coords(idx, Px, Py)
+    rr, cc, vv = [], [], []
+    for (dx, dy, dz), c in legs:
+        mask = ((x + dx >= 0) & (x + dx < Px) & (y + dy >= 0)
+                & (y + dy < Py) & (z + dz >= 0) & (z + dz < Pz))
+        rr.append(idx[mask])
+        cc.append(idx[mask] + (dx + Px * (dy + Py * dz)))
+        vv.append(np.full(int(mask.sum()), c))
+    from ..matrix import MatrixCOO, convert_coo_to_csr
+    csr = convert_coo_to_csr(MatrixCOO.from_arrays(
+        np.concatenate(rr), np.concatenate(cc), np.concatenate(vv),
+        n_rows=Np, n_cols=Np))
+    from ..coloring import ColorSpec
+    pspec = ColorSpec(kind="grid", n_colors=n_colors,
+                      params=(Px, Py, Pz, sx, sy, sz))
+    from ..factor import factor_ilu0_colored_triplets
+    rows_o, cols_o, lu_vals, U_D = factor_ilu0_colored_triplets(
+        csr, spec_colors_np(pspec, Np),
+        pivot_tolerance=pivot_tolerance,
+        pivot_replacement=pivot_replacement)
+    xr, yr, zr = _grid_coords(np.asarray(rows_o), Px, Py)
+    xc, yc, zc = _grid_coords(np.asarray(cols_o), Px, Py)
+    w = 2 * h + 1
+    kd = (xc - xr + h) + w * ((yc - yr + h) + w * (zc - zr + h))
+    T = np.zeros((w * w * w, Pz, Py, Px), dtype=np.float64)
+    T[kd, zr, yr, xr] = lu_vals
+    Tdiag = np.asarray(U_D, dtype=np.float64).reshape(Pz, Py, Px)
+    return T, Tdiag, (Px, Py, Pz), R, h
+
+
+def build_superblock_ilu0_pair_stencil(op, spec, *, dtype=np.float32,
+                                       pivot_tolerance: float = 1e-8,
+                                       pivot_replacement: float = 1e-4):
+    """(L, U) colored-ILU(0) superblock pair for a constant-coefficient
+    DeviceStencil via TRANSLATION TABLES: the host factors only a
+    ~(2R+s)³ prototype (milliseconds) and the full-size factor planes are
+    gathered ON DEVICE from the resulting class table — no host CSR, no
+    O(nnz) host pass at all.  Exactness argument in
+    _ilu0_translation_tables; parity with the full CSR factorization is
+    pinned by tests/test_block_trisolve.py.  Replaces a ~13-28 s
+    host-throughput-bound setup at HPCG-128³ (~1.4 GB fused permute+
+    factor sweep) with ~1 s.  Raises BlockIneligibleError /
+    ImproperColoringError exactly like the analytic GS builder."""
+    plan = _stencil_pair_plan(op, spec)
+    nx, ny, nz, sx, sy, sz = plan.spec_params
+    S, m, TB, R_b = plan.S, plan.m, plan.TB, plan.R_b
+    n = nx * ny * nz
+    n_colors = S * sx
+    T_np, Td_np, (Px, Py, Pz), R, h = _ilu0_translation_tables(
+        op, plan.spec_params, n_colors, pivot_tolerance, pivot_replacement)
+    w = 2 * h + 1
+    Np = Px * Py * Pz
+    # cast at the TABLE (value-preserving through the gather): the planes
+    # land directly at the solve dtype
+    T_dev = jnp.asarray(T_np.reshape(w * w * w, Np).astype(dtype))
+    Tdinv_dev = jnp.asarray((1.0 / Td_np).reshape(Np).astype(dtype))
+
+    size = R_b * LANES
+    my = ny // sy
+    selfs = tuple(dx for dx, _c in plan.self_legs)
+
+    def _levels_for(upper: bool):
+        order = range(S - 1, -1, -1) if upper else range(S)
+        out = []
+        for sb in order:
+            rows = [r for r in plan.per_sb[sb]
+                    if (r[0] > sb if upper else r[0] < sb)]
+            rows.sort(key=lambda r: (r[0], r[1]))
+            out.append((sb, rows))
+        return out
+
+    def _cls(i, n_a, P_a, s_a):
+        if P_a == n_a:
+            return i
+        right = P_a - 1 - (n_a - 1 - i)
+        inter = R + ((i - R) % s_a)
+        return jnp.where(i < R, i,
+                         jnp.where(n_a - 1 - i < R, right, inter))
+
+    def _build(Tt, Tdi):
+        """Both triangles' plane slabs + U dinv, one traced computation:
+        slot coords are iota arithmetic, values one gather per group."""
+        out = {}
+        for upper in (False, True):
+            lc, ls, ld = [], [], []
+            for sb, rows in _levels_for(upper):
+                s_idx = jnp.arange(size, dtype=jnp.int32)
+                x = s_idx % nx
+                t = s_idx // nx
+                y = sy * (t % my) + sb % sy
+                z = sz * (t // my) + sb // sy
+                valid = s_idx < m
+                base = (jnp.clip(_cls(x, nx, Px, sx), 0, Px - 1)
+                        + Px * (jnp.clip(_cls(y, ny, Py, sy), 0, Py - 1)
+                                + Py * jnp.clip(_cls(z, nz, Pz, sz),
+                                                0, Pz - 1)))
+                planes = []
+                for _src, _delta, _c, (dx, dy, dz) in rows:
+                    kdi = (dx + h) + w * ((dy + h) + w * (dz + h))
+                    v = jnp.take(Tt[kdi], base)
+                    planes.append(
+                        jnp.where(valid, v, 0).reshape(R_b, LANES))
+                lc.append(jnp.stack(planes) if planes else None)
+                sp = []
+                for dx in selfs:
+                    kdi = (dx + h) + w * (h + w * h)
+                    v = jnp.take(Tt[kdi], base)
+                    ps, pt = (x + dx) % sx, x % sx
+                    pm = (ps > pt) if upper else (ps < pt)
+                    sp.append(
+                        jnp.where(valid & pm, v, 0).reshape(R_b, LANES))
+                ls.append(jnp.stack(sp) if sp else None)
+                if upper:
+                    dv = jnp.take(Tdi, base)
+                    ld.append(jnp.where(valid, dv, 0).reshape(R_b, LANES))
+            out[upper] = (tuple(lc), tuple(ls), tuple(ld))
+        return out
+
+    built = jax.jit(_build)(T_dev, Tdinv_dev)
+
+    valid_np = (np.arange(size) < m)
+    ones_blk = jnp.asarray(
+        np.where(valid_np, 1.0, 0.0).astype(dtype).reshape(R_b, LANES))
+
+    def _assemble(upper: bool):
+        lc, ls, ld = built[upper]
+        levels = tuple(
+            (sb, tuple((src, delta) for src, delta, _c, _leg in rows),
+             selfs)
+            for sb, rows in _levels_for(upper))
+        # dinv is indexed BY SUPERBLOCK ID (B.dinv[sb]); ld was collected
+        # in LEVEL order, which for the upper triangle is sb = S-1 … 0
+        return SuperBlockTriSolve(
+            vals_cross=lc, vals_self=ls,
+            dinv=(tuple(reversed(ld)) if upper else (ones_blk,) * S),
+            d=None, n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
+            levels=levels, upper=upper,
+            spec_params=plan.spec_params, fused=True)
+
+    return _assemble(False), _assemble(True)
+
+
 def _permute_super(B: SuperBlockTriSolve, y: jax.Array):
     nx, ny, nz, sx, sy, sz = B.spec_params
     my, mz = ny // sy, nz // sz

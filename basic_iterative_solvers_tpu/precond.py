@@ -150,6 +150,29 @@ def setup_preconditioner(A: MatrixCSR, config: SolverConfig,
         # #colors full-operator SpMV steps per solve).
         from .factor import factor_ilu0_colored_triplets
         colors, spec = _colors_for_setup(A, config)
+        if spec is not None and spec.kind == "grid" and A_dev is not None:
+            # Translation-table fast path: when the solve operator is a
+            # constant-coefficient stencil, the exact colored-ILU(0)
+            # factors come from a tiny prototype factorization + device
+            # class gathers — the host CSR is never touched
+            # (build_superblock_ilu0_pair_stencil).
+            from .stencil_op import DeviceStencil
+            from .parallel.mesh_ops import unwrap as _unwrap
+            op = _unwrap(A_dev)
+            if isinstance(op, DeviceStencil):
+                from .ops.block_trisolve import (
+                    BlockIneligibleError, ImproperColoringError,
+                    build_superblock_ilu0_pair_stencil)
+                try:
+                    L_blk, U_blk = build_superblock_ilu0_pair_stencil(
+                        op, spec, dtype=dtype,
+                        pivot_tolerance=config.ilu0_pivot_tolerance,
+                        pivot_replacement=config.ilu0_pivot_replacement)
+                    return Preconditioner(
+                        L_block=L_blk, U_block=U_blk,
+                        color_spec=spec, n_colors=spec.n_colors, **kw)
+                except (BlockIneligibleError, ImproperColoringError):
+                    pass   # CSR-direct / triplet pipelines below
         if spec is not None and spec.kind == "grid":
             # CSR-direct fast path: permute → factor → pack the pair in two
             # C passes over the permuted CSR (no triplet materialization;
@@ -449,6 +472,39 @@ def setup_preconditioner_dia(A_dev, config: SolverConfig) -> Preconditioner:
               use_pallas=config.use_pallas)
     if pt == PrecondType.NONE:
         return Preconditioner(**kw)
+    if pt == PrecondType.ILU0 and (
+            resolve_gs_mode(config, device_native=True) == "colored"):
+        # exact colored ILU(0) with ZERO host work: constant-stencil
+        # factor values are translation-invariant beyond a finite
+        # boundary radius, so a tiny prototype factorization gives the
+        # full factor planes by device-side class gathers
+        # (ops/block_trisolve.build_superblock_ilu0_pair_stencil)
+        from .coloring import spec_for_device
+        from .ops.block_trisolve import (BlockIneligibleError,
+                                         ImproperColoringError,
+                                         build_superblock_ilu0_pair_stencil)
+        err = ("ILU(0) on the device-native path needs a constant-"
+               "coefficient DeviceStencil with a fused-layout grid "
+               "coloring and flat vectors (translation-table factors); "
+               "use the host CSR path (preprocessing) otherwise")
+        if not (isinstance(A_dev, DeviceStencil) and not A_dev.planar):
+            raise ValueError(err)
+        try:
+            spec = spec_for_device(A_dev)
+        except ValueError as e:
+            raise ValueError(f"{err} ({e})") from e
+        if spec.kind != "grid":
+            raise ValueError(err)
+        try:
+            L_blk, U_blk = build_superblock_ilu0_pair_stencil(
+                A_dev, spec, dtype=dtype,
+                pivot_tolerance=config.ilu0_pivot_tolerance,
+                pivot_replacement=config.ilu0_pivot_replacement)
+        except (BlockIneligibleError, ImproperColoringError) as e:
+            raise ValueError(f"{err} ({e})") from e
+        return Preconditioner(L_block=L_blk, U_block=U_blk,
+                              color_spec=spec, n_colors=spec.n_colors,
+                              **kw)
     if pt not in DEVICE_NATIVE_PRECONDS and not (
             pt in COLORED_PRECONDS
             and resolve_gs_mode(config, device_native=True) == "colored"):

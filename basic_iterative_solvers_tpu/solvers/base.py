@@ -277,8 +277,22 @@ def preprocessing_device(A_dev, config: SolverConfig,
     if A_dev.n_rows != A_dev.n_cols:
         raise ValueError("Matrix must be square.")
     colored = resolve_gs_mode(config, device_native=True) == "colored"
-    if config.preconditioner not in DEVICE_NATIVE_PRECONDS and not (
-            config.preconditioner in COLORED_PRECONDS and colored):
+    # exact ILU(0) runs device-native for constant stencils under a grid
+    # coloring: translation-table factors, zero host work (precond.py /
+    # ops/block_trisolve.build_superblock_ilu0_pair_stencil)
+    ilu0_device = False
+    if (config.preconditioner == PrecondType.ILU0 and colored and is_stencil
+            and not A_dev.planar):
+        from ..coloring import spec_for_device
+        from ..ops.block_trisolve import stencil_ilu0_eligible
+        try:
+            ilu0_device = stencil_ilu0_eligible(A_dev,
+                                                spec_for_device(A_dev))
+        except ValueError:
+            pass
+    if (config.preconditioner not in DEVICE_NATIVE_PRECONDS
+            and not (config.preconditioner in COLORED_PRECONDS and colored)
+            and not ilu0_device):
         raise ValueError(
             f"preconditioner {config.preconditioner} requires the host CSR "
             "path (exact triangular solves): use preprocessing()")
@@ -320,6 +334,7 @@ def preprocessing_device(A_dev, config: SolverConfig,
         from ..precond import COLORED_PRECONDS as _CP
         wants_blocked = (
             config.preconditioner in _CP
+            or config.preconditioner == PrecondType.ILU0
             or config.method in (SolverType.GAUSS_SEIDEL,
                                  SolverType.SYMMETRIC_GAUSS_SEIDEL))
         if wants_blocked:

@@ -179,13 +179,14 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
                                    "SYMMETRIC_GAUSS_SEIDEL")
                   and cfg.color_spec is not None
                   and cfg.color_spec.kind == "grid")
-    if (blocked_gs and is_gen
+    host_ilu0 = precond_name == "ILU0"
+    if ((blocked_gs or host_ilu0) and is_gen
             and isinstance(A, bis.stencil_op.DeviceStencil)):
         # constant-coefficient stencil sources build the GS-family blocked
-        # pair ANALYTICALLY on the device path (const-mode superblock,
-        # ops/block_trisolve.py) — no host CSR, no O(nnz) setup at all.
-        # Only fall through to the host-CSR route when the analytic
-        # builder is ineligible.
+        # pair ANALYTICALLY and the exact ILU(0) pair via TRANSLATION
+        # TABLES on the device path (ops/block_trisolve.py) — no host
+        # CSR, no O(nnz) setup at all.  Only fall through to the host-CSR
+        # route when the stencil builder is ineligible.
         from basic_iterative_solvers_tpu.coloring import spec_for_device
         from basic_iterative_solvers_tpu.ops.block_trisolve import (
             stencil_blocked_eligible)
@@ -196,10 +197,12 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
             eligible = False
         if eligible:
             cfg = _dc.replace(cfg, gs_mode="colored")
-            blocked_gs = False
-            log(f"[{method_key}] {precond_name}: analytic const-mode "
-                "blocked pair (device path, zero host setup)")
-    if precond_name == "ILU0" or blocked_gs:
+            what = ("translation-table exact ILU(0)" if host_ilu0
+                    else "analytic const-mode blocked pair")
+            blocked_gs = host_ilu0 = False
+            log(f"[{method_key}] {precond_name}: {what} "
+                "(device path, zero host-CSR setup)")
+    if host_ilu0 or blocked_gs:
         # These preconditioners factor/pack on the host CSR; multicolor
         # mode keeps the triangular applies parallel at scale, and a grid
         # color spec upgrades them to the SUPERBLOCK blocked trisolves

@@ -428,3 +428,70 @@ def test_const_mega_kernel_matches_per_level(rng):
         bt.MEGA = old
     z_lvl = np.asarray(blocked_sgs(L, U, y))
     np.testing.assert_array_equal(z_mega, z_lvl)
+
+
+# ---------------------------------------------------------------------------
+# Translation-table exact ILU(0) (build_superblock_ilu0_pair_stencil)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("src", ["hpcg:32x24x20", "hpcg:16x12x8", "fdm:16"])
+def test_ilu0_translation_matches_csr_factorization(src, rng):
+    """Prototype-table ILU(0) == the full CSR factorization: the colored
+    factor values are translation-invariant beyond the R = h·n_colors
+    boundary radius (dependency cones walk strictly-increasing colors), so
+    the class-gathered planes must APPLY identically.  hpcg:32x24x20
+    exercises mapped prototype axes (32, 24 > 2R+2s), 16x12x8 and fdm:16
+    the identity/2-D cases."""
+    from basic_iterative_solvers_tpu import _native, stencil_op
+    from basic_iterative_solvers_tpu.generators import color_spec_for_source
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    spec = color_spec_for_source(src)
+    A = bis.generators.from_source(src)
+    op = stencil_op.from_source_operator(src, dtype=np.float32)
+    assert bt.stencil_ilu0_eligible(op, spec)
+    colors = spec_colors_np(spec, A.n_rows)
+    perm, inv = colors_to_perm(colors)
+    fp = _native.permute_factor_csr(A, perm, inv, 1e-8, 1e-4)
+    if fp is None:
+        pytest.skip("native library unavailable")
+    Ap, lu_p = fp
+    L1, U1, _ = bt.build_superblock_ilu0_pair(Ap, lu_p, perm, spec,
+                                              dtype=np.float32)
+    L2, U2 = bt.build_superblock_ilu0_pair_stencil(op, spec,
+                                                   dtype=np.float32)
+    assert L1.levels == L2.levels and U1.levels == U2.levels
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    np.testing.assert_array_equal(np.asarray(blocked_ilu0(L1, U1, y)),
+                                  np.asarray(blocked_ilu0(L2, U2, y)))
+
+
+def test_ilu0_device_path_matches_host(rng):
+    """preprocessing_device + ILU0 (zero host CSR) converges identically
+    to the host-CSR colored-ILU(0) pipeline (f64 histories to ~1e-15)."""
+    from basic_iterative_solvers_tpu import stencil_op
+    from basic_iterative_solvers_tpu.generators import color_spec_for_source
+    src = "hpcg:16x12x8"
+    cfg = bis.SolverConfig(method=bis.SolverType.CONJUGATE_GRADIENT,
+                           preconditioner=bis.PrecondType.ILU0,
+                           gs_mode="colored", dtype=np.float64,
+                           harness="fused", tolerance=1e-10,
+                           color_spec=color_spec_for_source(src))
+    op = stencil_op.from_source_operator(src, dtype=np.float64)
+    r_dev = bis.solve(bis.preprocessing_device(op, cfg))
+    A = bis.generators.from_source(src)
+    r_host = bis.solve(bis.preprocessing(A, cfg))
+    assert r_dev.converged and r_host.converged
+    assert r_dev.iter_count == r_host.iter_count
+    h1 = np.asarray(r_dev.residual_norms)
+    h2 = np.asarray(r_host.residual_norms)
+    k = min(h1.size, h2.size)
+    assert np.max(np.abs(h1[:k] - h2[:k])) / h1[0] < 1e-13
+
+
+def test_solve_system_routes_ilu0_to_device():
+    """solve_system('hpcg:…', preconditioner='ilu0') takes the device
+    path (stencil operator, no host CSR) and converges."""
+    r = bis.solve_system("hpcg:16x16x16", method="cg",
+                         preconditioner="ilu0", dtype=np.float64,
+                         harness="fused", tolerance=1e-8)
+    assert r.converged
