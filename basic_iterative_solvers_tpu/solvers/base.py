@@ -596,12 +596,167 @@ def solve(setup: SolverSetup, method=None, timers: Optional[Timers] = None,
           progress: Optional[Callable[[int, float], None]] = None) -> SolveResult:
     """Run the solver harness."""
     if setup.config.refine_outer > 0:
+        if _refine_fused_eligible(setup):
+            return _solve_refined_fused(setup, timers or Timers())
         return _solve_refined(setup, timers or Timers())
     from .factory import make_method
     method = method or make_method(setup)
     if setup.config.harness == "fused" and method.supports_fused:
         return method.solve_fused()
     return _solve_host(setup, method, timers or Timers(), progress)
+
+
+def _refine_fused_eligible(setup: SolverSetup) -> bool:
+    """Whole-refinement single-dispatch path: device oracle, fused
+    harness, classic CG inner (no restart machinery, no breakdown retry
+    ladder needed — CG+strong-M is the time-to-solution configuration)."""
+    cfg = setup.config
+    return (setup.A_host is None and cfg.harness == "fused"
+            and cfg.method == SolverType.CONJUGATE_GRADIENT
+            and cfg.cg_flavor == "classic"
+            and setup.inv_perm is None and setup.scale_vec is None)
+
+
+def _build_refined_fused(setup: SolverSetup):
+    """ONE jitted program for the whole mixed-precision refinement: an
+    outer lax.while_loop over fp64 correction steps, each nesting the
+    inner f32/bf16 CG as its own while_loop.  The per-outer Python loop
+    costs ~4 tunnel round-trips per outer (~0.12 s at ~30 ms/dispatch);
+    this path is exactly one dispatch for the entire solve.
+
+    Semantics match _solve_refined's loop: unit-scaled inner RHS, keep
+    the best iterate when a correction regresses (NaN compares false →
+    same stop), stagnation break when an outer gains < 2×, convergence
+    at tol·‖r₀‖ on the TRUE fp64 residual."""
+    import dataclasses as _dc
+    from .factory import make_method
+    from ..parallel.mesh_ops import unwrap
+    from ..stencil_op import DeviceStencil, from_planar_vec, to_planar_vec
+    cfg = setup.config
+    A_dec, A64, b64 = _f64_operands(setup)
+    dtype = cfg.spec_dtype()
+    A_un = unwrap(setup.A)
+    planar_vecs = (isinstance(A_un, DeviceStencil) and A_un.planar
+                   and setup.b.ndim == 2)
+    K = cfg.refine_outer
+    inner_tol = float(cfg.refine_inner_tol)
+    inner_max = cfg.max_iters
+    x0_inner = jnp.zeros_like(setup.x0)
+    inner_cfg = _dc.replace(cfg, refine_outer=0,
+                            tolerance=cfg.refine_inner_tol)
+
+    def _encode(v):
+        v = v.astype(dtype)
+        if planar_vecs:
+            v = to_planar_vec(A_un, v)
+        return v
+
+    def _decode(v):
+        if v.ndim == 2:
+            v = from_planar_vec(A_un, v)
+        return v
+
+    def _resid_rn(x64):
+        r = b64 - spmv(A64, x64, use_pallas=False)
+        return r, jnp.linalg.norm(r)
+
+    def _inner_solve(b_unit):
+        setup_t = _dc.replace(setup, config=inner_cfg, b=b_unit,
+                              x0=x0_inner)
+        method = make_method(setup_t)
+        state0 = method.init_state()
+        rn0 = method.initial_residual_norm(state0)
+        stop = inner_tol * rn0
+
+        def cond(c):
+            _s, it, rn = c
+            return jnp.logical_and(it < inner_max, rn > stop)
+
+        def body(c):
+            s, it, rn = c
+            s2 = method.iterate(s)
+            return s2, it + jnp.int32(1), method.sample_norm(s2)
+
+        state, it, _rn = jax.lax.while_loop(
+            cond, body, (state0, jnp.int32(0), rn0))
+        return method.final_x(state), it
+
+    @jax.jit
+    def _run():
+        x64_0 = _decode(setup.x0).astype(jnp.float64)
+        _r0, rn0 = _resid_rn(x64_0)
+        stopping = cfg.tolerance * rn0
+        r0_unit = _encode(_r0 / rn0)
+        hist0 = jnp.zeros(K + 1, dtype=jnp.float64).at[0].set(rn0)
+
+        def cond(c):
+            return jnp.logical_and(c["go"], c["k"] < K)
+
+        def body(c):
+            xi, it = _inner_solve(c["b_unit"])
+            x_next = c["x"] + c["r_scale"] * _decode(xi).astype(jnp.float64)
+            r2, rn2 = _resid_rn(x_next)
+            # NaN rn2 compares False → treated as a regression: stop and
+            # keep the best iterate (the loop path's retry ladder is a
+            # BiCGSTAB-class need; CG+strong-M never trips it)
+            improved = rn2 <= c["rn"]
+            k2 = c["k"] + jnp.int32(1)
+            hist = c["hist"].at[jnp.where(improved, c["n_hist"],
+                                          jnp.int32(K))].set(rn2)
+            go = jnp.logical_and(
+                improved,
+                jnp.logical_and(rn2 > stopping, rn2 <= 0.5 * c["rn"]))
+            return {
+                "x": jnp.where(improved, x_next, c["x"]),
+                "rn": jnp.where(improved, rn2, c["rn"]),
+                "b_unit": _encode(r2 / rn2),
+                "r_scale": rn2,
+                "k": k2,
+                "n_hist": c["n_hist"] + improved.astype(jnp.int32),
+                "it_tot": c["it_tot"] + it,
+                "hist": hist,
+                "go": go,
+            }
+
+        c0 = {"x": x64_0, "rn": rn0, "b_unit": r0_unit, "r_scale": rn0,
+              "k": jnp.int32(0), "n_hist": jnp.int32(1),
+              "it_tot": jnp.int32(0), "hist": hist0,
+              "go": rn0 > stopping}
+        c = jax.lax.while_loop(cond, body, c0)
+        return (c["x"], c["rn"], c["k"], c["n_hist"], c["it_tot"],
+                c["hist"], stopping)
+
+    return _run
+
+
+def _solve_refined_fused(setup: SolverSetup, timers: Timers) -> SolveResult:
+    """Whole-refinement single-dispatch driver (see _build_refined_fused)."""
+    import time as _time
+    cfg = setup.config
+    runner = getattr(setup, "_refine_fused_cache", None)
+    if runner is None:
+        runner = _build_refined_fused(setup)
+        setup._refine_fused_cache = runner
+        jax.block_until_ready(runner())     # compile outside the timing
+    t0 = _time.perf_counter()
+    x, rn, k, n_hist, it_tot, hist, stopping = jax.block_until_ready(
+        runner())
+    dt = _time.perf_counter() - t0
+    n_hist = int(n_hist)
+    outer_norms = np.asarray(hist)[:n_hist]
+    final_norm = float(rn)
+    return SolveResult(
+        x_star=np.asarray(x), iter_count=int(it_tot),
+        converged=final_norm <= float(stopping),
+        stopping_criteria=float(stopping),
+        residual_norms=outer_norms,
+        time_per_iteration=np.full(n_hist, dt / max(1, n_hist)),
+        final_residual_norm=final_norm,
+        gmres_restart_count=0, method=cfg.method,
+        preconditioner=cfg.preconditioner,
+        restart_length=cfg.restart_length, res_check_len=cfg.res_check_len,
+        solve_seconds=dt, uniform_iteration_times=True,
+        refine_outer_count=int(k))
 
 
 def _solve_refined(setup: SolverSetup, timers: Timers) -> SolveResult:

@@ -528,9 +528,20 @@ def test_iterative_refinement_reuses_compiled_runner(monkeypatch):
         orig(self, *a, **kw)
 
     monkeypatch.setattr(_f.FusedRunner, "__init__", counting)
+    # classic-CG refinement goes through the SINGLE-DISPATCH fused path
+    # (_solve_refined_fused): the whole outer loop is one jitted program,
+    # no FusedRunner at all
     res = bis.solve_system("hpcg:12x12x12", method="cg", preconditioner="j",
                            dtype=np.float32, harness="fused",
                            tolerance=1e-12, refine_outer=6)
+    assert res.converged and res.refine_outer_count >= 2
+    assert len(builds) == 0, f"fused refinement built {len(builds)} runners"
+    # the per-outer loop path (BiCGSTAB needs the breakdown retry ladder)
+    # re-dispatches ONE compiled executable with the RHS swapped in
+    # (FusedRunner.rebind_b) — traced/lowered exactly once
+    res = bis.solve_system("hpcg:12x12x12", method="bi", preconditioner="j",
+                           dtype=np.float32, harness="fused",
+                           tolerance=1e-10, refine_outer=6)
     assert res.converged and res.refine_outer_count >= 2
     assert len(builds) == 1, f"runner rebuilt {len(builds)} times"
 
