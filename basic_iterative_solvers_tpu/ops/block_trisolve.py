@@ -965,10 +965,11 @@ def build_superblock_gs_pair_from_csr(A, D, spec, *, dtype=np.float32,
 def stencil_blocked_eligible(op, spec) -> bool:
     """Cheap predicate: can build_superblock_gs_pair_stencil succeed for
     this DeviceStencil + grid spec?  (Metadata checks only — used by
-    preprocessing_device to gate planar vectors before the build.)"""
+    preprocessing_device to gate planar vectors before the build.)
+    The const-mode GS pair needs the FUSED layout (in-register plane
+    regeneration chains x-parities through lane rotations)."""
     try:
-        _stencil_pair_plan(op, spec)
-        return True
+        return _stencil_pair_plan(op, spec).fused
     except (BlockIneligibleError, ImproperColoringError):
         return False
 
@@ -988,9 +989,10 @@ def _stencil_pair_plan(op, spec):
             "dense-diagonal stencil: diagonal is not a trace-time constant")
     if ny % sy or nz % sz:
         raise BlockIneligibleError("grid strides must divide the dims")
-    if not (nx <= LANES and LANES % nx == 0):
-        raise BlockIneligibleError(
-            "analytic stencil pair needs the fused layout (128 % nx == 0)")
+    # fused layout (x-parities chained in-register) needs lane rotations
+    # that never cross a vreg row at a real entry; otherwise the solve
+    # runs the split-parity kernels (any nx) on the same plane layout
+    fused = nx <= LANES and LANES % nx == 0
     my, mz = ny // sy, nz // sz
     S = sy * sz
     m = nx * my * mz
@@ -1043,8 +1045,8 @@ def _stencil_pair_plan(op, spec):
     import types
     return types.SimpleNamespace(
         diag_c=diag_c, self_legs=sorted(self_legs), per_sb=per_sb,
-        S=S, m=m, TB=TB, R_b=R_b, spec_params=tuple(int(p)
-                                                    for p in spec.params))
+        S=S, m=m, TB=TB, R_b=R_b, fused=fused,
+        spec_params=tuple(int(p) for p in spec.params))
 
 
 def build_superblock_gs_pair_stencil(op, spec, *, dtype=np.float32,
@@ -1057,6 +1059,10 @@ def build_superblock_gs_pair_stencil(op, spec, *, dtype=np.float32,
     id order (src < tgt → L), self legs appear in BOTH triangles behind
     their x-parity masks."""
     plan = _stencil_pair_plan(op, spec)
+    if not plan.fused:
+        raise BlockIneligibleError(
+            "analytic const-mode GS pair needs the fused layout "
+            "(128 % nx == 0)")
     nx, ny, nz, sx, sy, sz = plan.spec_params
     S, m, TB, R_b = plan.S, plan.m, plan.TB, plan.R_b
     n = nx * ny * nz
@@ -1119,8 +1125,14 @@ def build_superblock_ilu0_pair(Ap, lu_val, perm, spec, *, dtype=np.float32,
 
 def stencil_ilu0_eligible(op, spec) -> bool:
     """Cheap predicate for build_superblock_ilu0_pair_stencil (metadata
-    only) — the structural conditions are exactly the analytic-GS ones."""
-    return stencil_blocked_eligible(op, spec)
+    only).  Unlike the const-mode GS pair, the ILU(0) planes are real
+    arrays, so BOTH superblock kernel layouts work — fused (128 % nx == 0)
+    and split-parity (any nx, e.g. HPCG-384³)."""
+    try:
+        _stencil_pair_plan(op, spec)
+        return True
+    except (BlockIneligibleError, ImproperColoringError):
+        return False
 
 
 def _ilu0_translation_tables(op, spec_params, n_colors, pivot_tolerance,
@@ -1300,7 +1312,7 @@ def build_superblock_ilu0_pair_stencil(op, spec, *, dtype=np.float32,
             dinv=(tuple(reversed(ld)) if upper else (ones_blk,) * S),
             d=None, n_rows=n, S=S, m=m, R_b=R_b, TB=TB, sx=sx,
             levels=levels, upper=upper,
-            spec_params=plan.spec_params, fused=True)
+            spec_params=plan.spec_params, fused=plan.fused)
 
     return _assemble(False), _assemble(True)
 

@@ -339,10 +339,15 @@ def preprocessing_device(A_dev, config: SolverConfig,
                                  SolverType.SYMMETRIC_GAUSS_SEIDEL))
         if wants_blocked:
             from ..coloring import spec_for_device
-            from ..ops.block_trisolve import stencil_blocked_eligible
+            from ..ops.block_trisolve import (stencil_blocked_eligible,
+                                              stencil_ilu0_eligible)
+            # ILU(0) planes work in BOTH kernel layouts (split-parity
+            # covers any nx, e.g. 384³); const-mode GS needs fused
+            elig = (stencil_ilu0_eligible
+                    if config.preconditioner == PrecondType.ILU0
+                    else stencil_blocked_eligible)
             try:
-                blocked_gs_route = stencil_blocked_eligible(
-                    A_dev, spec_for_device(A_dev))
+                blocked_gs_route = elig(A_dev, spec_for_device(A_dev))
             except ValueError:
                 pass
     if is_stencil and not A_dev.planar and not blocked_gs_route and (

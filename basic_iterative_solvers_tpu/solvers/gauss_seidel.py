@@ -51,6 +51,12 @@ class GaussSeidelMethod:
     def init_state(self):
         x = self.setup.x0
         r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
+        if self.blocked:
+            # the residual-form sweep consumes r and the next iterate
+            # recomputes it anyway — carrying it halves the SpMV count
+            # (sample_norm's explicit ||b − A·x|| re-evaluation was a
+            # second full operator apply per iteration)
+            return {"x": x, "r": r, "residual_norm": euclidean_vec_norm(r)}
         return {"x": x, "residual_norm": euclidean_vec_norm(r)}
 
     def initial_residual_norm(self, state):
@@ -69,16 +75,24 @@ class GaussSeidelMethod:
             # residual-form sweep through the const-mode blocked
             # trisolves (ops/block_trisolve.py): x ← x + M⁻¹(b − A x)
             # with M the exact GS/SGS operator of the colored ordering —
-            # identical math to the masked sweeps, zero factor traffic
+            # identical math to the masked sweeps, zero factor traffic.
+            # r is CARRIED (explicit b − A·x of the current iterate): the
+            # sweep consumes it and the post-update recompute feeds both
+            # the next sweep and the sampled norm — ONE operator apply
+            # per iteration where sweep + explicit sampling used two.
             from ..ops.block_trisolve import blocked_sgs, blocked_trisolve
-            r = subtract_vectors(self.b, spmv(self.A, x, self.use_pallas))
+            r = state["r"]
             if self.symmetric:
                 dx = blocked_sgs(self.setup.gs_L_block,
                                  self.setup.gs_U_block, r, self.use_pallas)
             else:
                 dx = blocked_trisolve(self.setup.gs_L_block, r,
                                       self.use_pallas)
-            return dict(state, x=x + dx)
+            x = x + dx
+            r_new = subtract_vectors(self.b,
+                                     spmv(self.A, x, self.use_pallas))
+            return {"x": x, "r": r_new,
+                    "residual_norm": euclidean_vec_norm(r_new)}
         if self.colored:
             # exact GS in the colored ordering, residual form (coloring.py)
             x = self._sweep(x, reverse=False)
@@ -93,6 +107,9 @@ class GaussSeidelMethod:
         return dict(state, x=x)
 
     def sample_norm(self, state):
+        if self.blocked:
+            # already the explicit ||b − A·x|| of the carried residual
+            return state["residual_norm"]
         r = subtract_vectors(self.b, spmv(self.A, state["x"], self.use_pallas))
         return euclidean_vec_norm(r)
 

@@ -98,8 +98,9 @@ def iteration_traffic_bytes(setup) -> int:
     if (getattr(setup, "gs_L_block", None) is not None
             and config.method in (SolverType.GAUSS_SEIDEL,
                                   SolverType.SYMMETRIC_GAUSS_SEIDEL)):
-        # blocked residual-form sweep: one residual SpMV + the blocked
-        # trisolve passes (const mode → window/vector passes only)
+        # blocked residual-form sweep: ONE residual SpMV (the carried
+        # residual feeds both the sweep and the sampled norm) + the
+        # blocked trisolve passes (const mode → window/vector passes only)
         from ..precond import Preconditioner, estimated_precond_passes
         from ..types import PrecondType
         sym = config.method == SolverType.SYMMETRIC_GAUSS_SEIDEL
@@ -108,7 +109,7 @@ def iteration_traffic_bytes(setup) -> int:
                    else PrecondType.GAUSS_SEIDEL),
             outer_iters=1, inner_iters=1, use_pallas=config.use_pallas,
             L_block=setup.gs_L_block, U_block=setup.gs_U_block)
-        return int(2 * spmv + (4 + estimated_precond_passes(Mb)) * vec)
+        return int(spmv + (4 + estimated_precond_passes(Mb)) * vec)
     if setup.n_colors > 0 and config.method in (
             SolverType.GAUSS_SEIDEL, SolverType.SYMMETRIC_GAUSS_SEIDEL):
         # colored sweeps: one SpMV + one masked update per kernel step per

@@ -514,6 +514,36 @@ def main():
         finally:
             args.matrix, args.iters = saved_m, saved_i
 
+    # capacity ILU(0) row: EXACT incomplete-LU preconditioned CG at 56.6M
+    # rows / 1.5G nnz — only possible because the translation-table
+    # builder (ops/block_trisolve.build_superblock_ilu0_pair_stencil)
+    # factors a tiny prototype and gathers the 6 GB of factor planes on
+    # device (~15 s setup; a host CSR factorization at this size needs
+    # ~24 GB and minutes on the throttled host, and the reference can
+    # only ever apply the factors serially).  Baseline convention matches
+    # the cg@384 row: the reference's 128³ PCG rate.
+    if (args.precond is None and not args.no_capacity_row
+            and args.matrix == "hpcg:128x128x128"):
+        saved_m, saved_i = args.matrix, args.iters
+        try:
+            import copy
+            A384, _ = build_matrix(bis, "hpcg:384x384x384", args.format,
+                                   mat_dt)
+            a2 = copy.copy(args)
+            a2.matrix = "hpcg:384x384x384"
+            a2.iters = 100
+            a2.precond = "ilu0"
+            rec = run_one(bis, "pcg", a2, A384, True)
+            assert rec["metric"].startswith("pcg_")
+            rec["metric"] = "pcg_ilu0_" + rec["metric"][len("pcg_"):]
+            print(json.dumps(rec), flush=True)
+            all_records.append(rec)
+            del A384
+        except Exception as e:
+            log(f"[pcg+ilu0@384] FAILED: {e}")
+        finally:
+            args.matrix, args.iters = saved_m, saved_i
+
     # general-sparsity row: CG on a scattered-band matrix (~800 distinct
     # diagonals at 1.9% fill — DIA-ineligible, the reference's arbitrary-CSR
     # native_spmv case) through the windowed lane-ELL Pallas kernel

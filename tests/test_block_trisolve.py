@@ -434,14 +434,16 @@ def test_const_mega_kernel_matches_per_level(rng):
 # Translation-table exact ILU(0) (build_superblock_ilu0_pair_stencil)
 # ---------------------------------------------------------------------------
 
-@pytest.mark.parametrize("src", ["hpcg:32x24x20", "hpcg:16x12x8", "fdm:16"])
+@pytest.mark.parametrize("src", ["hpcg:32x24x20", "hpcg:16x12x8", "fdm:16",
+                                 "hpcg:12x8x6"])
 def test_ilu0_translation_matches_csr_factorization(src, rng):
     """Prototype-table ILU(0) == the full CSR factorization: the colored
     factor values are translation-invariant beyond the R = h·n_colors
     boundary radius (dependency cones walk strictly-increasing colors), so
     the class-gathered planes must APPLY identically.  hpcg:32x24x20
     exercises mapped prototype axes (32, 24 > 2R+2s), 16x12x8 and fdm:16
-    the identity/2-D cases."""
+    the identity/2-D cases, 12x8x6 the SPLIT-parity kernel layout
+    (128 % nx != 0 — the any-nx route that unlocks ILU(0) at 384³)."""
     from basic_iterative_solvers_tpu import _native, stencil_op
     from basic_iterative_solvers_tpu.generators import color_spec_for_source
     from basic_iterative_solvers_tpu.ops import block_trisolve as bt
