@@ -9,8 +9,13 @@ report **time per iteration** for every method row the reference publishes
     bicgstab 24.0 | pcg 105.3 | pgmres 118.9 | pbicgstab 247.9   [ms/iter]
 
 Default run = the FULL table (one JSON line per row, flushed as computed)
-plus an hpcg:256x256x256 capacity row; the headline CG line prints LAST.
-`--method X` runs a single row.  The preconditioned rows use the exact
+plus capacity / general-sparsity / time-to-solution rows.  The headline CG
+row is measured FIRST (so a truncated run still carries it) and its line
+plus a cumulative `bench_table` line are REPRINTED after every row — the
+stdout tail therefore always ends with the full partial table followed by
+the headline, whatever happens later.  A `--budget-secs` wall-clock budget
+(counted from process start, probe time included) skips remaining optional
+rows when they no longer fit.  `--method X` runs a single row.  The preconditioned rows use the exact
 symmetric Gauss-Seidel preconditioner via multicolor sweeps (coloring.py) —
 the apples-to-apples analog of the reference's sequential-SpTRSV GS-type
 M⁻¹; `--precond s2st` selects the two-stage (Richardson) family instead.
@@ -23,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -409,7 +415,17 @@ def main():
     ap.add_argument("--no-general-row", action="store_true",
                     help="skip the general-sparsity (scattered-band, "
                          "lane-ELL kernel) CG row")
-    ap.add_argument("--backend-wait-mins", type=float, default=30.0,
+    ap.add_argument("--budget-secs", type=float,
+                    default=float(os.environ.get(
+                        "BIS_BENCH_BUDGET_SECS", "2400")),
+                    help="wall-clock budget counted from process start "
+                         "(probe + build time included).  Optional rows "
+                         "that no longer fit are skipped with a logged "
+                         "note; the cumulative table + headline are "
+                         "reprinted after every row so the output is "
+                         "complete whenever the budget (or an external "
+                         "timeout) cuts the run short.  0 = unlimited")
+    ap.add_argument("--backend-wait-mins", type=float, default=20.0,
                     help="wait up to this long for the TPU backend before "
                          "giving up (the remote-TPU tunnel has transient "
                          "outages; 0 = no probe, import directly)")
@@ -417,6 +433,8 @@ def main():
                     help="force a JAX platform (e.g. 'cpu' for a pipeline "
                          "smoke run; numbers are then not TPU rates)")
     args = ap.parse_args()
+    t_start = time.monotonic()
+    deadline = (t_start + args.budget_secs) if args.budget_secs > 0 else None
 
     if args.platform:
         # must land before the first backend query — sitecustomize may have
@@ -424,7 +442,14 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
     else:
-        wait_for_backend(args.backend_wait_mins)
+        wait_mins = args.backend_wait_mins
+        if deadline is not None:
+            # never let the probe alone eat the whole budget: leave at
+            # least ~8 min for the headline row + core table
+            wait_mins = min(wait_mins,
+                            max(1.0, (deadline - time.monotonic()
+                                      - 480.0) / 60.0))
+        wait_for_backend(wait_mins)
     import jax
     import basic_iterative_solvers_tpu as bis
 
@@ -438,38 +463,84 @@ def main():
               flush=True)
         return
 
-    # Full table: every reference README row on the same matrix, one JSON
-    # line each; the headline CG row prints LAST (driver parses the tail).
-    A, is_gen = build_matrix(bis, args.matrix, args.format, mat_dt)
-    order = ["jacobi", "gs", "sgs", "gmres", "bicgstab",
-             "pcg", "pgmres", "pbicgstab"]
-    records = []
-    for key in order:
+    # Full table: every reference README row on the same matrix.  The
+    # headline CG row runs FIRST; after EVERY row the cumulative
+    # `bench_table` line and the headline line are REPRINTED so the
+    # stdout tail always ends with a complete partial table followed by
+    # the headline — the driver parses the FINAL line as the round's
+    # metric, and an external timeout mid-row still leaves the previous
+    # row's complete (table, headline) pair as the tail.
+    all_records = []
+    headline = None
+
+    def flush_tail():
+        print(json.dumps({"metric": "bench_table",
+                          "value": len(all_records), "unit": "rows",
+                          "rows": all_records},
+                         separators=(",", ":")), flush=True)
+        if headline is not None:
+            print(json.dumps(headline), flush=True)
+
+    def remaining():
+        return float("inf") if deadline is None else deadline - time.monotonic()
+
+    def fits(est_secs: float, label: str) -> bool:
+        if remaining() >= est_secs:
+            return True
+        log(f"[budget] skipping {label}: ~{est_secs:.0f}s estimated, "
+            f"{max(0.0, remaining()):.0f}s left of {args.budget_secs:.0f}s")
+        return False
+
+    def row(label, est_secs, fn, *fargs, rename=None):
+        """Run one optional row inside the budget; emit row + tail."""
+        if not fits(est_secs, label):
+            return
         try:
-            records.append(run_one(bis, key, args, A, is_gen))
+            rec = fn(*fargs)
+            if rename:
+                rec = rename(rec)
+            all_records.append(rec)
+            print(json.dumps(rec), flush=True)
         except Exception as e:  # keep the table going; record the failure
-            log(f"[{key}] FAILED: {e}")
-            records.append({"metric": f"{key}_FAILED", "value": None,
-                            "unit": "ms_per_iter", "vs_baseline": None})
-    for rec in records:
-        print(json.dumps(rec), flush=True)
-    all_records = list(records)
+            log(f"[{label}] FAILED: {e}")
+            all_records.append({"metric": f"{label}_FAILED", "value": None,
+                                "unit": "ms_per_iter", "vs_baseline": None})
+        flush_tail()
+
+    A, is_gen = build_matrix(bis, args.matrix, args.format, mat_dt)
+
+    # headline first — unconditionally (this is THE number of record)
+    headline = run_one(bis, "cg", args, A, is_gen)
+    all_records.append(headline)
+    print(json.dumps(headline), flush=True)
+    flush_tail()
+
+    for key in ["jacobi", "gs", "sgs", "gmres", "bicgstab",
+                "pcg", "pgmres", "pbicgstab"]:
+        row(key, 45.0, run_one, bis, key, args, A, is_gen)
+
+    def _rename(prefix):
+        def f(rec):
+            assert rec["metric"].startswith("pcg_")
+            rec["metric"] = prefix + rec["metric"][len("pcg_"):]
+            return rec
+        return f
+
+    import copy
+
+    def with_precond(p, **over):
+        a2 = copy.copy(args)
+        a2.precond = p
+        for k, v in over.items():
+            setattr(a2, k, v)
+        return a2
 
     # exact-ILU(0) flagship row: CG + multicolor incomplete-LU through the
     # superblock blocked trisolve (the reference can only apply ILU(0)
     # serially; baseline = its 105.3 ms preconditioned-CG row)
     if args.precond is None:
-        try:
-            import copy
-            a2 = copy.copy(args)
-            a2.precond = "ilu0"
-            rec = run_one(bis, "pcg", a2, A, is_gen)
-            assert rec["metric"].startswith("pcg_")
-            rec["metric"] = "pcg_ilu0_" + rec["metric"][len("pcg_"):]
-            print(json.dumps(rec), flush=True)
-            all_records.append(rec)
-        except Exception as e:
-            log(f"[pcg+ilu0] FAILED: {e}")
+        row("pcg_ilu0", 60.0, run_one, bis, "pcg", with_precond("ilu0"),
+            A, is_gen, rename=_rename("pcg_ilu0_"))
 
     # multigrid rows (stencil-capable generator sources only): pcg_mg =
     # per-iteration rate of CG + V-cycle vs the reference's PCG row;
@@ -478,71 +549,35 @@ def main():
     # run_mg_tts) — the metric multigrid exists for (grid-independent
     # iteration counts make it the fastest path to high accuracy)
     if args.precond is None and bis.stencil_op.stencil_buildable(args.matrix):
-        try:
-            import copy
-            a2 = copy.copy(args)
-            a2.precond = "mg"
-            rec = run_one(bis, "pcg", a2, A, is_gen)
-            assert rec["metric"].startswith("pcg_")
-            rec["metric"] = "pcg_mg_" + rec["metric"][len("pcg_"):]
-            print(json.dumps(rec), flush=True)
-            all_records.append(rec)
-        except Exception as e:
-            log(f"[pcg+mg] FAILED: {e}")
-        try:
-            rec = run_mg_tts(bis, args, A)
-            print(json.dumps(rec), flush=True)
-            all_records.append(rec)
-        except Exception as e:
-            log(f"[cg+mg tts] FAILED: {e}")
+        row("pcg_mg", 60.0, run_one, bis, "pcg", with_precond("mg"),
+            A, is_gen, rename=_rename("pcg_mg_"))
+        row("cg_mg_refine", 90.0, run_mg_tts, bis, args, A)
 
-    # capacity row: 56.6M-row CG on one chip — 27x the reference's
-    # benchmark size (the reference never showed anything beyond 2.1M rows)
+    # capacity rows: 56.6M-row CG on one chip — 27x the reference's
+    # benchmark size (it never showed anything beyond 2.1M rows) — and
+    # EXACT incomplete-LU preconditioned CG at that size / 1.5G nnz,
+    # possible only because the translation-table builder
+    # (ops/block_trisolve.build_superblock_ilu0_pair_stencil) factors a
+    # tiny prototype on host and gathers the factor planes on device.
+    # The 384^3 operator is built ONCE and shared by both rows.
     if not args.no_capacity_row and args.matrix == "hpcg:128x128x128":
-        saved_m, saved_i = args.matrix, args.iters
-        try:
-            A384, _ = build_matrix(bis, "hpcg:384x384x384", args.format,
-                                   mat_dt)
-            args.matrix = "hpcg:384x384x384"
-            args.iters = 150
-            rec = run_one(bis, "cg", args, A384, True)
-            print(json.dumps(rec), flush=True)
-            all_records.append(rec)
-            del A384
-        except Exception as e:
-            log(f"[cg@384] FAILED: {e}")
-        finally:
-            args.matrix, args.iters = saved_m, saved_i
-
-    # capacity ILU(0) row: EXACT incomplete-LU preconditioned CG at 56.6M
-    # rows / 1.5G nnz — only possible because the translation-table
-    # builder (ops/block_trisolve.build_superblock_ilu0_pair_stencil)
-    # factors a tiny prototype and gathers the 6 GB of factor planes on
-    # device (~15 s setup; a host CSR factorization at this size needs
-    # ~24 GB and minutes on the throttled host, and the reference can
-    # only ever apply the factors serially).  Baseline convention matches
-    # the cg@384 row: the reference's 128³ PCG rate.
-    if (args.precond is None and not args.no_capacity_row
-            and args.matrix == "hpcg:128x128x128"):
-        saved_m, saved_i = args.matrix, args.iters
-        try:
-            import copy
-            A384, _ = build_matrix(bis, "hpcg:384x384x384", args.format,
-                                   mat_dt)
+        A384 = None
+        if fits(150.0, "cg@384 (build+row)"):
+            try:
+                A384, _ = build_matrix(bis, "hpcg:384x384x384",
+                                       args.format, mat_dt)
+            except Exception as e:
+                log(f"[384^3 build] FAILED: {e}")
+        if A384 is not None:
             a2 = copy.copy(args)
-            a2.matrix = "hpcg:384x384x384"
-            a2.iters = 100
-            a2.precond = "ilu0"
-            rec = run_one(bis, "pcg", a2, A384, True)
-            assert rec["metric"].startswith("pcg_")
-            rec["metric"] = "pcg_ilu0_" + rec["metric"][len("pcg_"):]
-            print(json.dumps(rec), flush=True)
-            all_records.append(rec)
+            a2.matrix, a2.iters = "hpcg:384x384x384", 150
+            row("cg@384", 90.0, run_one, bis, "cg", a2, A384, True)
+            if args.precond is None:
+                a3 = copy.copy(a2)
+                a3.iters, a3.precond = 100, "ilu0"
+                row("pcg_ilu0@384", 180.0, run_one, bis, "pcg", a3,
+                    A384, True, rename=_rename("pcg_ilu0_"))
             del A384
-        except Exception as e:
-            log(f"[pcg+ilu0@384] FAILED: {e}")
-        finally:
-            args.matrix, args.iters = saved_m, saved_i
 
     # general-sparsity row: CG on a scattered-band matrix (~800 distinct
     # diagonals at 1.9% fill — DIA-ineligible, the reference's arbitrary-CSR
@@ -550,22 +585,11 @@ def main():
     # (ops/lane_ell.py); vs_baseline compares against the SAME solve through
     # the XLA-gather ELL format (the naive TPU fallback).
     if not args.no_general_row:
-        try:
-            rec = run_general_row(bis, args)
-            print(json.dumps(rec), flush=True)
-            all_records.append(rec)
-        except Exception as e:
-            log(f"[cg@sband] FAILED: {e}")
+        row("cg@sband", 150.0, run_general_row, bis, args)
 
-    headline = run_one(bis, "cg", args, A, is_gen)
-    all_records.append(headline)
-    # full table as ONE compact line so the driver's stdout-tail capture
-    # always carries every row, then the headline row LAST (the driver
-    # parses the final line as the round's metric)
-    print(json.dumps({"metric": "bench_table", "value": len(all_records),
-                      "unit": "rows", "rows": all_records},
-                     separators=(",", ":")), flush=True)
-    print(json.dumps(headline), flush=True)
+    log(f"[budget] done: {time.monotonic() - t_start:.0f}s of "
+        f"{args.budget_secs:.0f}s used, {len(all_records)} rows")
+    flush_tail()
 
 
 if __name__ == "__main__":
