@@ -518,9 +518,12 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
         if setup.x_decode is not None:
             raise _MeshIneligible(
                 "unexpected vector-layout decode on lane-ELL")
-        if setup.color_arr is not None or M.color_arr is not None:
-            raise _MeshIneligible(
-                "greedy color arrays don't shard with spec kernels")
+        # Greedy color arrays (general-CSR exact colored GS/SGS) shard like
+        # any row vector: the colored sweep is #colors (full-operator SpMV
+        # + masked elementwise update) steps (coloring.colored_sweep), so
+        # each step is exactly one mesh SpMV — the masks partition with the
+        # rows.  The reference's SMAX permutation path has the same
+        # row-parallel structure (smax_helpers.hpp:44-80).
 
         def wrap_place(Mt):
             try:
@@ -543,12 +546,13 @@ def _shard_setup_mesh(setup, mesh: Mesh, axis: str = AXIS):
             L_strict_dev=re_mat(M.L_strict_dev),
             U_strict_dev=re_mat(M.U_strict_dev),
             A_full_dev=re_mat(M.A_full_dev),
+            color_arr=re_vec(M.color_arr),
             L_block=_mesh_blocks(M.L_block, mesh, axis),
             U_block=_mesh_blocks(M.U_block, mesh, axis))
         return _dc.replace(
             setup, A=A_new, M=M_sh,
             b=re_vec(setup.b), x0=re_vec(setup.x0),
-            A_D=re_vec(setup.A_D))
+            A_D=re_vec(setup.A_D), color_arr=re_vec(setup.color_arr))
 
     raise _MeshIneligible(f"no mesh kernels for {type(A).__name__}")
 

@@ -195,10 +195,14 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
         # route when the stencil builder is ineligible.
         from basic_iterative_solvers_tpu.coloring import spec_for_device
         from basic_iterative_solvers_tpu.ops.block_trisolve import (
-            stencil_blocked_eligible)
+            stencil_blocked_eligible, stencil_ilu0_eligible)
         import dataclasses as _dc
+        # ILU(0) has its own (looser) predicate: the translation-table
+        # builder also runs the split-parity layout (any nx — e.g. 384³),
+        # where the const-GS pair needs the fused one.
+        elig_fn = stencil_ilu0_eligible if host_ilu0 else stencil_blocked_eligible
         try:
-            eligible = stencil_blocked_eligible(A, spec_for_device(A))
+            eligible = elig_fn(A, spec_for_device(A))
         except ValueError:
             eligible = False
         if eligible:
@@ -208,6 +212,14 @@ def run_one(bis, method_key: str, args, A, is_gen) -> dict:
             blocked_gs = host_ilu0 = False
             log(f"[{method_key}] {precond_name}: {what} "
                 "(device path, zero host-CSR setup)")
+    if (host_ilu0 or blocked_gs) and is_gen and A.n_rows > 2**24:
+        # the host-CSR fallback at capacity sizes (384³ = 56.6M rows,
+        # ~18 GB CSR) takes many minutes on the throttled host — never
+        # inside a bench budget.  The device builders above are the only
+        # sane route at this size; if they refused, skip the row.
+        raise RuntimeError(
+            f"{precond_name} at {A.n_rows} rows needs the device builder "
+            "(host-CSR setup would blow the bench budget)")
     if host_ilu0 or blocked_gs:
         # These preconditioners factor/pack on the host CSR; multicolor
         # mode keeps the triangular applies parallel at scale, and a grid

@@ -300,3 +300,32 @@ def test_mesh_multigrid(interpret):
     # auto mode silently takes the GSPMD path
     setup_auto = shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8))
     _check(bis.solve(setup_auto), res1)
+
+
+def test_mesh_lane_ell_greedy_colored_sgs(interpret):
+    """General-CSR EXACT colored GS/SGS over the mesh: the greedy color-id
+    array shards with the rows — each sweep step is one full-operator mesh
+    SpMV + a masked elementwise update, so the masks partition exactly like
+    the vectors (the reference reaches the same row-parallel structure via
+    SMAX permutation, smax_helpers.hpp:44-80)."""
+    from basic_iterative_solvers_tpu.parallel.mesh_ops import MeshLaneELL
+    A = generators.scattered_band(2048, 6, 200, seed=3)
+    for method, precond in (
+            (SolverType.SYMMETRIC_GAUSS_SEIDEL, PrecondType.NONE),
+            (SolverType.CONJUGATE_GRADIENT,
+             PrecondType.SYMMETRIC_GAUSS_SEIDEL)):
+        cfg = _cfg(method, precond,
+                   matrix_format="lane_ell", gs_mode="colored")
+        setup1 = bis.preprocessing(A, cfg)
+        carr = setup1.color_arr if precond is PrecondType.NONE \
+            else setup1.M.color_arr
+        assert carr is not None, "expected a greedy color array"
+        res1 = bis.solve(setup1)
+        setup8 = shard_setup(bis.preprocessing(A, cfg), make_mesh(8),
+                             mode="shard_map")
+        assert isinstance(setup8.A, MeshLaneELL)
+        carr8 = setup8.color_arr if precond is PrecondType.NONE \
+            else setup8.M.color_arr
+        assert len(carr8.addressable_shards) == 8  # ids sharded with rows
+        res8 = bis.solve(setup8)
+        _check(res8, res1)
