@@ -35,7 +35,12 @@ def spmv_dia(A: DeviceDIA, x: jax.Array, use_pallas: bool = False) -> jax.Array:
     npad = A.data.shape[1]
     hneg = max(0, -min(A.offsets))
     hpos = max(0, max(A.offsets))
-    xp = jnp.zeros(hneg + npad + hpos, dtype=x.dtype).at[hneg:hneg + n].set(x)
+    # jnp.pad, NOT zeros().at[slice].set(x): the scatter form makes GSPMD
+    # ALL-GATHER the full row-sharded x every SpMV (seen in the partitioned
+    # HLO as `all-gather` with op_name .../scatter); a pad op partitions
+    # natively and the shifted slices below become neighbor
+    # collective-permute halo exchanges (tests/test_gspmd.py pins this).
+    xp = jnp.pad(x, (hneg, npad - n + hpos))
     y = jnp.zeros(npad, dtype=x.dtype)
     for d, off in enumerate(A.offsets):
         start = hneg + off

@@ -80,6 +80,16 @@ def _lift_consts(fn, *example):
 
     runner.swap_consts = swap_consts
 
+    def lower(*args):
+        """AOT-lower the lifted call with the CURRENT consts (their real
+        shardings included) — the compiled text of the returned lowering
+        is the production executable, which is what the structural
+        multi-chip collective checks inspect (tests/test_gspmd.py)."""
+        flat, _ = jax.tree.flatten(args)
+        return call.lower(consts, flat)
+
+    runner.lower = lower
+
     # let callers chain lifts without re-tracing (e.g. run's example state)
     runner.out_shape = jax.tree.unflatten(
         out_tree, [jax.ShapeDtypeStruct(a.shape, a.dtype)

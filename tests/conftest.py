@@ -23,6 +23,28 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run tests marked slow (long convergence/mesh cases); the "
+             "default lane skips them to stay under ~2 minutes")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running convergence/mesh test; excluded "
+        "from the default lane, run with --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip = pytest.mark.skip(reason="slow test: use --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)

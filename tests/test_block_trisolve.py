@@ -195,6 +195,7 @@ def test_superblock_periodic_boundary(rng):
         np.asarray(apply_preconditioner(MS, y)), rtol=1e-12, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_ilu0_blocked_end_to_end():
     """CG + colored ILU(0): blocked and masked-sweep paths give the same
     preconditioner action, so the same convergence trajectory."""
@@ -372,6 +373,7 @@ def test_analytic_stencil_pair_matches_csr_build(rng):
                                   np.asarray(blocked_sgs(Lc, Uc, y)))
 
 
+@pytest.mark.slow
 def test_device_path_routes_gs_family_through_blocked(rng):
     """preprocessing_device must take the analytic blocked route for
     constant stencils (method AND preconditioner), with iteration counts
@@ -467,6 +469,7 @@ def test_ilu0_translation_matches_csr_factorization(src, rng):
                                   np.asarray(blocked_ilu0(L2, U2, y)))
 
 
+@pytest.mark.slow
 def test_ilu0_device_path_matches_host(rng):
     """preprocessing_device + ILU0 (zero host CSR) converges identically
     to the host-CSR colored-ILU(0) pipeline (f64 histories to ~1e-15)."""

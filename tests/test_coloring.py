@@ -188,6 +188,7 @@ def test_colored_gs_solver_hpcg_stencil():
                           - np.full(A.n_rows, 1.0)) < 1e-6
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("precond", ["gs", "bgs", "sgs"])
 def test_colored_preconditioners_device_path(precond):
     res = bis.solve_system("hpcg:8x8x8", method="bi", preconditioner=precond,
@@ -196,6 +197,7 @@ def test_colored_preconditioners_device_path(precond):
     assert _xstar_residual("hpcg:8x8x8", res) < 1e-8
 
 
+@pytest.mark.slow
 def test_pcg_colored_sgs_device_path():
     """CG requires an SPD preconditioner: colored SGS is (U_c+D)⁻¹D(L_c+D)⁻¹
     with U_c = L_cᵀ for symmetric A — symmetric, so PCG converges."""
@@ -209,6 +211,7 @@ def test_pcg_colored_sgs_device_path():
     assert res.iter_count < res0.iter_count
 
 
+@pytest.mark.slow
 def test_colored_precond_host_csr_path():
     """gs_mode='colored' on the host-CSR path greedy-colors the graph."""
     A = _random_sym_csr(n=60, seed=9)
@@ -316,6 +319,7 @@ def test_colored_ilu0_matches_permuted_oracle():
                                atol=1e-12)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("method", ["cg", "bi"])
 def test_colored_ilu0_preconditioner_converges(method):
     # a structured matrix keeps the color count small (8): the colored

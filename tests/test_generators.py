@@ -264,6 +264,7 @@ def test_xxz_from_source_and_validation():
         generators.spin_chain_xxz(48, 24)
 
 
+@pytest.mark.slow
 def test_xxz_solves():
     """XXZ sector matrix through the full pipeline (shifted to be SPD-ish
     via Bz? no — use GMRES, the matrix is symmetric indefinite)."""

@@ -86,6 +86,7 @@ def test_gspmd_planar_stencil():
                                atol=1e-11)
 
 
+@pytest.mark.slow
 def test_gspmd_gmres_multirestart_converges():
     """A CONVERGED multi-restart GMRES full solve under GSPMD sharding:
     restarts (explicit-x recovery + Krylov reset) and the lowsync Gram
@@ -106,6 +107,7 @@ def test_gspmd_gmres_multirestart_converges():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_gspmd_bicgstab_two_stage_converges():
     """Two-stage-preconditioned BiCGSTAB runs a FULL CONVERGED solve over
     the mesh (VERDICT r1 asked for a full solve, not one step)."""
@@ -122,6 +124,7 @@ def test_gspmd_bicgstab_two_stage_converges():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_gspmd_colored_sgs_precond():
     """The EXACT multicolor SGS preconditioner shards (it is #colors
     SpMV+masked-update steps — no cross-shard recurrence), giving the
@@ -141,6 +144,7 @@ def test_gspmd_colored_sgs_precond():
                                atol=1e-9)
 
 
+@pytest.mark.slow
 def test_gspmd_colored_gs_solver():
     """The colored GS/SGS SOLVERS also run sharded."""
     A = dia.fdm_2d_device(16, dtype=np.float64)   # 256 rows, 2 colors
@@ -182,6 +186,7 @@ def test_gspmd_lane_ell():
                                atol=1e-10)
 
 
+@pytest.mark.slow
 def test_gspmd_blocked_ilu0():
     """Exact colored ILU(0) through the blocked trisolve under GSPMD:
     the solve shards row-wise, the factor planes run replicated."""
@@ -202,3 +207,70 @@ def test_gspmd_blocked_ilu0():
     assert res8.iter_count == res1.iter_count
     np.testing.assert_allclose(res8.x_star, res1.x_star, rtol=1e-8,
                                atol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# Structural communication-layout checks (parallel/census.py): parity tests
+# above prove the mesh solves compute the right answer; these prove the
+# partitioned program COMMUNICATES the right way — scalar psums per dot,
+# neighbor collective-permute halos per SpMV, and no per-iteration
+# all-gather of a full vector (the broadcast anti-pattern a 1-chip
+# environment could never catch from timings).
+# ---------------------------------------------------------------------------
+
+from basic_iterative_solvers_tpu.parallel.census import (
+    fused_collective_census, hlo_collective_census)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method,precond", [
+    (SolverType.CONJUGATE_GRADIENT, PrecondType.JACOBI),
+    (SolverType.GMRES, PrecondType.TWO_STAGE_GS),
+    (SolverType.BICGSTAB, PrecondType.SYMMETRIC_TWO_STAGE_GS),
+])
+def test_gspmd_collective_structure(method, precond):
+    # 32^3 so n == npad (MIN_ROW_TILE=8192): the production layout, where
+    # vector and matrix-row shardings coincide and halos are genuine.
+    A = dia.stencil_27pt_device(32, 32, 32, dtype=np.float64)
+    cfg = _cfg(method, precond, precond_inner_iters=1)
+    setup = shard_setup(bis.preprocessing_device(A, cfg), make_mesh(8),
+                        mode="gspmd")
+    c = fused_collective_census(setup)
+    w = c["in_while"]
+    # psum per dot product (reductions ride all-reduce, scalar-sized)
+    assert w["all-reduce"] >= 1, c
+    # SpMV halo exchange rides neighbor permutes
+    assert w["collective-permute"] >= 1, c
+    # no full-vector broadcast per iteration
+    assert c["full_gathers"] == [], c
+    assert w["all-gather"] == 0 and w["all-to-all"] == 0, c
+
+
+def test_census_catches_full_vector_gather():
+    """Negative control: the scatter-into-padded-buffer pattern (the exact
+    bug fixed in ops/spmv.py spmv_dia) must be FLAGGED by the census as a
+    per-iteration full-vector all-gather."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(8)
+    n = 1024
+    x = jax.device_put(np.ones(n, np.float32),
+                       NamedSharding(mesh, P("rows")))
+
+    @jax.jit
+    def bad(x):
+        def body(c):
+            i, x = c
+            xp = jnp.zeros(64 + 8192 + 64, x.dtype).at[64:64 + n].set(x)
+            y = (jax.lax.slice(xp, (63,), (63 + 8192,))
+                 + jax.lax.slice(xp, (65,), (65 + 8192,)))[:n]
+            return i + 1, y.astype(x.dtype)
+        return jax.lax.while_loop(lambda c: c[0] < 5, body,
+                                  (jnp.int32(0), x))
+
+    txt = bad.lower(x).compile().as_text()
+    c = hlo_collective_census(txt, full_vector_len=n)
+    assert c["full_gathers"], "census failed to flag the all-gather"
+    assert c["full_gathers"][0][1] == "while"
+    assert c["in_while"]["all-gather"] >= 1

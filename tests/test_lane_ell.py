@@ -77,6 +77,7 @@ def test_cg_on_scattered_band_end_to_end():
                           - np.full(A.n_rows, 1.0)) < 1e-7
 
 
+@pytest.mark.slow
 def test_bicgstab_sgs_on_scattered_band():
     """Colored exact SGS preconditioning works on the lane-ELL format too
     (the masked sweep only needs SpMV + the diagonal)."""

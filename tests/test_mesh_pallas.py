@@ -59,6 +59,7 @@ def test_mesh_stencil_cg_jacobi(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_stencil_colored_sgs(interpret):
     """Exact multicolor SGS preconditioner: the fused GS color-step kernel
     (superstep chains included) runs per shard with halo exchange."""
@@ -75,6 +76,7 @@ def test_mesh_stencil_colored_sgs(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_stencil_two_stage_bicgstab(interpret):
     """Richardson (two-stage) preconditioner: the strict-part stencils are
     mesh-wrapped and every inner sweep is one more halo exchange."""
@@ -91,6 +93,7 @@ def test_mesh_stencil_two_stage_bicgstab(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_stencil_gmres_restarts(interpret):
     """Multi-restart GMRES over the mesh kernels."""
     A = stencil_op.stencil_27pt_operator(8, 8, 8, dtype=np.float64)
@@ -124,6 +127,7 @@ def test_mesh_dia_cg(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_blocked_ilu0(interpret):
     """Flagship: exact colored ILU(0) through the superblock trisolve with
     the factor planes ROW-SHARDED (each device streams 1/8 of the factors
@@ -231,6 +235,7 @@ def test_mesh_lane_ell_cg_jacobi(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_lane_ell_two_stage_bicgstab(interpret):
     """Richardson (two-stage) strict parts as mesh lane-ELL operators:
     every inner sweep is one more shard-local kernel + halo exchange."""
@@ -248,6 +253,7 @@ def test_mesh_lane_ell_two_stage_bicgstab(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_pipelined_cg(interpret):
     """Pipelined PCG (single fused reduction point — the multi-chip
     latency mode) through the per-shard stencil kernels."""
@@ -263,6 +269,7 @@ def test_mesh_pipelined_cg(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_lane_ell_chebyshev(interpret):
     """Chebyshev polynomial M⁻¹ on the mesh lane-ELL path: a strong
     preconditioner for general sparsity that adds ZERO reductions per
@@ -280,6 +287,7 @@ def test_mesh_lane_ell_chebyshev(interpret):
     _check(res8, res1)
 
 
+@pytest.mark.slow
 def test_mesh_multigrid(interpret):
     """Geometric multigrid V-cycle M⁻¹ over a mesh: GSPMD partitions the
     whole cycle (trajectory matches single-device); the shard_map kernel
@@ -302,6 +310,7 @@ def test_mesh_multigrid(interpret):
     _check(bis.solve(setup_auto), res1)
 
 
+@pytest.mark.slow
 def test_mesh_lane_ell_greedy_colored_sgs(interpret):
     """General-CSR EXACT colored GS/SGS over the mesh: the greedy color-id
     array shards with the rows — each sweep step is one full-operator mesh

@@ -113,6 +113,7 @@ def _mg_setup(source, **cfg_kw):
 @pytest.mark.parametrize("source,n", [("fdm:12", 144), ("hpcg:8x8x8", 512)])
 @pytest.mark.parametrize("transfer,coarse_op", [("linear", "auto"),
                                                 ("injection", "auto")])
+@pytest.mark.slow
 def test_vcycle_spd(source, n, transfer, coarse_op):
     """M^{-1} assembled column-by-column is symmetric and definite with the
     same sign as A (fdm's 2-D Laplacian is NEGATIVE definite — CG then runs
@@ -164,6 +165,7 @@ def _iters(source, precond, **kw):
     return res.iter_count
 
 
+@pytest.mark.slow
 def test_mg_cg_converges_and_beats_jacobi():
     """At 24^3 the condition-number gap is visible: Jacobi-CG iteration
     count grows ~ h^-1 while MG stays flat (~10)."""

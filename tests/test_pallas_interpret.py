@@ -85,6 +85,7 @@ def test_lane_ell_kernel_interpret(interpret, rng):
 
 @pytest.mark.parametrize("src", ["hpcg:8x8x8", "hpcg:6x4x8"],
                          ids=["fused", "split"])
+@pytest.mark.slow
 def test_superblock_trisolve_kernel_interpret(interpret, rng, src):
     from basic_iterative_solvers_tpu.ops.block_trisolve import (
         SuperBlockTriSolve, blocked_sgs, blocked_trisolve,
@@ -174,6 +175,7 @@ def test_gmres_basis_kernels_interpret(interpret, rng):
         np.testing.assert_array_equal(Vn_np[others], Vnp[others])
 
 
+@pytest.mark.slow
 def test_gmres_fused_matches_lowsync(interpret):
     """orthog_mode='fused' (scaled-raw basis + explicit-DMA kernels) must
     reproduce the lowsync trajectory, including across restarts."""
@@ -187,6 +189,7 @@ def test_gmres_fused_matches_lowsync(interpret):
     np.testing.assert_allclose(rf.x_star, rl.x_star, rtol=0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gmres_fused_bf16_basis_debug_checks(interpret):
     """Fused mode with a bf16 scaled-raw basis converges equivalently, and
     the per-iteration V-orthonormality SanityChecker passes on the host

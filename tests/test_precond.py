@@ -150,6 +150,7 @@ def test_cheby_symmetric_spd(rng):
     assert np.dot(zx, x) > 0 and np.dot(zy, y) > 0
 
 
+@pytest.mark.slow
 def test_cheby_accelerates_cg():
     """Chebyshev(4) must beat Jacobi, and degree 8 must beat degree 4, on
     the HPCG operator — on host-CSR, device-DIA and matrix-free paths."""
@@ -165,6 +166,7 @@ def test_cheby_accelerates_cg():
     assert it_c8.iter_count < it_c4.iter_count
 
 
+@pytest.mark.slow
 def test_cheby_device_native_paths():
     import basic_iterative_solvers_tpu as bis
     from basic_iterative_solvers_tpu import dia, stencil_op

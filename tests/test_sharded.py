@@ -17,6 +17,7 @@ def mesh8():
     return make_mesh(8)
 
 
+@pytest.mark.slow
 def test_sharded_spmv_matches_host(mesh8):
     A = stencil_27pt(16, 16, 16)  # 4096 rows; halo 16*16+16+1=273 < 1024 local
     Ad = csr_to_dia(A, np.float64)
@@ -89,6 +90,7 @@ def test_halo_widths_guarded(mesh8):
         shard_dia(Adw, mesh8)
 
 
+@pytest.mark.slow
 def test_sharded_cg_two_stage_matches_single_device(mesh8):
     """Distributed PCG with the symmetric two-stage (Richardson) M⁻¹ —
     each inner sweep is one more ppermute halo exchange — reproduces the

@@ -397,6 +397,7 @@ def test_gmres_lowsync_orthonormality():
     assert res.converged
 
 
+@pytest.mark.slow
 def test_gmres_bf16_basis_convergence_equivalent():
     """bfloat16 basis storage (gmres_basis_dtype) must not change the
     iteration count materially on a benchmark-class matrix."""
@@ -428,6 +429,7 @@ def test_gmres_fused_fallback_warns():
     assert any("falling back to 'lowsync'" in str(w.message) for w in rec)
 
 
+@pytest.mark.slow
 def test_pipelined_cg_matches_classic():
     """Ghysels–Vanroose pipelined PCG (cg_flavor="pipelined") is
     algebraically the same iteration as classic PCG: identical iteration
@@ -487,6 +489,7 @@ def test_iterative_refinement_f32_reaches_f64_criterion():
     np.testing.assert_allclose(ref.x_star, r64.x_star, rtol=0, atol=1e-9)
 
 
+@pytest.mark.slow
 def test_iterative_refinement_device_paths():
     """Refinement over the device-native DIA and planar matrix-free
     stencil paths (the fp64 residual upcasts the device operator)."""
@@ -546,6 +549,7 @@ def test_iterative_refinement_reuses_compiled_runner(monkeypatch):
     assert len(builds) == 1, f"runner rebuilt {len(builds)} times"
 
 
+@pytest.mark.slow
 def test_pipelined_cg_strong_preconditioners_f32():
     """Regression: f32 pipelined CG with STRONG preconditioners (mg,
     cheby, sgs) used to stall forever — the fixed-period replacement fired
@@ -562,6 +566,7 @@ def test_pipelined_cg_strong_preconditioners_f32():
             prec, r32.iter_count, float(r32.final_residual_norm))
 
 
+@pytest.mark.slow
 def test_breakdown_stall_keeps_tol0_runs_finite():
     """tolerance=0 fixed-iteration benchmark runs with a strong M converge
     past the attainable floor; breakdown_stall must keep the recurrence

@@ -82,6 +82,7 @@ def test_stencil_end_to_end_matches_dia(method, precond):
                                atol=1e-11)
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_stencil_gspmd():
     from basic_iterative_solvers_tpu.parallel import make_mesh, shard_setup
@@ -111,6 +112,7 @@ def test_stencil_rejects_num_scale():
     (SolverType.GMRES, PrecondType.NONE),
     (SolverType.JACOBI, PrecondType.NONE),
 ])
+@pytest.mark.slow
 def test_planar_resident_matches_flat(method, precond):
     """planar_vectors='on' must give the same solve as the flat layout,
     with x_star decoded back to user coordinates."""
