@@ -191,13 +191,10 @@ def parse_cli(argv, bench_mode: bool = False) -> tuple:
             print(f'ERROR: assign_cli_inputs: Argument "{arg}" not '
                   "recognized.", file=sys.stderr)
         idx += 1
-    # per-kernel attribution needs the eager host harness; resolve AFTER
-    # parsing so a later `--harness fused` can't silently disable the rows
-    if extras.get("kernel_timers") and extras.get("harness") != "host":
-        if extras.get("harness") == "fused":
-            print("NOTE: --kernel-timers requires the host harness; "
-                  "overriding --harness fused.", file=sys.stderr)
-        extras["harness"] = "host"
+    # --kernel-timers: the host harness attributes via eager stopwatch
+    # splits (utils/ktimers.py); the fused harness is ONE device dispatch,
+    # so attribution comes from a traced re-run's device op walls bucketed
+    # per phase (utils/xprof.py print_phase_table) — no override needed.
     return matrix_source, opts, extras
 
 
@@ -375,8 +372,21 @@ def run(argv=None) -> int:
             summary_output(result)
             roofline_report(setup, result, secs_per_iter=roofline_secs)
     if config.kernel_timers:
-        from .utils.report import print_kernel_report
-        print_kernel_report(timers, result)
+        if config.harness == "fused":
+            # per-phase DEVICE attribution for the single-dispatch loop:
+            # traced re-run of the compiled executable, op walls bucketed
+            # by kernel name (reference table: utilities.hpp:154-324)
+            from .utils.xprof import measure_phase_table, print_phase_table
+            got = measure_phase_table(method)
+            if got is None:
+                print("[kernel-timers] no device trace on this backend; "
+                      "use --harness host for stopwatch attribution",
+                      file=sys.stderr)
+            else:
+                print_phase_table(*got, n_iters=result.iter_count or None)
+        else:
+            from .utils.report import print_kernel_report
+            print_kernel_report(timers, result)
     else:
         print(timers.report(), file=sys.stderr)
     return 0

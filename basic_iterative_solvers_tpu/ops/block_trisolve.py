@@ -61,6 +61,12 @@ FORCE_NUMPY = False
 #: forces plane mode — the A/B lever for the matrix-free trisolve)
 import os as _os  # noqa: E402
 NO_CONST = _os.environ.get("BIS_SB_CONST", "1") == "0"
+#: kill-switch for the aligned-fused any-nx layout (BIS_SB_ALIGNED=0 falls
+#: back to the split-parity kernels — the round-4 shipping path)
+NO_ALIGNED = _os.environ.get("BIS_SB_ALIGNED", "1") == "0"
+#: kill-switch for the packed-table factor layout (BIS_SB_PACKED=0 keeps
+#: full plane slabs for translation-table ILU(0))
+NO_PACKED = _os.environ.get("BIS_SB_PACKED", "1") == "0"
 
 
 class BlockIneligibleError(ValueError):
@@ -406,6 +412,7 @@ def _level_pallas(B, groups, y_blk, dinv_blk, xb):
     itemsize = y_blk.dtype.itemsize
     return pl.pallas_call(
         kernel, grid=(grid_n,),
+        name="sptrsv_rankspace_level",
         in_specs=in_specs,
         out_specs=tile(),
         out_shape=jax.ShapeDtypeStruct((R_b, LANES), y_blk.dtype),
@@ -440,10 +447,10 @@ def _level_pallas(B, groups, y_blk, dinv_blk, xb):
 # array (explicit windowed async copies), not dozens of separate operands.
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["vals_cross", "vals_self", "dinv", "d"],
+         data_fields=["vals_cross", "vals_self", "dinv", "d", "packed"],
          meta_fields=["n_rows", "S", "m", "R_b", "TB", "sx", "levels",
                       "upper", "spec_params", "fused", "const_cross",
-                      "const_self"])
+                      "const_self", "pack_geom"])
 @dataclasses.dataclass
 class SuperBlockTriSolve:
     """Superblock form of a colored triangular solve (grid specs).
@@ -489,6 +496,22 @@ class SuperBlockTriSolve:
     #: (build_superblock_gs_pair_stencil) with no host CSR at all.
     const_cross: Optional[Tuple] = None
     const_self: Optional[Tuple] = None
+    #: PACKED-TABLE mode (translation-invariant factors, nx % 128 == 0):
+    #: per level, ONE (G+1, R_b/8, 128) slab holding each leg's per-row
+    #: x-class values — 8 rows × 16 x-classes per packed lane row (the
+    #: verified clamp distance makes ≤16 x-classes bitwise-exact).  The
+    #: kernel regenerates full (TB, 128) planes in-register via a sublane
+    #: broadcast + lane gather: factor HBM traffic drops 8×.  Slab group
+    #: order per level: cross legs, self legs, then dinv.  None → plane /
+    #: const mode.
+    packed: Optional[Tuple] = None
+    #: (slots, Pxr, dx_star) for packed mode: slots = packed classes per
+    #: row (16), Pxr = reduced x-class count, dx_star = verified clamp
+    pack_geom: Optional[Tuple] = None
+
+    @property
+    def is_packed(self) -> bool:
+        return self.packed is not None
 
     @property
     def is_const(self) -> bool:
@@ -496,6 +519,8 @@ class SuperBlockTriSolve:
 
     @property
     def dtype(self):
+        if self.packed is not None:
+            return self.packed[0].dtype
         return self.dinv[0].dtype
 
 
@@ -729,6 +754,12 @@ def build_superblock_trisolve(T, D: Optional[np.ndarray],
     R_rows = -(-m // LANES)
     TB = max(8 * -(-(qmax + 1) // 8),
              min(tile_rows, 8 * -(-R_rows // 8)), 8)
+    if not fused and not NO_ALIGNED:
+        import math
+        step = nx // math.gcd(nx, LANES)
+        step = step * 64 // math.gcd(step, 64)
+        TB = -(-TB // step) * step
+        fused = True           # aligned-fused geometry (see _sb_plan)
     R_b = -(-R_rows // TB) * TB
     if TB > R_b:
         R_b = TB
@@ -819,12 +850,23 @@ def _sb_plan(analysis, upper: bool, spec, tile_rows: int):
     R_rows = -(-m // LANES)
     TB = max(8 * -(-(qmax + 1) // 8),
              min(tile_rows, 8 * -(-R_rows // 8)), 8)
+    fused = nx <= LANES and LANES % nx == 0
+    if not fused and not NO_ALIGNED:
+        # aligned-fused tile geometry (see _stencil_pair_plan): pin tile
+        # boundaries to x = 0 so the one-call-per-level kernel runs at any
+        # nx instead of the 3-call split-parity chain
+        import math
+        step = nx // math.gcd(nx, LANES)
+        step = step * 64 // math.gcd(step, 64)
+        TB = -(-TB // step) * step
+        fused = True
     R_b = -(-R_rows // TB) * TB
     if TB > R_b:
         R_b = TB
     return types.SimpleNamespace(
         ukc=ukc, uks=uks, Gc=Gc, Gs=Gs, gc_tb=gc_tb, gc_sb=gc_sb,
-        gc_dl=gc_dl, gs_tb=gs_tb, gs_dx=gs_dx, TB=TB, R_b=R_b, S=S, m=m)
+        gc_dl=gc_dl, gs_tb=gs_tb, gs_dx=gs_dx, TB=TB, R_b=R_b, S=S, m=m,
+        fused=fused)
 
 
 @lru_cache(maxsize=4)
@@ -903,7 +945,7 @@ def _build_superblock_from_analysis(analysis, rows, cols, vals, n, D, spec,
                               vc_big, vs_big):
         raise RuntimeError("native library vanished mid-build")
     return _sb_assemble(plan, vc_big, vs_big, D, n, spec, upper=upper,
-                        dtype=dtype, need_d=need_d, fused=fused)
+                        dtype=dtype, need_d=need_d, fused=plan.fused)
 
 
 def _sb_pack_pair_from_csr(Ap, vals, perm, spec, *, D_L, D_U,
@@ -941,10 +983,10 @@ def _sb_pack_pair_from_csr(Ap, vals, perm, spec, *, D_L, D_U,
     # D_L=None → unit-diagonal L (ILU(0)); D_U=None → the scatter pass's
     # peeled diagonal (the ILU(0) U factor's U_D)
     L = _sb_assemble(plan_L, pc_lo, ps_lo, D_L, n, spec, upper=False,
-                     dtype=dtype, need_d=need_d_L, fused=fused)
+                     dtype=dtype, need_d=need_d_L, fused=plan_L.fused)
     U = _sb_assemble(plan_U, pc_up, ps_up,
                      D_U if D_U is not None else U_D, n, spec, upper=True,
-                     dtype=dtype, need_d=False, fused=fused)
+                     dtype=dtype, need_d=False, fused=plan_U.fused)
     return L, U, U_D
 
 
@@ -991,8 +1033,12 @@ def _stencil_pair_plan(op, spec):
         raise BlockIneligibleError("grid strides must divide the dims")
     # fused layout (x-parities chained in-register) needs lane rotations
     # that never cross a vreg row at a real entry; otherwise the solve
-    # runs the split-parity kernels (any nx) on the same plane layout
+    # tries the ALIGNED-fused layout (tile boundaries pinned to x = 0 by
+    # choosing TB with TB·LANES ≡ 0 mod nx, so self-leg reads never cross
+    # a tile; in-tile row crossings read a VMEM parity scratch), and only
+    # failing that the split-parity kernels (any nx, 3 calls/level)
     fused = nx <= LANES and LANES % nx == 0
+    aligned = False
     my, mz = ny // sy, nz // sz
     S = sy * sz
     m = nx * my * mz
@@ -1039,13 +1085,26 @@ def _stencil_pair_plan(op, spec):
     qmax = (max(abs(d) for d in deltas) // LANES + 1) if deltas else 0
     R_rows = -(-m // LANES)
     TB = max(8 * -(-(qmax + 1) // 8), min(_TB, 8 * -(-R_rows // 8)), 8)
+    if not fused and not NO_ALIGNED:
+        # TB·LANES ≡ 0 (mod nx): every tile's x range is [0, nx) complete,
+        # so self couplings (|dx| < sx) never reach across a tile boundary
+        # — the one dependency that forced the split-parity kernels.
+        import math
+        step = nx // math.gcd(nx, LANES)
+        # lcm(step, 64): ×8 for sublane tiles, ×64 so TB/8 stays a legal
+        # packed-slab block height (Mosaic wants second-minor % 8 == 0)
+        step = step * 64 // math.gcd(step, 64)
+        TB_al = -(-TB // step) * step
+        if TB_al <= max(R_rows, TB_al):               # always feasible
+            TB = TB_al
+            fused = aligned = True
     R_b = -(-R_rows // TB) * TB
     if TB > R_b:
         R_b = TB
     import types
     return types.SimpleNamespace(
         diag_c=diag_c, self_legs=sorted(self_legs), per_sb=per_sb,
-        S=S, m=m, TB=TB, R_b=R_b, fused=fused,
+        S=S, m=m, TB=TB, R_b=R_b, fused=fused, aligned=aligned,
         spec_params=tuple(int(p) for p in spec.params))
 
 
@@ -1236,6 +1295,34 @@ def build_superblock_ilu0_pair_stencil(op, spec, *, dtype=np.float32,
     my = ny // sy
     selfs = tuple(dx for dx, _c in plan.self_legs)
 
+    # PACKED-TABLE mode: when every vreg row is x-pure (nx % 128 == 0) and
+    # the x-classes clamp to ≤ 16 at the solve dtype (verified BITWISE on
+    # the prototype table), store per-row x-class values instead of full
+    # planes — 8 rows × 16 classes per packed lane row, 8× less factor
+    # HBM traffic; the kernel regenerates exact planes in-register.
+    PACK_SLOTS = 16
+    dx_star = Pxr = None
+    packed_ok = (not NO_PACKED and nx % LANES == 0 and plan.fused
+                 and (TB % 64 == 0 or TB == R_b)
+                 and np.dtype(dtype).itemsize <= 4)
+    if packed_ok:
+        Tc = T_np.astype(dtype)          # verify at the SOLVE dtype
+        Tdc = Td_np.astype(dtype)
+        dx_star = None
+        for d in range(0, R + 1):
+            ok = True
+            for c in range(d, Px - d):
+                rep = d + (c - d) % sx
+                if not (np.array_equal(Tc[..., c], Tc[..., rep])
+                        and np.array_equal(Tdc[..., c], Tdc[..., rep])):
+                    ok = False
+                    break
+            if ok:
+                dx_star = d
+                break
+        Pxr = None if dx_star is None else 2 * dx_star + sx
+        packed_ok = Pxr is not None and Pxr <= PACK_SLOTS
+
     def _levels_for(upper: bool):
         order = range(S - 1, -1, -1) if upper else range(S)
         out = []
@@ -1293,18 +1380,73 @@ def build_superblock_ilu0_pair_stencil(op, spec, *, dtype=np.float32,
             out[upper] = (tuple(lc), tuple(ls), tuple(ld))
         return out
 
-    built = jax.jit(_build)(T_dev, Tdinv_dev)
+    def _build_packed(Tt, Tdi):
+        """Per-level packed slabs (G+1, R_b/8, 128): every leg's per-row
+        reduced x-class values + the dinv row (ones for L), zeros at pad
+        rows/slots; group order: cross, self, dinv."""
+        out = {}
+        r = jnp.arange(R_b, dtype=jnp.int32)
+        tt = (r * jnp.int32(LANES)) // jnp.int32(nx)   # x-pure vreg rows
+        validr = (r * jnp.int32(LANES)) < m
+        xrep = jnp.asarray(
+            [j if j < dx_star + sx else Px - Pxr + j
+             for j in range(Pxr)] + [0] * (PACK_SLOTS - Pxr), jnp.int32)
+        jvalid = jnp.arange(PACK_SLOTS) < Pxr
+        phase = xrep % sx                              # proto ≡ axis phase
+        for upper in (False, True):
+            slabs = []
+            for sb, rows in _levels_for(upper):
+                y = sy * (tt % my) + sb % sy
+                z = sz * (tt // my) + sb // sy
+                rowbase = Px * (jnp.clip(_cls(y, ny, Py, sy), 0, Py - 1)
+                                + Py * jnp.clip(_cls(z, nz, Pz, sz),
+                                                0, Pz - 1))
+                base2 = rowbase[:, None] + xrep[None, :]     # (R_b, 16)
+                ok2 = validr[:, None] & jvalid[None, :]
+                groups = []
+                for _src, _delta, _c, (dx, dy, dz) in rows:
+                    kdi = (dx + h) + w * ((dy + h) + w * (dz + h))
+                    groups.append(
+                        jnp.where(ok2, jnp.take(Tt[kdi], base2), 0))
+                for dx in selfs:
+                    kdi = (dx + h) + w * (h + w * h)
+                    ps = jnp.mod(phase + dx, sx)
+                    pm = (ps > phase) if upper else (ps < phase)
+                    groups.append(
+                        jnp.where(ok2 & pm[None, :],
+                                  jnp.take(Tt[kdi], base2), 0))
+                dv = (jnp.take(Tdi, base2) if upper
+                      else jnp.ones((R_b, PACK_SLOTS), dtype=Tt.dtype))
+                groups.append(jnp.where(ok2, dv, 0))
+                slab = jnp.stack(groups)              # (G+1, R_b, 16)
+                slabs.append(slab.reshape(len(groups), R_b // 8,
+                                          8 * PACK_SLOTS))
+            out[upper] = tuple(slabs)
+        return out
+
+    if packed_ok:
+        built_packed = jax.jit(_build_packed)(T_dev, Tdinv_dev)
+    else:
+        built = jax.jit(_build)(T_dev, Tdinv_dev)
 
     valid_np = (np.arange(size) < m)
     ones_blk = jnp.asarray(
         np.where(valid_np, 1.0, 0.0).astype(dtype).reshape(R_b, LANES))
 
     def _assemble(upper: bool):
-        lc, ls, ld = built[upper]
         levels = tuple(
             (sb, tuple((src, delta) for src, delta, _c, _leg in rows),
              selfs)
             for sb, rows in _levels_for(upper))
+        if packed_ok:
+            return SuperBlockTriSolve(
+                vals_cross=(None,) * S, vals_self=(None,) * S,
+                dinv=(), d=None, n_rows=n, S=S, m=m, R_b=R_b, TB=TB,
+                sx=sx, levels=levels, upper=upper,
+                spec_params=plan.spec_params, fused=plan.fused,
+                packed=built_packed[upper],
+                pack_geom=(PACK_SLOTS, Pxr, dx_star))
+        lc, ls, ld = built[upper]
         # dinv is indexed BY SUPERBLOCK ID (B.dinv[sb]); ld was collected
         # in LEVEL order, which for the upper triangle is sb = S-1 … 0
         return SuperBlockTriSolve(
@@ -1379,11 +1521,42 @@ def _leg_mask_jnp(B, sb: int, leg, slot, self_leg: bool = False):
     return mask
 
 
+def _packed_cx(x, nx, pack_geom, sx):
+    """Reduced x-class id per element — the verified-bitwise clamp map
+    (edge positions exact, interior collapsed to its phase)."""
+    _slots, Pxr, dxs = pack_geom
+    hi = jnp.int32(nx) - 1 - x
+    inter = jnp.int32(dxs) + jax.lax.rem(x - jnp.int32(dxs),
+                                         jnp.int32(sx))
+    return jnp.where(x < jnp.int32(dxs), x,
+                     jnp.where(hi < jnp.int32(dxs),
+                               jnp.int32(Pxr) - 1 - hi, inter))
+
+
+def _packed_expand_xla(B, li):
+    """All of one level's planes + dinv from its packed slab (XLA path):
+    (G+1, R_b, 128), group order cross…self…dinv."""
+    nx = B.spec_params[0]
+    slots = B.pack_geom[0]
+    slab = B.packed[li]
+    G_all = slab.shape[0]
+    flat = slab.reshape(G_all, B.R_b, slots)
+    slot = jnp.arange(B.R_b * LANES, dtype=jnp.int32).reshape(B.R_b, LANES)
+    cx = _packed_cx(slot % jnp.int32(nx), nx, B.pack_geom, B.sx)
+    idx = jnp.broadcast_to(cx[None], (G_all, B.R_b, LANES))
+    from jax._src.config import enable_x64 as _x64_ctx
+    with _x64_ctx(False):
+        return jnp.take_along_axis(flat, idx, axis=2)
+
+
 def _super_level_xla(B, li, y_blk, xb):
     sb, cross, selfs = B.levels[li]
     nx = B.spec_params[0]
     const = B.is_const
     slot = jnp.arange(B.R_b * LANES, dtype=jnp.int32).reshape(B.R_b, LANES)
+    pk = _packed_expand_xla(B, li) if B.is_packed else None
+    dinv_blk = pk[len(cross) + len(selfs)] if pk is not None \
+        else B.dinv[sb]
     acc = y_blk
     for gi, (src, delta) in enumerate(cross):
         shifted = _shifted_read_xla(xb[src], delta)
@@ -1391,6 +1564,8 @@ def _super_level_xla(B, li, y_blk, xb):
             c, dx, dy, dz = B.const_cross[li][gi]
             plane = jnp.where(_leg_mask_jnp(B, sb, (dx, dy, dz), slot),
                               jnp.asarray(c, y_blk.dtype), 0)
+        elif pk is not None:
+            plane = pk[gi]
         else:
             plane = B.vals_cross[li][gi]
         acc = acc - plane * shifted
@@ -1404,10 +1579,12 @@ def _super_level_xla(B, li, y_blk, xb):
                 plane = jnp.where(_leg_mask_jnp(B, sb, (sdx, 0, 0), slot,
                                                 self_leg=True),
                                   jnp.asarray(c, y_blk.dtype), 0)
+            elif pk is not None:
+                plane = pk[len(cross) + gi]
             else:
                 plane = B.vals_self[li][gi]
             a = a - plane * _shifted_read_xla(xt, dx)
-        xt = jnp.where(parity == jnp.int32(cx), a * B.dinv[sb], xt)
+        xt = jnp.where(parity == jnp.int32(cx), a * dinv_blk, xt)
     return xt
 
 
@@ -1433,20 +1610,35 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
     src_pos = {s: k for k, s in enumerate(srcs)}
     n_src = len(srcs)
     const = B.is_const
+    # ALIGNED-fused layout (any nx): the plan chose TB with TB·LANES ≡ 0
+    # (mod nx) so every tile's x range is a whole number of x rows — self
+    # couplings (|dx| < sx < nx) never reach across a tile boundary, and
+    # in-tile row crossings are served from a VMEM parity scratch with the
+    # same two-slice shifted read the cross windows use.  x/parity ids come
+    # from the global slot, not the lane (x spans multiple vreg rows).
+    aligned = not (nx <= LANES and LANES % nx == 0)
+    packed = B.is_packed
     valsc, valss = B.vals_cross[li], B.vals_self[li]
     Gc = 0 if valsc is None else valsc.shape[0]
     Gs = 0 if valss is None else valss.shape[0]
+    HALO = 8                       # self-scratch halo rows (|dx| < 8·LANES)
+    need_gslot = const or aligned or packed
+    TB8 = TB // 8
+    slots = B.pack_geom[0] if packed else 0
+    G_all = B.packed[li].shape[0] if packed else 0
 
     def kernel(*refs):
         it = iter(range(len(refs)))
         y_ref = refs[next(it)]
-        dinv_ref = refs[next(it)]
+        dinv_ref = refs[next(it)] if not packed else None
         valsc_ref = refs[next(it)] if Gc else None
         valss_ref = refs[next(it)] if Gs else None
+        pk_ref = refs[next(it)] if packed else None
         X_ref = refs[next(it)]
-        row0_ref = refs[next(it)] if const else None
+        row0_ref = refs[next(it)] if need_gslot else None
         out_ref = refs[next(it)]
         win = refs[next(it)] if n_src else None     # VMEM scratch
+        selfwin = refs[next(it)] if (aligned and selfs) else None
         out_scr = refs[next(it)]
         copy_sem = refs[next(it)] if n_src else None
         out_sem = refs[next(it)]
@@ -1464,33 +1656,59 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
 
         lanes = jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 1)
         gslot = None
-        if const:
+        if need_gslot:
             rrow = (jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 0)
                     + row0_ref[0, 0] + i * jnp.int32(TB))
             gslot = rrow * jnp.int32(LANES) + lanes
         dt = y_blk.dtype
-        acc = y_ref[:]
-        for gi, (src, delta) in enumerate(cross):
-            window = win[jnp.int32(src_pos[src])]
+
+        def two_slice(window, delta):
             q, mm = divmod(delta, LANES)
             W1 = jax.lax.slice(window, (TB + q, 0), (2 * TB + q, LANES))
             if mm == 0:
-                shifted = W1
-            else:
-                W2 = jax.lax.slice(window, (TB + q + 1, 0),
-                                   (2 * TB + q + 1, LANES))
-                R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
-                R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
-                shifted = jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
+                return W1
+            W2 = jax.lax.slice(window, (TB + q + 1, 0),
+                               (2 * TB + q + 1, LANES))
+            R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+            R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+            return jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
+
+        pexp = None
+        if packed:
+            # regenerate this level's planes from the packed slab: expand
+            # each packed lane row (8 rows × 16 x-classes) 8× along
+            # sublanes, then gather the row's class value per lane
+            cxid = _packed_cx(jax.lax.rem(gslot, jnp.int32(nx)), nx,
+                              B.pack_geom, sx)
+            rsub8 = jax.lax.rem(
+                jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 0),
+                jnp.int32(8))
+            pidx = rsub8 * jnp.int32(slots) + cxid
+            from jax._src.config import enable_x64 as _x64_ctx
+
+            def pexp(gi):
+                pk = pk_ref[jnp.int32(gi)]
+                ex = jnp.broadcast_to(
+                    pk.reshape(TB8, 1, LANES),
+                    (TB8, 8, LANES)).reshape(TB, LANES)
+                with _x64_ctx(False):
+                    return jnp.take_along_axis(ex, pidx, axis=1)
+
+        acc = y_ref[:]
+        for gi, (src, delta) in enumerate(cross):
+            shifted = two_slice(win[jnp.int32(src_pos[src])], delta)
             if const:
                 c, dx, dy, dz = B.const_cross[li][gi]
                 mask = _leg_mask_jnp(B, sb, (dx, dy, dz), gslot)
                 acc = acc - jnp.where(mask, shifted * jnp.asarray(c, dt),
                                       jnp.asarray(0, dt))
+            elif packed:
+                acc = acc - pexp(gi) * shifted
             else:
                 acc = acc - valsc_ref[jnp.int32(gi)] * shifted
 
-        parity = jax.lax.rem(jax.lax.rem(lanes, jnp.int32(nx)),
+        xsrc = gslot if aligned else lanes
+        parity = jax.lax.rem(jax.lax.rem(xsrc, jnp.int32(nx)),
                              jnp.int32(sx))
         self_masks = None
         if const and selfs:
@@ -1498,18 +1716,41 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
                 _leg_mask_jnp(B, sb, (sdx, 0, 0), gslot, self_leg=True)
                 for _c, sdx in B.const_self[li]]
         xt = jnp.zeros((TB, LANES), dtype=acc.dtype)
-        for cx in _parity_order(B):
+        if aligned and selfs:
+            selfwin[...] = jnp.zeros((TB + 2 * HALO, LANES), dtype=dt)
+        dmul = pexp(len(cross) + len(selfs)) if packed else dinv_ref[:]
+        porder = list(_parity_order(B))
+        for pi, cx in enumerate(porder):
             a = acc
             for gi, dx in enumerate(selfs):
-                rolled = pltpu.roll(xt, jnp.int32((-dx) % LANES), 1)
+                if aligned:
+                    # the scratch holds parities computed so far (zeros
+                    # before the first); the halo rows stay zero and every
+                    # halo read is masked (tile x ranges are complete)
+                    q, mm = divmod(dx, LANES)
+                    W1 = selfwin[HALO + q:HALO + q + TB]
+                    if mm == 0:
+                        rolled = W1
+                    else:
+                        W2 = selfwin[HALO + q + 1:HALO + q + 1 + TB]
+                        R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
+                        R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+                        rolled = jnp.where(lanes < jnp.int32(LANES - mm),
+                                           R1, R2)
+                else:
+                    rolled = pltpu.roll(xt, jnp.int32((-dx) % LANES), 1)
                 if const:
                     c = B.const_self[li][gi][0]
                     a = a - jnp.where(self_masks[gi],
                                       rolled * jnp.asarray(c, dt),
                                       jnp.asarray(0, dt))
+                elif packed:
+                    a = a - pexp(len(cross) + gi) * rolled
                 else:
                     a = a - valss_ref[jnp.int32(gi)] * rolled
-            xt = jnp.where(parity == jnp.int32(cx), a * dinv_ref[:], xt)
+            xt = jnp.where(parity == jnp.int32(cx), a * dmul, xt)
+            if aligned and selfs and pi + 1 < len(porder):
+                selfwin[HALO:HALO + TB] = xt
 
         out_scr[:] = xt
         ocp = pltpu.make_async_copy(
@@ -1520,8 +1761,11 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
         ocp.wait()
 
     tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
-    in_specs = [tile(), tile()]
-    operands = [y_blk, B.dinv[sb]]
+    in_specs = [tile()]
+    operands = [y_blk]
+    if not packed:
+        in_specs.append(tile())
+        operands.append(B.dinv[sb])
     if Gc:
         in_specs.append(pl.BlockSpec((Gc, TB, LANES),
                                      lambda i: (jnp.int32(0), i,
@@ -1532,10 +1776,15 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
                                      lambda i: (jnp.int32(0), i,
                                                 jnp.int32(0))))
         operands.append(valss)
+    if packed:
+        in_specs.append(pl.BlockSpec((G_all, TB8, LANES),
+                                     lambda i: (jnp.int32(0), i,
+                                                jnp.int32(0))))
+        operands.append(B.packed[li])
     x_index = len(operands)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands.append(X)
-    if const:
+    if need_gslot:
         # explicit block shape + i32 index map on the SMEM spec (a bare
         # SMEM spec synthesizes an i64 literal under x64 — CLAUDE.md)
         in_specs.append(pl.BlockSpec(
@@ -1547,6 +1796,8 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
     scratch = []
     if n_src:
         scratch.append(pltpu.VMEM((n_src, 3 * TB, LANES), y_blk.dtype))
+    if aligned and selfs:
+        scratch.append(pltpu.VMEM((TB + 2 * HALO, LANES), y_blk.dtype))
     scratch.append(pltpu.VMEM((TB, LANES), y_blk.dtype))
     if n_src:
         scratch.append(pltpu.SemaphoreType.DMA((n_src,)))
@@ -1556,6 +1807,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
     n_groups = len(cross) + len(selfs)
     return pl.pallas_call(
         kernel, grid=(grid_n,),
+        name=("sptrsv_sb_level_U" if B.upper else "sptrsv_sb_level_L"),
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
@@ -1563,8 +1815,10 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * (n_groups + len(selfs) * (sx - 1)) * R_b * LANES,
-            bytes_accessed=((0 if const else Gc + Gs) + 3 + 3 * n_src)
-            * R_b * LANES * itemsize,
+            bytes_accessed=int(((0 if (const or packed) else Gc + Gs)
+                                + (G_all / 8 if packed else 0)
+                                + 3 + 3 * n_src)
+                               * R_b * LANES * itemsize),
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=pallas_env.INTERPRET,
@@ -1624,6 +1878,7 @@ def _super_acc_pallas(B, li, y_blk, X):
     tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
     return pl.pallas_call(
         kernel, grid=(grid_n,),
+        name="sptrsv_sb_acc",
         in_specs=[tile(),
                   pl.BlockSpec((Gc, TB, LANES),
                                lambda i: (jnp.int32(0), i, jnp.int32(0))),
@@ -1731,6 +1986,7 @@ def _super_parity_pallas(B, li, px, y_blk, X, has_acc):
                 pltpu.SemaphoreType.DMA]
     return pl.pallas_call(
         kernel, grid=(grid_n,),
+        name="sptrsv_sb_parity",
         in_specs=in_specs,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
@@ -1841,6 +2097,7 @@ def _super_solve_pallas_mega(B: SuperBlockTriSolve, y_stack):
     itemsize = np.dtype(dt).itemsize
     return pl.pallas_call(
         kernel, grid=(n_lev, grid_n),
+        name="sptrsv_sb_mega",
         in_specs=[pl.BlockSpec((1, TB, LANES), sb_map),
                   pl.BlockSpec((1, TB, LANES), sb_map)],
         out_specs=pl.BlockSpec((1, TB, LANES), sb_map),
@@ -1955,7 +2212,20 @@ def shard_superblock(B, mesh, axis: str) -> MeshSuperBlockTriSolve:
     if not B.fused:
         raise BlockIneligibleError(
             "split-mode superblock solves are not mesh-sharded yet")
+    if B.is_packed:
+        raise BlockIneligibleError(
+            "packed-table superblock solves are not mesh-sharded yet")
     n_dev = int(mesh.shape[axis])
+    nx_b = B.spec_params[0]
+    if not (nx_b <= LANES and LANES % nx_b == 0):
+        # aligned-fused layout: every SHARD's local tile grid must also
+        # start at x = 0, i.e. (R_b/n_dev)·LANES ≡ 0 (mod nx) after the
+        # TB·n_dev padding below — otherwise self-leg reads would cross
+        # shard-local tile boundaries at x ≠ 0
+        R_b2_c = -(-B.R_b // (B.TB * n_dev)) * (B.TB * n_dev)
+        if ((R_b2_c // n_dev) * LANES) % nx_b:
+            raise BlockIneligibleError(
+                "aligned-fused superblock shard width breaks x alignment")
     chunk = B.TB * n_dev
     R_b2 = -(-B.R_b // chunk) * chunk
     pad = R_b2 - B.R_b
@@ -2003,9 +2273,10 @@ def _solve_super_mesh(MB: MeshSuperBlockTriSolve, yb):
         B_l = dataclasses.replace(B_ldata, R_b=R_l)
         n_d = jax.lax.axis_size(axis)
         row0 = None
-        if B.is_const:
-            # const-mode masks need GLOBAL slot ids: offset this shard's
-            # rows by its position on the mesh axis
+        nx_b = B.spec_params[0]
+        if B.is_const or not (nx_b <= LANES and LANES % nx_b == 0):
+            # const-mode masks and aligned-mode parity ids need GLOBAL
+            # slot ids: offset this shard's rows by its mesh position
             row0 = (jax.lax.axis_index(axis).astype(jnp.int32)
                     * jnp.int32(R_l)).reshape(1, 1)
         X = jnp.zeros((S, R_l + 2 * TB, LANES), dtype=y_l.dtype)

@@ -167,6 +167,7 @@ def project_gram(V, w, vc, j, *, plan: BasisPlan):
 
     accw, accv = pl.pallas_call(
         kernel,
+        name="orthog_project_gram",
         grid=(n_chunks,),
         in_specs=[
             # NB explicit index map: a bare SMEM spec synthesizes a default
@@ -256,6 +257,7 @@ def correct_write(V, w, ht, j, *, plan: BasisPlan):
 
     V_new, vnext, accn = pl.pallas_call(
         kernel,
+        name="orthog_correct_write",
         grid=(n_chunks,),
         in_specs=[
             # explicit i32 index maps — see project_gram's SMEM spec note

@@ -237,6 +237,7 @@ def _lane_ell_kernel_call(M: DeviceLaneELL, vals: jax.Array, idx: jax.Array,
     itemsize = xsrc.dtype.itemsize
     return pl.pallas_call(
         kernel, grid=(grid_n,),
+        name="spmv_lane_ell",
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)),
                                memory_space=pltpu.VMEM),

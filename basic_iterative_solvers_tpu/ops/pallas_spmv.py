@@ -90,6 +90,7 @@ def dia_pallas_core(offsets, hneg: int, R: int, data: jax.Array,
     # i64 and Mosaic rejects mixed-width index maps.
     return pl.pallas_call(
         kernel,
+        name="spmv_dia",
         grid=(grid_n,),
         in_specs=[
             pl.BlockSpec((k, R), lambda i: (jnp.int32(0), i),

@@ -516,6 +516,7 @@ def stencil_spmv_stream(A: "DeviceStencil", xp: jax.Array,
         out_shape.append(jax.ShapeDtypeStruct((grid_n, 8, 128), xp.dtype))
     outs = pl.pallas_call(
         kernel, grid=(grid_n + 1,),
+        name="spmv_stencil",
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -638,6 +639,7 @@ def stencil_spmv_resident(A: "DeviceStencil", xp: jax.Array,
         out_shape.append(jax.ShapeDtypeStruct((grid_n, 8, 128), xp.dtype))
     outs = pl.pallas_call(
         kernel, grid=(grid_n,),
+        name="spmv_stencil_stream",
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
@@ -723,6 +725,7 @@ def stencil_gs_color_step(A: "DeviceStencil", xp: jax.Array,
     itemsize = xp.dtype.itemsize
     out = pl.pallas_call(
         kernel, grid=(grid_n,),
+        name="spmv_stencil_gs_color",
         in_specs=in_specs,
         out_specs=pl.BlockSpec((TR, L), tile, memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_here, L), xp.dtype),

@@ -155,3 +155,105 @@ def attach_iteration_times(result, method):
     result.time_per_iteration = tpi
     result.uniform_iteration_times = False
     return True
+
+
+# ---------------------------------------------------------------------------
+# Per-phase device-time attribution (reference print_timers analog for the
+# fused harness, /root/reference/utilities/utilities.hpp:154-324)
+# ---------------------------------------------------------------------------
+
+#: op-name → phase buckets.  Pallas kernels carry explicit names
+#: (pl.pallas_call(name=...)); XLA's own fusions/reshapes land in the
+#: vector/glue buckets by their HLO op kind.
+PHASE_BUCKETS = (
+    ("spmv", ("spmv_",)),
+    ("sptrsv", ("sptrsv_",)),
+    ("orthog", ("orthog_",)),
+    ("layout_glue", ("reshape", "copy", "transpose", "bitcast", "pad",
+                     "slice", "concatenate", "broadcast")),
+    ("blas1", ("fusion", "multiply", "add", "subtract", "divide", "dot",
+               "reduce", "rsqrt", "sqrt", "select", "compare", "maximum",
+               "convert", "iota", "scatter", "dynamic")),
+)
+
+
+def bucket_of(op_name: str) -> str:
+    for bucket, prefixes in PHASE_BUCKETS:
+        for p in prefixes:
+            if op_name.startswith(p):
+                return bucket
+    return "other"
+
+
+def phase_table_from_trace(logdir: str):
+    """Aggregate device op walls by phase bucket.
+
+    Returns (table, meta): table maps bucket → seconds (device wall summed
+    over ops), meta has 'device_wall' (first-op start → last-op end) and
+    'n_ops'.  None when the trace has no usable device timeline."""
+    events = _load_trace_events(logdir)
+    if not events:
+        return None
+    ops = _device_op_events(events)
+    if not ops:
+        return None
+    table = collections.defaultdict(float)
+    per_op = collections.defaultdict(float)
+    t0 = min(e["ts"] for e in ops)
+    t1 = max(e["ts"] + e.get("dur", 0) for e in ops)
+    for e in ops:
+        name = e["name"]
+        if name.startswith("while"):        # the loop wrapper op overlaps
+            continue                        # every body op — skip it
+        d = e.get("dur", 0) * 1e-6
+        table[bucket_of(name)] += d
+        per_op[name] += d
+    meta = {"device_wall": (t1 - t0) * 1e-6, "n_ops": len(ops),
+            "per_op": dict(sorted(per_op.items(), key=lambda kv: -kv[1]))}
+    return dict(table), meta
+
+
+def measure_phase_table(method, logdir: Optional[str] = None):
+    """Traced re-run of a method's compiled fused loop → per-phase device
+    seconds (see phase_table_from_trace); None off-TPU / no runner."""
+    import jax
+    runner = getattr(method, "_fused_runner", None)
+    if runner is None:
+        return None
+    state0 = jax.block_until_ready(runner._init_jit())
+    ctx = (tempfile.TemporaryDirectory() if logdir is None else None)
+    d = ctx.name if ctx is not None else logdir
+    try:
+        with jax.profiler.trace(d):
+            jax.block_until_ready(runner._run_jit(state0))
+        out = phase_table_from_trace(d)
+    finally:
+        if ctx is not None:
+            ctx.cleanup()
+    return out
+
+
+def print_phase_table(table, meta, n_iters=None, out=None) -> None:
+    """The reference's hierarchical timer table, filled from DEVICE walls
+    (utilities.hpp:154-324 prints host stopwatch splits; the fused harness
+    is one dispatch, so attribution comes from the trace)."""
+    import sys
+    out = sys.stderr if out is None else out
+    width = 44
+    dev = meta["device_wall"]
+    rows = [(0, "solve (device wall)", dev)]
+    order = ("spmv", "sptrsv", "orthog", "blas1", "layout_glue", "other")
+    acct = 0.0
+    for k in order:
+        if k in table:
+            rows.append((1, k, table[k]))
+            acct += table[k]
+    lines = ["+" + "-" * (width + 26) + "+"]
+    for depth, name, v in rows:
+        label = "| " * depth + name
+        per_it = f" ({v / n_iters * 1e3:8.4f} ms/iter)" if n_iters else ""
+        lines.append(f"| {label:<{width}} {v:10.6f} s{per_it:>20} |")
+    lines.append("+" + "-" * (width + 26) + "+")
+    lines.append(f"| accounted: {acct:.6f} s of {dev:.6f} s device wall"
+                 f" ({100 * acct / max(dev, 1e-12):.0f}%; ops overlap)")
+    print("\n".join(lines), file=out)

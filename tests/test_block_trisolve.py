@@ -127,14 +127,22 @@ def test_superblock_matches_dense_oracle(src, rng):
     np.testing.assert_allclose(z, sgs_ref, rtol=1e-12, atol=1e-12)
 
 
-def test_superblock_split_mode_flag():
-    """nx not dividing the lane width selects the split-parity kernels."""
+def test_superblock_split_mode_flag(monkeypatch):
+    """nx not dividing the lane width selects the ALIGNED-fused layout
+    (TB·LANES ≡ 0 mod nx, one kernel per level); the split-parity kernels
+    remain behind the BIS_SB_ALIGNED=0 kill-switch."""
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
     from basic_iterative_solvers_tpu.ops.block_trisolve import (
         SuperBlockTriSolve, build_best_trisolve)
     src = "hpcg:6x4x8"      # nx=6 does not divide 128
     A = bis.generators.from_source(src)
     spec = bis.generators.color_spec_for_source(src)
     colors = spec_colors_np(spec, A.n_rows)
+    B = build_best_trisolve(A, _diag(A), colors, spec, upper=False,
+                            dtype=np.float64)
+    assert isinstance(B, SuperBlockTriSolve) and B.fused
+    assert (B.TB * 128) % 6 == 0      # tile boundaries pinned to x = 0
+    monkeypatch.setattr(bt, "NO_ALIGNED", True)
     B = build_best_trisolve(A, _diag(A), colors, spec, upper=False,
                             dtype=np.float64)
     assert isinstance(B, SuperBlockTriSolve) and not B.fused

@@ -48,14 +48,15 @@ def test_parse_extras():
     assert extras["matrix_format"] == "ell"
 
 
-def test_kernel_timers_overrides_any_harness_order():
-    """--kernel-timers needs the host harness regardless of flag order
-    (a later --harness fused must not silently disable the kernel rows)."""
+def test_kernel_timers_keeps_fused_harness():
+    """--kernel-timers no longer forces the host harness: the fused
+    single-dispatch loop gets per-phase DEVICE attribution from a traced
+    re-run (utils/xprof.py print_phase_table) instead."""
     for argv in (["x", "-cg", "--kernel-timers", "--harness", "fused"],
                  ["x", "-cg", "--harness", "fused", "--kernel-timers"]):
         _, _, extras = parse_cli(argv)
         assert extras["kernel_timers"] is True
-        assert extras["harness"] == "host"
+        assert extras["harness"] == "fused"
 
 
 def test_cli_end_to_end():
