@@ -613,12 +613,14 @@ def solve(setup: SolverSetup, method=None, timers: Optional[Timers] = None,
 
 def _refine_fused_eligible(setup: SolverSetup) -> bool:
     """Whole-refinement single-dispatch path: device oracle, fused
-    harness, classic CG inner (no restart machinery, no breakdown retry
-    ladder needed — CG+strong-M is the time-to-solution configuration)."""
+    harness, classic-CG or GMRES(m) inner (the restart machinery nests as
+    a cycle-structured while inside the outer loop; BiCGSTAB keeps the
+    per-outer path — its NaN-breakdown retry ladder needs host control)."""
     cfg = setup.config
-    return (setup.A_host is None and cfg.harness == "fused"
-            and cfg.method == SolverType.CONJUGATE_GRADIENT
-            and cfg.cg_flavor == "classic"
+    method_ok = ((cfg.method == SolverType.CONJUGATE_GRADIENT
+                  and cfg.cg_flavor == "classic")
+                 or cfg.method == SolverType.GMRES)
+    return (setup.A_host is None and cfg.harness == "fused" and method_ok
             and setup.inv_perm is None and setup.scale_vec is None)
 
 
@@ -672,18 +674,56 @@ def _build_refined_fused(setup: SolverSetup):
         state0 = method.init_state()
         rn0 = method.initial_residual_norm(state0)
         stop = inner_tol * rn0
+        restart_fn = getattr(method, "_restart_state", None)
+        m = getattr(method, "m", None)
 
-        def cond(c):
-            _s, it, rn = c
-            return jnp.logical_and(it < inner_max, rn > stop)
+        if restart_fn is None:
+            def cond(c):
+                _s, it, rn = c
+                return jnp.logical_and(it < inner_max, rn > stop)
 
-        def body(c):
-            s, it, rn = c
-            s2 = method.iterate(s)
-            return s2, it + jnp.int32(1), method.sample_norm(s2)
+            def body(c):
+                s, it, rn = c
+                s2 = method.iterate(s)
+                return s2, it + jnp.int32(1), method.sample_norm(s2)
 
-        state, it, _rn = jax.lax.while_loop(
-            cond, body, (state0, jnp.int32(0), rn0))
+            state, it, _rn = jax.lax.while_loop(
+                cond, body, (state0, jnp.int32(0), rn0))
+            return method.final_x(state), it
+
+        # restarted inner (GMRES(m)): the FusedRunner cycle structure —
+        # an outer while over restart cycles nesting a ≤ m-iteration
+        # inner while, restart (explicit x, Krylov reset) once per
+        # completed unconverged cycle (solvers/fused.py run()).
+        def outer_cond(c):
+            _s, it, rn, restarts = c
+            return ((rn > stop) & (it < inner_max - restarts)
+                    & jnp.isfinite(rn))
+
+        def outer_body(c):
+            state, it, rn, restarts = c
+
+            def inner_cond(ci):
+                _s, it, rn, j = ci
+                return ((j < m) & (rn > stop)
+                        & (it < inner_max - restarts) & jnp.isfinite(rn))
+
+            def inner_body(ci):
+                s, it, rn, j = ci
+                s2 = method.iterate(s)
+                return (s2, it + jnp.int32(1), method.sample_norm(s2),
+                        j + jnp.int32(1))
+
+            state, it, rn, j = jax.lax.while_loop(
+                inner_cond, inner_body, (state, it, rn, jnp.int32(0)))
+            do = (j == m) & (rn > stop) & jnp.isfinite(rn)
+            state = jax.lax.cond(do, restart_fn, lambda s: s, state)
+            rn = jnp.where(do, state["residual_norm"], rn)
+            return state, it, rn, restarts + do.astype(jnp.int32)
+
+        state, it, _rn, _restarts = jax.lax.while_loop(
+            outer_cond, outer_body,
+            (state0, jnp.int32(0), rn0, jnp.int32(0)))
         return method.final_x(state), it
 
     @jax.jit

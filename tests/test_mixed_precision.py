@@ -111,3 +111,40 @@ def test_refinement_all_krylov_methods_f32():
                                harness="fused", max_iters=300)
         assert res.converged, (meth, float(res.final_residual_norm))
         assert res.final_residual_norm <= res.stopping_criteria
+
+
+def test_refinement_single_dispatch_gmres():
+    """GMRES(m) inners run through the SINGLE-DISPATCH fused refinement
+    (the restart machinery nests as a cycle-structured while inside the
+    outer correction loop — solvers/base.py _build_refined_fused)."""
+    from basic_iterative_solvers_tpu.solvers.base import (
+        _refine_fused_eligible)
+    A = bis.dia.stencil_27pt_device(16, 16, 16, dtype=np.float32)
+    cfg = bis.SolverConfig(method=bis.SolverType.GMRES,
+                           preconditioner=bis.PrecondType.JACOBI,
+                           restart_length=20, dtype=np.float32,
+                           harness="fused", tolerance=1e-11,
+                           refine_outer=8)
+    setup = bis.preprocessing_device(A, cfg)
+    assert _refine_fused_eligible(setup)
+    res = bis.solve(setup)
+    assert res.converged and res.refine_outer_count >= 2
+    # the inner solves really restarted (m=20 < iters needed per outer
+    # at f32) and the refined answer is fp64-grade
+    assert res.final_residual_norm <= 1e-11 * res.residual_norms[0]
+
+
+def test_refinement_single_dispatch_bicgstab_stays_on_ladder():
+    """BiCGSTAB refinement keeps the per-outer retry-ladder path (its
+    NaN-breakdown recovery needs host control flow)."""
+    from basic_iterative_solvers_tpu.solvers.base import (
+        _refine_fused_eligible)
+    A = bis.dia.stencil_27pt_device(8, 8, 8, dtype=np.float32)
+    cfg = bis.SolverConfig(method=bis.SolverType.BICGSTAB,
+                           preconditioner=bis.PrecondType.JACOBI,
+                           dtype=np.float32, harness="fused",
+                           tolerance=1e-11, refine_outer=8)
+    setup = bis.preprocessing_device(A, cfg)
+    assert not _refine_fused_eligible(setup)
+    res = bis.solve(setup)
+    assert res.converged
