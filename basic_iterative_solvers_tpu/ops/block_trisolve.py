@@ -1662,16 +1662,29 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
             gslot = rrow * jnp.int32(LANES) + lanes
         dt = y_blk.dtype
 
-        def two_slice(window, delta):
+        # Pre-rotated windows: ONE whole-window lane roll per distinct
+        # (source, delta mod 128) — every leg's shifted read is then two
+        # free static slices + one select, instead of two per-leg rolls
+        # (at 24+ legs/level those rolls were the VPU bottleneck; same
+        # math: roll(W)[r,l] = W[r,(l+mm)%128], rows r and r+1 carry).
+        _rot_cache = {}
+
+        def _rotated(src_k, mm):
+            if (src_k, mm) not in _rot_cache:
+                _rot_cache[(src_k, mm)] = pltpu.roll(
+                    win[jnp.int32(src_k)], jnp.int32(LANES - mm), 1)
+            return _rot_cache[(src_k, mm)]
+
+        def shifted_read(src_k, delta):
             q, mm = divmod(delta, LANES)
-            W1 = jax.lax.slice(window, (TB + q, 0), (2 * TB + q, LANES))
             if mm == 0:
-                return W1
-            W2 = jax.lax.slice(window, (TB + q + 1, 0),
+                return jax.lax.slice(win[jnp.int32(src_k)],
+                                     (TB + q, 0), (2 * TB + q, LANES))
+            Wr = _rotated(src_k, mm)
+            S1 = jax.lax.slice(Wr, (TB + q, 0), (2 * TB + q, LANES))
+            S2 = jax.lax.slice(Wr, (TB + q + 1, 0),
                                (2 * TB + q + 1, LANES))
-            R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
-            R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
-            return jnp.where(lanes < jnp.int32(LANES - mm), R1, R2)
+            return jnp.where(lanes < jnp.int32(LANES - mm), S1, S2)
 
         pexp = None
         if packed:
@@ -1696,7 +1709,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
 
         acc = y_ref[:]
         for gi, (src, delta) in enumerate(cross):
-            shifted = two_slice(win[jnp.int32(src_pos[src])], delta)
+            shifted = shifted_read(src_pos[src], delta)
             if const:
                 c, dx, dy, dz = B.const_cross[li][gi]
                 mask = _leg_mask_jnp(B, sb, (dx, dy, dz), gslot)
@@ -1722,21 +1735,28 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
         porder = list(_parity_order(B))
         for pi, cx in enumerate(porder):
             a = acc
+            # the scratch holds parities computed so far (zeros before the
+            # first); halo rows stay zero and every halo read is masked
+            # (tile x ranges are complete).  Same pre-rotation trick as
+            # the cross windows: one full-scratch roll per distinct mm.
+            sw_rot = {}
+            swv = selfwin[...] if (aligned and selfs) else None
             for gi, dx in enumerate(selfs):
                 if aligned:
-                    # the scratch holds parities computed so far (zeros
-                    # before the first); the halo rows stay zero and every
-                    # halo read is masked (tile x ranges are complete)
                     q, mm = divmod(dx, LANES)
-                    W1 = selfwin[HALO + q:HALO + q + TB]
                     if mm == 0:
-                        rolled = W1
+                        rolled = jax.lax.slice(
+                            swv, (HALO + q, 0), (HALO + q + TB, LANES))
                     else:
-                        W2 = selfwin[HALO + q + 1:HALO + q + 1 + TB]
-                        R1 = pltpu.roll(W1, jnp.int32(LANES - mm), 1)
-                        R2 = pltpu.roll(W2, jnp.int32(LANES - mm), 1)
+                        if mm not in sw_rot:
+                            sw_rot[mm] = pltpu.roll(
+                                swv, jnp.int32(LANES - mm), 1)
+                        S1 = jax.lax.slice(sw_rot[mm], (HALO + q, 0),
+                                           (HALO + q + TB, LANES))
+                        S2 = jax.lax.slice(sw_rot[mm], (HALO + q + 1, 0),
+                                           (HALO + q + 1 + TB, LANES))
                         rolled = jnp.where(lanes < jnp.int32(LANES - mm),
-                                           R1, R2)
+                                           S1, S2)
                 else:
                     rolled = pltpu.roll(xt, jnp.int32((-dx) % LANES), 1)
                 if const:
