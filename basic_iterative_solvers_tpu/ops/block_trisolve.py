@@ -1098,6 +1098,18 @@ def _stencil_pair_plan(op, spec):
         if TB_al <= max(R_rows, TB_al):               # always feasible
             TB = TB_al
             fused = aligned = True
+    if fused and nx % LANES == 0:
+        # z-slab tile alignment: rounding TB to whole (y-plane, z) slabs
+        # makes the packed solve's flat-IO fast path eligible (strided
+        # window DMAs replace the per-apply permute passes) — see
+        # _flat_io_eligible / _ilu0_flat_apply
+        zrows = my * (nx // LANES)
+        if TB % zrows and zrows <= 2048:
+            import math
+            L_z = zrows * 64 // math.gcd(zrows, 64)   # lcm(zrows, 64):
+            TB_z = -(-TB // L_z) * L_z                # whole z slabs AND a
+            if TB_z <= 4096:                          # legal packed block
+                TB = TB_z
     R_b = -(-R_rows // TB) * TB
     if TB > R_b:
         R_b = TB
@@ -1588,7 +1600,8 @@ def _super_level_xla(B, li, y_blk, xb):
     return xt
 
 
-def _super_level_pallas(B, li, y_blk, X, row0=None):
+def _super_level_pallas(B, li, y_blk, X, row0=None,
+                        y_flat=None, y_state=None, flat_out=None):
     """One super-level on TPU: X is the (S, R_b + 2·TB, 128) HBM-resident
     state (zero halo rows top/bottom per superblock), updated in place via
     input/output aliasing; windows arrive through explicit async copies so
@@ -1598,14 +1611,32 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
     plane is regenerated in-register as coeff × leg-mask from iota
     arithmetic (zero factor HBM traffic).  `row0` is the (1, 1) i32 global
     row offset of this call's slab (nonzero only on mesh shards, where the
-    mask needs global slot ids)."""
+    mask needs global slot ids).
+
+    FLAT-IO modes (packed + z-aligned tiles, blocked_ilu0 fast path —
+    kills the per-apply permute/unpermute relayout passes):
+    * `y_flat`:  read this level's rhs straight from the NATURAL-ordER
+      flat vector via strided window DMAs (the tile's rows are whole
+      (y-plane, z) slabs, so each z slab is one (my, nxr, 128) window);
+    * `y_state`: read the rhs from another solve's X state (the U solve
+      consumes the L solve's output with no intermediate);
+    * `flat_out`: ALSO scatter the level's x block back into a donated
+      natural-order flat vector (the solve's final output — no
+      unpermute pass)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     sb, cross, selfs = B.levels[li]
     TB, R_b, sx = B.TB, B.R_b, B.sx
-    nx = B.spec_params[0]
+    nx, ny, nz, _sx2, sy, sz = B.spec_params
     grid_n = R_b // TB
+    nxr = nx // LANES if nx % LANES == 0 else 0
+    my = ny // sy
+    zrows = my * nxr if nxr else 0
+    KZ = TB // zrows if (zrows and TB % zrows == 0) else 0
+    py, pz = sb % sy, sb // sy
+    if (y_flat is not None or flat_out is not None) and not KZ:
+        raise ValueError("flat-IO needs z-aligned tiles (TB % zrows == 0)")
     srcs = tuple(sorted({s for s, _ in cross}))
     src_pos = {s: k for k, s in enumerate(srcs)}
     n_src = len(srcs)
@@ -1627,6 +1658,9 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
     slots = B.pack_geom[0] if packed else 0
     G_all = B.packed[li].shape[0] if packed else 0
 
+    y_mode = ("flat" if y_flat is not None
+              else "xstate" if y_state is not None else "tile")
+
     def kernel(*refs):
         it = iter(range(len(refs)))
         y_ref = refs[next(it)]
@@ -1635,16 +1669,40 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
         valss_ref = refs[next(it)] if Gs else None
         pk_ref = refs[next(it)] if packed else None
         X_ref = refs[next(it)]
+        zin_ref = refs[next(it)] if flat_out is not None else None
         row0_ref = refs[next(it)] if need_gslot else None
         out_ref = refs[next(it)]
+        zout_ref = refs[next(it)] if flat_out is not None else None
         win = refs[next(it)] if n_src else None     # VMEM scratch
+        y_scr = refs[next(it)] if y_mode != "tile" else None
         selfwin = refs[next(it)] if (aligned and selfs) else None
         out_scr = refs[next(it)]
+        flat_scr = refs[next(it)] if flat_out is not None else None
         copy_sem = refs[next(it)] if n_src else None
+        y_sem = refs[next(it)] if y_mode != "tile" else None
         out_sem = refs[next(it)]
+        fo_sem = refs[next(it)] if flat_out is not None else None
         i = pl.program_id(0)
 
         cps = []
+        if y_mode == "flat":
+            # rhs windows straight from the natural-order vector: the
+            # tile's rows are KZ whole z slabs of block (py, pz)
+            for k in range(KZ):
+                rz = i * jnp.int32(KZ) + jnp.int32(k)
+                z = jnp.int32(sz) * rz + jnp.int32(pz)
+                cp = pltpu.make_async_copy(
+                    y_ref.at[z, pl.ds(jnp.int32(0), my), jnp.int32(py)],
+                    y_scr.at[jnp.int32(k)], y_sem)
+                cp.start()
+                cp.wait()
+        elif y_mode == "xstate":
+            cp = pltpu.make_async_copy(
+                y_ref.at[jnp.int32(sb),
+                         pl.ds(jnp.int32(TB) + i * jnp.int32(TB), TB)],
+                y_scr, y_sem)
+            cp.start()
+            cps.append(cp)
         for k, s in enumerate(srcs):
             cp = pltpu.make_async_copy(
                 X_ref.at[jnp.int32(s), pl.ds(i * jnp.int32(TB), 3 * TB)],
@@ -1660,7 +1718,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
             rrow = (jax.lax.broadcasted_iota(jnp.int32, (TB, LANES), 0)
                     + row0_ref[0, 0] + i * jnp.int32(TB))
             gslot = rrow * jnp.int32(LANES) + lanes
-        dt = y_blk.dtype
+        dt = X.dtype
 
         # Pre-rotated windows: ONE whole-window lane roll per distinct
         # (source, delta mod 128) — every leg's shifted read is then two
@@ -1707,7 +1765,12 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
                 with _x64_ctx(False):
                     return jnp.take_along_axis(ex, pidx, axis=1)
 
-        acc = y_ref[:]
+        if y_mode == "flat":
+            acc = y_scr[...].reshape(TB, LANES)
+        elif y_mode == "xstate":
+            acc = y_scr[...]
+        else:
+            acc = y_ref[:]
         for gi, (src, delta) in enumerate(cross):
             shifted = shifted_read(src_pos[src], delta)
             if const:
@@ -1779,10 +1842,37 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
                                       TB)], out_sem)
         ocp.start()
         ocp.wait()
+        if flat_out is not None:
+            # scatter the finished block rows into the natural-order
+            # output (z slab windows, the exact inverse of the y reads)
+            for k in range(KZ):
+                flat_scr[...] = jax.lax.slice(
+                    xt, (k * zrows, 0),
+                    ((k + 1) * zrows, LANES)).reshape(my, nxr, LANES)
+                rz = i * jnp.int32(KZ) + jnp.int32(k)
+                z = jnp.int32(sz) * rz + jnp.int32(pz)
+                fcp = pltpu.make_async_copy(
+                    flat_scr,
+                    zout_ref.at[z, pl.ds(jnp.int32(0), my),
+                                jnp.int32(py)], fo_sem)
+                fcp.start()
+                fcp.wait()
 
+    dt_arr = X if y_blk is None else y_blk
     tile = lambda: pl.BlockSpec((TB, LANES), lambda i: (i, jnp.int32(0)))
-    in_specs = [tile()]
-    operands = [y_blk]
+    in_specs = []
+    operands = []
+    if y_mode == "flat":
+        # natural-order rhs viewed (nz, my, sy, nxr, 128): a bitcast —
+        # the kernel's strided window DMAs do the permute for free
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(y_flat.reshape(nz, my, sy, nxr, LANES))
+    elif y_mode == "xstate":
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(y_state)
+    else:
+        in_specs.append(tile())
+        operands.append(y_blk)
     if not packed:
         in_specs.append(tile())
         operands.append(B.dinv[sb])
@@ -1804,6 +1894,11 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
     x_index = len(operands)
     in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands.append(X)
+    z_index = None
+    if flat_out is not None:
+        z_index = len(operands)
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        operands.append(flat_out.reshape(nz, my, sy, nxr, LANES))
     if need_gslot:
         # explicit block shape + i32 index map on the SMEM spec (a bare
         # SMEM spec synthesizes an i64 literal under x64 — CLAUDE.md)
@@ -1815,23 +1910,42 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
 
     scratch = []
     if n_src:
-        scratch.append(pltpu.VMEM((n_src, 3 * TB, LANES), y_blk.dtype))
+        scratch.append(pltpu.VMEM((n_src, 3 * TB, LANES), dt_arr.dtype))
+    if y_mode == "flat":
+        scratch.append(pltpu.VMEM((KZ, my, nxr, LANES), dt_arr.dtype))
+    elif y_mode == "xstate":
+        scratch.append(pltpu.VMEM((TB, LANES), dt_arr.dtype))
     if aligned and selfs:
-        scratch.append(pltpu.VMEM((TB + 2 * HALO, LANES), y_blk.dtype))
-    scratch.append(pltpu.VMEM((TB, LANES), y_blk.dtype))
+        scratch.append(pltpu.VMEM((TB + 2 * HALO, LANES), dt_arr.dtype))
+    scratch.append(pltpu.VMEM((TB, LANES), dt_arr.dtype))
+    if flat_out is not None:
+        scratch.append(pltpu.VMEM((my, nxr, LANES), dt_arr.dtype))
     if n_src:
         scratch.append(pltpu.SemaphoreType.DMA((n_src,)))
+    if y_mode != "tile":
+        scratch.append(pltpu.SemaphoreType.DMA)
     scratch.append(pltpu.SemaphoreType.DMA)
+    if flat_out is not None:
+        scratch.append(pltpu.SemaphoreType.DMA)
 
-    itemsize = y_blk.dtype.itemsize
+    out_shape = [jax.ShapeDtypeStruct(X.shape, X.dtype)]
+    out_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    aliases = {x_index: 0}
+    if flat_out is not None:
+        out_shape.append(jax.ShapeDtypeStruct(
+            (nz, my, sy, nxr, LANES), flat_out.dtype))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        aliases[z_index] = 1
+
+    itemsize = dt_arr.dtype.itemsize
     n_groups = len(cross) + len(selfs)
-    return pl.pallas_call(
+    got = pl.pallas_call(
         kernel, grid=(grid_n,),
         name=("sptrsv_sb_level_U" if B.upper else "sptrsv_sb_level_L"),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(memory_space=pl.ANY),
-        out_shape=jax.ShapeDtypeStruct(X.shape, X.dtype),
-        input_output_aliases={x_index: 0},
+        out_specs=out_specs if flat_out is not None else out_specs[0],
+        out_shape=out_shape if flat_out is not None else out_shape[0],
+        input_output_aliases=aliases,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=2 * (n_groups + len(selfs) * (sx - 1)) * R_b * LANES,
@@ -1843,6 +1957,10 @@ def _super_level_pallas(B, li, y_blk, X, row0=None):
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=pallas_env.INTERPRET,
     )(*operands)
+    if flat_out is not None:
+        Xo, z6 = got
+        return Xo, z6.reshape(flat_out.shape)
+    return got
 
 
 def _super_acc_pallas(B, li, y_blk, X):
@@ -2435,9 +2553,45 @@ def blocked_sgs(L, U, y: jax.Array, use_pallas: bool = True) -> jax.Array:
     return _unpermute_any(U, xb)
 
 
+def _flat_io_eligible(B, use_pallas: bool, y) -> bool:
+    """FLAT-IO fast path (see _super_level_pallas): packed tables, x-pure
+    vreg rows, z-aligned tiles with no pad tiles, flat 1-D rhs."""
+    if not (use_pallas and pallas_env.pallas_capable()
+            and isinstance(B, SuperBlockTriSolve) and B.is_packed
+            and y.ndim == 1 and y.dtype.itemsize <= 4):
+        return False
+    nx, ny, nz, _sx, sy, sz = B.spec_params
+    if nx % LANES:
+        return False
+    zrows = (ny // sy) * (nx // LANES)
+    R_rows = -(-B.m // LANES)
+    return B.TB % zrows == 0 and R_rows % B.TB == 0 and B.R_b == R_rows
+
+
 def blocked_ilu0(L, U, y: jax.Array, use_pallas: bool = True) -> jax.Array:
     """U⁻¹ L⁻¹ y with unit-diagonal L (colored ILU(0) apply)."""
+    if _flat_io_eligible(L, use_pallas, y) and _flat_io_eligible(U, use_pallas, y):
+        return _ilu0_flat_apply(L, U, y)
     yb = _permute_any(L, y)
     tb = _solve_any(L, yb, use_pallas)
     xb = _solve_any(U, tb, use_pallas)
     return _unpermute_any(U, xb)
+
+
+def _ilu0_flat_apply(L, U, y: jax.Array) -> jax.Array:
+    """Permute-free colored-ILU(0) apply: the L levels read the rhs
+    straight from the natural-order vector (strided z-slab window DMAs),
+    the U levels consume the L solve's X state directly, and the final x
+    scatters back to natural order from inside the level kernels — the
+    per-apply permute/unpermute relayout passes (~7 ms/iter at 384³)
+    disappear entirely."""
+    S, R_b, TB = L.S, L.R_b, L.TB
+    X_L = jnp.zeros((S, R_b + 2 * TB, LANES), dtype=y.dtype)
+    for li in range(len(L.levels)):
+        X_L = _super_level_pallas(L, li, None, X_L, y_flat=y)
+    X_U = jnp.zeros_like(X_L)
+    z = jnp.zeros_like(y)
+    for li in range(len(U.levels)):
+        X_U, z = _super_level_pallas(U, li, None, X_U, y_state=X_L,
+                                     flat_out=z)
+    return z

@@ -267,3 +267,59 @@ def test_stencil_stream_wide_lanes_interpret(interpret, rng, monkeypatch):
                                rtol=2e-6, atol=1e-4)
     np.testing.assert_allclose(float(d_s), float(jnp.sum(y_o * xp)),
                                rtol=1e-5)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("src", ["hpcg:128x16x16", "hpcg:384x32x32"],
+                         ids=["nx128", "nx384-aligned"])
+def test_packed_flat_io_ilu0_interpret(interpret, rng, src):
+    """Packed-table translation ILU(0) through the FLAT-IO fast path
+    (strided z-slab window DMAs replace the permute/unpermute passes):
+    bitwise-identical to the blocked-kernel path, which itself matches the
+    XLA oracle to float-reassociation tolerance."""
+    import jax.numpy as jnp
+
+    from basic_iterative_solvers_tpu.coloring import spec_for_device
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    A = bis.stencil_op.from_source_operator(src, dtype=np.float32)
+    spec = spec_for_device(A)
+    L, U = bt.build_superblock_ilu0_pair_stencil(A, spec, dtype=np.float32)
+    assert L.is_packed and U.is_packed
+    assert bt._flat_io_eligible(L, True, jnp.zeros(A.n_rows, jnp.float32))
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    got = np.asarray(bt.blocked_ilu0(L, U, y, use_pallas=True))
+    yb = bt._permute_any(L, y)
+    xb = bt._solve_any(U, bt._solve_any(L, yb, True), True)
+    ref_blocked = np.asarray(bt._unpermute_any(U, xb))
+    assert np.array_equal(got, ref_blocked)
+    ref_xla = np.asarray(bt.blocked_ilu0(L, U, y, use_pallas=False))
+    np.testing.assert_allclose(got, ref_xla, rtol=2e-5, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_packed_mode_bitwise_vs_plane_interpret(interpret, rng):
+    """Packed-table planes regenerate BITWISE-equal to the full plane
+    slabs (the clamp distances are verified at build time)."""
+    import jax.numpy as jnp
+
+    from basic_iterative_solvers_tpu.coloring import spec_for_device
+    from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    A = bis.stencil_op.from_source_operator("hpcg:128x16x16",
+                                            dtype=np.float32)
+    spec = spec_for_device(A)
+    L, U = bt.build_superblock_ilu0_pair_stencil(A, spec, dtype=np.float32)
+    old = bt.NO_PACKED
+    bt.NO_PACKED = True
+    try:
+        Lp, Up = bt.build_superblock_ilu0_pair_stencil(A, spec,
+                                                       dtype=np.float32)
+    finally:
+        bt.NO_PACKED = old
+    assert L.is_packed and not Lp.is_packed
+    y = jnp.asarray(rng.standard_normal(A.n_rows).astype(np.float32))
+    yb = bt._permute_any(L, y)
+    got = bt._unpermute_any(U, bt._solve_any(U, bt._solve_any(L, yb, True),
+                                             True))
+    ref = bt._unpermute_any(Up, bt._solve_any(
+        Up, bt._solve_any(Lp, yb, True), True))
+    assert np.array_equal(np.asarray(got), np.asarray(ref))
