@@ -1678,6 +1678,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
         selfwin = refs[next(it)] if (aligned and selfs) else None
         out_scr = refs[next(it)]
         flat_scr = refs[next(it)] if flat_out is not None else None
+        pwin = refs[next(it)] if flat_out is not None else None
         copy_sem = refs[next(it)] if n_src else None
         y_sem = refs[next(it)] if y_mode != "tile" else None
         out_sem = refs[next(it)]
@@ -1843,18 +1844,32 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
         ocp.start()
         ocp.wait()
         if flat_out is not None:
-            # scatter the finished block rows into the natural-order
-            # output (z slab windows, the exact inverse of the y reads)
+            # scatter the finished rows into the natural-order output.
+            # HBM window WRITES at sub-tile strides abort the backend
+            # (reads are fine), so each write covers a WHOLE contiguous
+            # z slab: this level (py=0) interleaves its rows with its
+            # partner block's (py=1, same pz — already solved, read back
+            # from the aliased X state) at nxr-row granularity.
+            pcp = pltpu.make_async_copy(
+                out_ref.at[jnp.int32(sb + 1),
+                           pl.ds(jnp.int32(TB) + i * jnp.int32(TB), TB)],
+                pwin, fo_sem)
+            pcp.start()
+            pcp.wait()
+            part = pwin[...]
             for k in range(KZ):
-                flat_scr[...] = jax.lax.slice(
+                o = jax.lax.slice(
                     xt, (k * zrows, 0),
-                    ((k + 1) * zrows, LANES)).reshape(my, nxr, LANES)
+                    ((k + 1) * zrows, LANES)).reshape(my, 1, nxr, LANES)
+                q2 = jax.lax.slice(
+                    part, (k * zrows, 0),
+                    ((k + 1) * zrows, LANES)).reshape(my, 1, nxr, LANES)
+                flat_scr[...] = jnp.concatenate([o, q2], axis=1).reshape(
+                    sy * zrows, LANES)
                 rz = i * jnp.int32(KZ) + jnp.int32(k)
                 z = jnp.int32(sz) * rz + jnp.int32(pz)
                 fcp = pltpu.make_async_copy(
-                    flat_scr,
-                    zout_ref.at[z, pl.ds(jnp.int32(0), my),
-                                jnp.int32(py)], fo_sem)
+                    flat_scr, zout_ref.at[z], fo_sem)
                 fcp.start()
                 fcp.wait()
 
@@ -1896,9 +1911,11 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
     operands.append(X)
     z_index = None
     if flat_out is not None:
+        if sy != 2 or sb + 1 >= B.S:
+            raise ValueError("flat_out needs sy == 2 and a py=1 partner")
         z_index = len(operands)
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        operands.append(flat_out.reshape(nz, my, sy, nxr, LANES))
+        operands.append(flat_out.reshape(nz, sy * zrows, LANES))
     if need_gslot:
         # explicit block shape + i32 index map on the SMEM spec (a bare
         # SMEM spec synthesizes an i64 literal under x64 — CLAUDE.md)
@@ -1919,7 +1936,8 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
         scratch.append(pltpu.VMEM((TB + 2 * HALO, LANES), dt_arr.dtype))
     scratch.append(pltpu.VMEM((TB, LANES), dt_arr.dtype))
     if flat_out is not None:
-        scratch.append(pltpu.VMEM((my, nxr, LANES), dt_arr.dtype))
+        scratch.append(pltpu.VMEM((sy * zrows, LANES), dt_arr.dtype))
+        scratch.append(pltpu.VMEM((TB, LANES), dt_arr.dtype))   # pwin
     if n_src:
         scratch.append(pltpu.SemaphoreType.DMA((n_src,)))
     if y_mode != "tile":
@@ -1933,7 +1951,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
     aliases = {x_index: 0}
     if flat_out is not None:
         out_shape.append(jax.ShapeDtypeStruct(
-            (nz, my, sy, nxr, LANES), flat_out.dtype))
+            (nz, sy * zrows, LANES), flat_out.dtype))
         out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         aliases[z_index] = 1
 
@@ -2561,7 +2579,7 @@ def _flat_io_eligible(B, use_pallas: bool, y) -> bool:
             and y.ndim == 1 and y.dtype.itemsize <= 4):
         return False
     nx, ny, nz, _sx, sy, sz = B.spec_params
-    if nx % LANES:
+    if nx % LANES or sy != 2:
         return False
     zrows = (ny // sy) * (nx // LANES)
     R_rows = -(-B.m // LANES)
@@ -2591,7 +2609,12 @@ def _ilu0_flat_apply(L, U, y: jax.Array) -> jax.Array:
         X_L = _super_level_pallas(L, li, None, X_L, y_flat=y)
     X_U = jnp.zeros_like(X_L)
     z = jnp.zeros_like(y)
-    for li in range(len(U.levels)):
-        X_U, z = _super_level_pallas(U, li, None, X_U, y_state=X_L,
-                                     flat_out=z)
+    for li, (sb, _c, _s) in enumerate(U.levels):
+        if sb % 2 == 0:
+            # py = 0: partner (py = 1, same pz) already solved — this
+            # level writes the combined contiguous z slabs to flat z
+            X_U, z = _super_level_pallas(U, li, None, X_U, y_state=X_L,
+                                         flat_out=z)
+        else:
+            X_U = _super_level_pallas(U, li, None, X_U, y_state=X_L)
     return z
