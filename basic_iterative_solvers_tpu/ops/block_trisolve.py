@@ -1687,21 +1687,24 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
 
         cps = []
         if y_mode == "flat":
-            # rhs windows straight from the natural-order vector: the
-            # tile's rows are KZ whole z slabs of block (py, pz)
+            # rhs windows straight from the natural-order vector: one
+            # CONTIGUOUS full z slab (both y parities) per copy — the
+            # py-strided window form ran at strided-DMA rates and its
+            # 5-D view materialized as a relayout copy; reading 2x and
+            # deinterleaving in-register is faster on both counts
             for k in range(KZ):
                 rz = i * jnp.int32(KZ) + jnp.int32(k)
                 z = jnp.int32(sz) * rz + jnp.int32(pz)
                 cp = pltpu.make_async_copy(
-                    y_ref.at[z, pl.ds(jnp.int32(0), my), jnp.int32(py)],
-                    y_scr.at[jnp.int32(k)], y_sem)
+                    y_ref.at[z], y_scr.at[jnp.int32(k)],
+                    y_sem.at[jnp.int32(k)])
                 cp.start()
-                cp.wait()
+                cps.append(cp)
         elif y_mode == "xstate":
             cp = pltpu.make_async_copy(
                 y_ref.at[jnp.int32(sb),
                          pl.ds(jnp.int32(TB) + i * jnp.int32(TB), TB)],
-                y_scr, y_sem)
+                y_scr, y_sem.at[jnp.int32(0)])
             cp.start()
             cps.append(cp)
         for k, s in enumerate(srcs):
@@ -1767,7 +1770,10 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
                     return jnp.take_along_axis(ex, pidx, axis=1)
 
         if y_mode == "flat":
-            acc = y_scr[...].reshape(TB, LANES)
+            yall = y_scr[...].reshape(KZ * my, sy, nxr, LANES)
+            acc = jax.lax.slice(
+                yall, (0, py, 0, 0),
+                (KZ * my, py + 1, nxr, LANES)).reshape(TB, LANES)
         elif y_mode == "xstate":
             acc = y_scr[...]
         else:
@@ -1878,10 +1884,11 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
     in_specs = []
     operands = []
     if y_mode == "flat":
-        # natural-order rhs viewed (nz, my, sy, nxr, 128): a bitcast —
-        # the kernel's strided window DMAs do the permute for free
+        # natural-order rhs viewed (nz, ny·nxr, 128): layout-identical to
+        # the flat vector (no relayout copy) — the kernel reads whole
+        # contiguous z slabs and deinterleaves the parity in-register
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
-        operands.append(y_flat.reshape(nz, my, sy, nxr, LANES))
+        operands.append(y_flat.reshape(nz, sy * zrows, LANES))
     elif y_mode == "xstate":
         in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
         operands.append(y_state)
@@ -1929,7 +1936,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
     if n_src:
         scratch.append(pltpu.VMEM((n_src, 3 * TB, LANES), dt_arr.dtype))
     if y_mode == "flat":
-        scratch.append(pltpu.VMEM((KZ, my, nxr, LANES), dt_arr.dtype))
+        scratch.append(pltpu.VMEM((KZ, sy * zrows, LANES), dt_arr.dtype))
     elif y_mode == "xstate":
         scratch.append(pltpu.VMEM((TB, LANES), dt_arr.dtype))
     if aligned and selfs:
@@ -1941,7 +1948,7 @@ def _super_level_pallas(B, li, y_blk, X, row0=None,
     if n_src:
         scratch.append(pltpu.SemaphoreType.DMA((n_src,)))
     if y_mode != "tile":
-        scratch.append(pltpu.SemaphoreType.DMA)
+        scratch.append(pltpu.SemaphoreType.DMA((max(KZ, 1),)))
     scratch.append(pltpu.SemaphoreType.DMA)
     if flat_out is not None:
         scratch.append(pltpu.SemaphoreType.DMA)
