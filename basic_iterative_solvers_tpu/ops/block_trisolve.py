@@ -67,6 +67,9 @@ NO_ALIGNED = _os.environ.get("BIS_SB_ALIGNED", "1") == "0"
 #: kill-switch for the packed-table factor layout (BIS_SB_PACKED=0 keeps
 #: full plane slabs for translation-table ILU(0))
 NO_PACKED = _os.environ.get("BIS_SB_PACKED", "1") == "0"
+#: packed/flat-IO apply only above this row count (capacity sizes; below
+#: it the plane+permute path measures faster — tests monkeypatch this)
+PACK_MIN_ROWS = 2 ** 24
 
 
 class BlockIneligibleError(ValueError):
@@ -1314,7 +1317,12 @@ def build_superblock_ilu0_pair_stencil(op, spec, *, dtype=np.float32,
     # HBM traffic; the kernel regenerates exact planes in-register.
     PACK_SLOTS = 16
     dx_star = Pxr = None
+    # capacity sizes only: at 128³ the working set is near-VMEM-resident
+    # and XLA elides the small relayouts — the packed/flat-IO machinery
+    # measured SLOWER there (0.60 → 0.69 ms/iter A/B); at 384³ it is the
+    # difference between 52.8 and 32.6 ms/iter
     packed_ok = (not NO_PACKED and nx % LANES == 0 and plan.fused
+                 and n > PACK_MIN_ROWS
                  and (TB % 64 == 0 or TB == R_b)
                  and np.dtype(dtype).itemsize <= 4)
     if packed_ok:

@@ -76,9 +76,13 @@ PRECOND_CHOICES = {
 #: iteration counts are sized so that constant contributes <~5% — the
 #: reported rate is the steady-state per-iteration cost, which is what the
 #: reference's walls measure (its dispatch cost is ~0).
+#: sized so the ~25-40 ms axon per-dispatch constant stays ≲2% of each
+#: row (CLAUDE.md round-4: CG@128³ read 0.237 ms/iter over 200 iters but
+#: 0.119 over 1000 with identical device work — the constant, not chip
+#: variance; at 1000 it was still ~30% of the CG number)
 DEFAULT_ITERS = {
-    "cg": 1000, "jacobi": 1000, "bicgstab": 600, "gmres": 600,
-    "gs": 400, "sgs": 400, "pcg": 400, "pgmres": 300, "pbicgstab": 300,
+    "cg": 2500, "jacobi": 2500, "bicgstab": 1500, "gmres": 1500,
+    "gs": 1200, "sgs": 1200, "pcg": 1200, "pgmres": 800, "pbicgstab": 800,
 }
 
 

@@ -272,7 +272,7 @@ def test_stencil_stream_wide_lanes_interpret(interpret, rng, monkeypatch):
 @pytest.mark.slow
 @pytest.mark.parametrize("src", ["hpcg:128x16x16", "hpcg:384x32x32"],
                          ids=["nx128", "nx384-aligned"])
-def test_packed_flat_io_ilu0_interpret(interpret, rng, src):
+def test_packed_flat_io_ilu0_interpret(interpret, rng, src, monkeypatch):
     """Packed-table translation ILU(0) through the FLAT-IO fast path
     (strided z-slab window DMAs replace the permute/unpermute passes):
     bitwise-identical to the blocked-kernel path, which itself matches the
@@ -281,6 +281,7 @@ def test_packed_flat_io_ilu0_interpret(interpret, rng, src):
 
     from basic_iterative_solvers_tpu.coloring import spec_for_device
     from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    monkeypatch.setattr(bt, "PACK_MIN_ROWS", 0)
     A = bis.stencil_op.from_source_operator(src, dtype=np.float32)
     spec = spec_for_device(A)
     L, U = bt.build_superblock_ilu0_pair_stencil(A, spec, dtype=np.float32)
@@ -297,13 +298,14 @@ def test_packed_flat_io_ilu0_interpret(interpret, rng, src):
 
 
 @pytest.mark.slow
-def test_packed_mode_bitwise_vs_plane_interpret(interpret, rng):
+def test_packed_mode_bitwise_vs_plane_interpret(interpret, rng, monkeypatch):
     """Packed-table planes regenerate BITWISE-equal to the full plane
     slabs (the clamp distances are verified at build time)."""
     import jax.numpy as jnp
 
     from basic_iterative_solvers_tpu.coloring import spec_for_device
     from basic_iterative_solvers_tpu.ops import block_trisolve as bt
+    monkeypatch.setattr(bt, "PACK_MIN_ROWS", 0)
     A = bis.stencil_op.from_source_operator("hpcg:128x16x16",
                                             dtype=np.float32)
     spec = spec_for_device(A)
